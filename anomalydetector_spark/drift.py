@@ -1,0 +1,115 @@
+"""Distribution-drift check: SR-score every (partition, stat) series.
+
+The stat-series table is tiny by construction (one row per window ×
+partition × stat), so the expensive FFT work rides a single
+``groupBy(...).applyInPandas`` over already-aggregated data — one shuffle
+whose key count is bounded, never a per-document operation. Placement of
+this stage AFTER aggregation is the engine's key planning rule
+(SURVEY.md §4 item 4).
+
+Each group runs the whole-series numpy SR kernel (anomalydetector_spark/
+kernel/sr.py, semantics of reference msanomalydetector/spectral_residual.py)
+and returns the series extended with mag/score/isAnomaly (+ margin columns
+when requested), matching the reference's output frame
+(spectral_residual.py:78-105).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.kernel.sr import MIN_POINTS, SrParams, sr_detect
+
+DRIFT_SCHEMA = (
+    "partition_key string, stat_name string, window_start timestamp, "
+    "value double, mag double, score double, is_anomaly boolean"
+)
+
+DRIFT_MARGIN_SCHEMA = DRIFT_SCHEMA + (
+    ", expected_value double, unit double, lower_boundary double, "
+    "upper_boundary double"
+)
+
+
+def _make_group_fn(params: SrParams):
+    def detect_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start")
+        n = len(pdf)
+        if n < MIN_POINTS:
+            # Too short to score: emit the series unscored (score null) so
+            # the min-points verdict is taken by the check layer, mirroring
+            # the reference's NotEnoughPoints contract (invoker.py:43-44).
+            out = pdf[["partition_key", "stat_name", "window_start", "value"]].copy()
+            out["mag"] = float("nan")
+            out["score"] = float("nan")
+            out["is_anomaly"] = pd.Series([None] * n, dtype="object")
+            if params.with_margin:
+                for c in ("expected_value", "unit", "lower_boundary", "upper_boundary"):
+                    out[c] = float("nan")
+            return out
+
+        res = sr_detect(
+            pdf["window_start"].to_numpy(), pdf["value"].to_numpy(), params
+        )
+        out = pd.DataFrame(
+            {
+                "partition_key": pdf["partition_key"].iloc[0],
+                "stat_name": pdf["stat_name"].iloc[0],
+                "window_start": res["timestamp"],
+                "value": res["value"],
+                "mag": res["mag"],
+                "score": res["score"],
+                "is_anomaly": res["isAnomaly"],
+            }
+        )
+        if params.with_margin:
+            out["expected_value"] = res["expectedValue"]
+            out["unit"] = res["unit"]
+            out["lower_boundary"] = res["lowerBoundary"]
+            out["upper_boundary"] = res["upperBoundary"]
+        return out
+
+    return detect_group
+
+
+def score_drift(
+    stat_series: DataFrame, params: SrParams | None = None
+) -> DataFrame:
+    """SR-score each (partition_key, stat_name) series.
+
+    Ordering inside each group is done in pandas (groups are window-count
+    sized); the shuffle key is (partition_key, stat_name), whose
+    cardinality = partitions × stats — small and uniform, so no skew
+    handling is needed at this stage even at 10^12 input docs.
+    """
+    p = params or SrParams()
+    schema = DRIFT_MARGIN_SCHEMA if p.with_margin else DRIFT_SCHEMA
+    return stat_series.groupBy("partition_key", "stat_name").applyInPandas(
+        _make_group_fn(p), schema=schema
+    )
+
+
+def drift_verdicts(scored: DataFrame) -> DataFrame:
+    """Collapse scored series into per-(partition, stat) verdict rows:
+    pass/fail + anomalous-window count + worst score, the engine's analog
+    of the reference's whole-job raise (SURVEY.md §3 EP2)."""
+    return (
+        scored.groupBy("partition_key", "stat_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("is_anomaly").cast("int")).alias("n_anomalous"),
+            F.max("score").alias("max_score"),
+            F.max(F.when(F.col("is_anomaly"), F.col("window_start"))).alias(
+                "last_anomalous_window"
+            ),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_windows") < MIN_POINTS, F.lit("error:not_enough_points"))
+            .when(F.col("n_anomalous") > 0, F.lit("fail"))
+            .otherwise(F.lit("pass")),
+        )
+    )

@@ -1,0 +1,292 @@
+"""Constraint checks — the validation front-end (SURVEY.md §2.2 P1-P13).
+
+Each check is a declarative DataFrame program that produces
+
+* **verdict rows**: ``(check_name, partition_key, passed, error_message,
+  violation_count, rows_scanned)`` — one per partition, the engine's
+  generalization of the reference's whole-job ``raise``
+  (aml_component/invoker.py:43-82), and
+* **violation rows**: the offending input rows tagged with the check name,
+  for violation-row recall scoring.
+
+Design rules for 10^12-doc scale:
+* every check is a single aggregation or window pass over pruned columns
+  (never reads ``html`` unless the check targets it),
+* cheap verdicts ride ONE shared scan via :func:`run_checks` in engine.py,
+* violations are lazily-evaluated DataFrames — only materialized when the
+  caller sinks them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.kernel.sr import (
+    MIN_POINTS,
+    VALUE_LOWER_BOUND,
+    VALUE_UPPER_BOUND,
+)
+from anomalydetector_spark.operators import errors
+
+VERDICT_COLS = [
+    "check_name",
+    "partition_key",
+    "passed",
+    "error_message",
+    "violation_count",
+    "rows_scanned",
+]
+
+
+@dataclass
+class CheckResult:
+    """A check's two outputs; ``violations`` may be None for checks whose
+    failures aren't row-addressable (e.g. min-row-count)."""
+
+    verdicts: DataFrame
+    violations: DataFrame | None = None
+
+
+def _part(df: DataFrame, partition_by: Column | str | None) -> DataFrame:
+    if partition_by is None:
+        return df.withColumn("partition_key", F.lit("global"))
+    col = F.col(partition_by) if isinstance(partition_by, str) else partition_by
+    return df.withColumn("partition_key", col.cast("string"))
+
+
+def _verdict_from_violation_count(
+    counted: DataFrame, check_name: str, message: str
+) -> DataFrame:
+    return counted.select(
+        F.lit(check_name).alias("check_name"),
+        "partition_key",
+        (F.col("violation_count") == 0).alias("passed"),
+        F.when(F.col("violation_count") > 0, F.lit(message)).alias("error_message"),
+        "violation_count",
+        "rows_scanned",
+    )
+
+
+def _violation_rows(
+    df: DataFrame, predicate: Column, check_name: str, keep: list[str]
+) -> DataFrame:
+    return df.filter(predicate).select(
+        F.lit(check_name).alias("check_name"), "partition_key", *keep
+    )
+
+
+def check_column_presence(
+    df: DataFrame, required: list[str], check_name: str = "column_presence"
+) -> CheckResult:
+    """P3 — schema check: required columns exist (invoker.py:49-53).
+    Purely metadata: no scan at all."""
+    spark = df.sparkSession
+    missing = [c for c in required if c not in df.columns]
+    rows = [
+        (
+            check_name,
+            "global",
+            not missing,
+            errors.COLUMN_NOT_FOUND.format(missing[0]) if missing else None,
+            len(missing),
+            0,
+        )
+    ]
+    schema = (
+        "check_name string, partition_key string, passed boolean, "
+        "error_message string, violation_count long, rows_scanned long"
+    )
+    return CheckResult(spark.createDataFrame(rows, schema))
+
+
+def check_min_rows(
+    df: DataFrame,
+    partition_by: Column | str | None = None,
+    min_points: int = MIN_POINTS,
+    check_name: str = "min_row_count",
+) -> CheckResult:
+    """P1 — per-partition minimum row count (invoker.py:43-44,
+    constants.py:3)."""
+    p = _part(df, partition_by)
+    counted = p.groupBy("partition_key").agg(
+        F.count(F.lit(1)).alias("rows_scanned")
+    )
+    verdicts = counted.select(
+        F.lit(check_name).alias("check_name"),
+        "partition_key",
+        (F.col("rows_scanned") >= min_points).alias("passed"),
+        F.when(
+            F.col("rows_scanned") < min_points,
+            F.lit(errors.NOT_ENOUGH_POINTS.format(min_points)),
+        ).alias("error_message"),
+        F.when(F.col("rows_scanned") < min_points, F.col("rows_scanned"))
+        .otherwise(F.lit(0))
+        .alias("violation_count"),
+        "rows_scanned",
+    )
+    return CheckResult(verdicts)
+
+
+def check_not_null(
+    df: DataFrame,
+    column: str,
+    partition_by: Column | str | None = None,
+    check_name: str | None = None,
+    message: str = errors.INVALID_TIMESTAMPS,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """P4 — null / unparseable values (invoker.py:55-59: NaT check after
+    to_datetime; a failed cast surfaces as null under try_cast semantics)."""
+    name = check_name or f"not_null_{column}"
+    p = _part(df, partition_by)
+    bad = F.col(column).isNull()
+    counted = p.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return CheckResult(
+        _verdict_from_violation_count(counted, name, message),
+        _violation_rows(p, bad, name, keep or []),
+    )
+
+
+def check_float_castable(
+    df: DataFrame,
+    column: str,
+    partition_by: Column | str | None = None,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """P7 — values parse as floats (invoker.py:71-74). ``try_cast`` gives
+    null on failure without aborting the job; non-null input that casts to
+    null is a violation."""
+    name = f"float_castable_{column}"
+    p = _part(df, partition_by)
+    bad = F.col(column).isNotNull() & F.col(column).cast("string").try_cast(
+        "double"
+    ).isNull()
+    counted = p.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.INVALID_VALUE_FORMAT.format(column)
+        ),
+        _violation_rows(p, bad, name, keep or [column]),
+    )
+
+
+def check_finite(
+    df: DataFrame,
+    column: str,
+    partition_by: Column | str | None = None,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """P8 — no NaN/±inf (invoker.py:76-77)."""
+    name = f"finite_{column}"
+    p = _part(df, partition_by)
+    c = F.col(column).cast("double")
+    bad = c.isNotNull() & (F.isnan(c) | (F.abs(c) == F.lit(float("inf"))))
+    counted = p.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.INVALID_SERIES_VALUE.format(column)
+        ),
+        _violation_rows(p, bad, name, keep or [column]),
+    )
+
+
+def check_value_bounds(
+    df: DataFrame,
+    column: str,
+    partition_by: Column | str | None = None,
+    lower: float = VALUE_LOWER_BOUND,
+    upper: float = VALUE_UPPER_BOUND,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """P9 — magnitude bound |v| ≤ 1e100 (invoker.py:79-80,
+    constants.py:1-2)."""
+    name = f"value_bounds_{column}"
+    p = _part(df, partition_by)
+    c = F.col(column).cast("double")
+    # non-finite values belong to check_finite, not here — each check owns
+    # exactly one violation class so counts never double-report
+    finite = c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+    bad = finite & ((c < lower) | (c > upper))
+    counted = p.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.VALUE_OVERFLOW.format(column)
+        ),
+        _violation_rows(p, bad, name, keep or [column]),
+    )
+
+
+def check_strictly_ascending(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: Column | str | None = None,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """P5 + P6 — per-partition strict ordering of a series' timestamps
+    (invoker.py:27-35): descending pair → order violation, equal pair →
+    duplicate-timestamp violation. One window pass computes both."""
+    p = _part(df, partition_by)
+    w = Window.partitionBy("partition_key").orderBy(F.col(ts_col))
+    lagged = p.withColumn("_prev_ts", F.lag(ts_col).over(w))
+    dup = F.col("_prev_ts").isNotNull() & (F.col(ts_col) == F.col("_prev_ts"))
+    # after sorting, "descending input" is unobservable; the reference's
+    # order check is meaningful only for pre-ordered frames, so here the
+    # violation class that survives a shuffle is duplication. Order checks
+    # against a stated file/order column use check_ascending_by below.
+    counted = lagged.groupBy("partition_key").agg(
+        F.sum(dup.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    name = f"unique_ts_{ts_col}"
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.DUPLICATE_SERIES_TIMESTAMP
+        ),
+        _violation_rows(lagged, dup, name, keep or [ts_col]),
+    )
+
+
+def check_ascending_by(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    partition_by: Column | str | None = None,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """P5 — timestamps ascend along an explicit physical order column
+    (row id / file offset), the distributed analog of the reference's
+    pairwise scan over frame order (invoker.py:27-35)."""
+    p = _part(df, partition_by)
+    w = Window.partitionBy("partition_key").orderBy(F.col(order_col))
+    lagged = p.withColumn("_prev_ts", F.lag(ts_col).over(w))
+    bad = F.col("_prev_ts").isNotNull() & (F.col(ts_col) < F.col("_prev_ts"))
+    counted = lagged.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    name = f"ascending_{ts_col}"
+    return CheckResult(
+        _verdict_from_violation_count(counted, name, errors.INVALID_SERIES_ORDER),
+        _violation_rows(lagged, bad, name, keep or [ts_col, order_col]),
+    )
+
+
+def validate_batch_size(batch_size: int, min_points: int = MIN_POINTS) -> None:
+    """P2 — config validation, driver-side (invoker.py:46-47)."""
+    if 0 < batch_size < min_points:
+        raise ValueError(errors.INVALID_BATCH_SIZE.format(min_points))

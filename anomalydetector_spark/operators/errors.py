@@ -1,0 +1,25 @@
+"""Error taxonomy — message templates matching the reference contract.
+
+The reference raises these exact messages as whole-job failures
+(aml_component/error_messages.py:1-10, asserted verbatim by its
+tests/test_error_input.py:35-120). Our engine emits them as per-partition
+verdict rows instead of raising (SURVEY.md §3 EP2), but the text contract
+is preserved so violation consumers can match on it.
+"""
+
+INVALID_TIMESTAMPS = "The timestamp column specified is malformed."
+INVALID_SERIES_ORDER = "The timestamp column specified is not in ascending order."
+DUPLICATE_SERIES_TIMESTAMP = "The timestamp column specified has duplicated timestamps."
+INVALID_VALUE_FORMAT = 'The data in column "{0}" can not be parsed as float values.'
+INVALID_SERIES_VALUE = 'The data in column "{0}" contains nan values.'
+VALUE_OVERFLOW = 'The magnitude of data in column "{0}" exceeds limitation.'
+NOT_ENOUGH_POINTS = "The dataset should contain at least {0} points to run this module."
+INVALID_BATCH_SIZE = (
+    'The "batchSize" parameter should be at least {0} or 0 '
+    "that indicates to run all data in a batch."
+)
+COLUMN_NOT_FOUND = 'Column with name or index "{0}" not found.'
+
+# engine-only additions (no reference analog; SURVEY.md §2.2 note)
+DUPLICATE_KEY = 'The key column "{0}" contains duplicated values.'
+DANGLING_REFERENCE = 'Column "{0}" contains values absent from dimension "{1}".'

@@ -1,0 +1,136 @@
+"""Spark-side tests for the constraint-check operators (SURVEY.md §2.2),
+mirroring the reference's error-contract strategy
+(aml_component/tests/test_error_input.py): each invalid input produces the
+exact matching verdict message — but per-partition, not a raise."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetector_spark.operators import checks as C
+from anomalydetector_spark.operators import errors
+from anomalydetector_spark.operators.referential import check_referential
+from anomalydetector_spark.operators.uniqueness import check_unique_key
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_column_presence_pass_and_fail(spark):
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    ok = _one(C.check_column_presence(df, ["x", "y"]).verdicts)
+    assert ok.passed and ok.error_message is None
+    bad = _one(C.check_column_presence(df, ["x", "z"]).verdicts)
+    assert not bad.passed
+    assert bad.error_message == errors.COLUMN_NOT_FOUND.format("z")
+
+
+def test_min_rows_per_partition(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", i) for i in range(5)],
+        "k string, v int",
+    )
+    res = {
+        r.partition_key: r
+        for r in C.check_min_rows(df, "k").verdicts.collect()
+    }
+    assert res["a"].passed
+    assert not res["b"].passed
+    assert res["b"].error_message == errors.NOT_ENOUGH_POINTS.format(12)
+    assert res["b"].rows_scanned == 5
+
+
+def test_not_null_check_counts_and_rows(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01"), ("a", None), ("b", "2024-01-02")],
+        "k string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    res = C.check_not_null(df, "ts", "k", keep=["ts"])
+    v = {r.partition_key: r for r in res.verdicts.collect()}
+    assert not v["a"].passed and v["a"].violation_count == 1
+    assert v["a"].error_message == errors.INVALID_TIMESTAMPS
+    assert v["b"].passed
+    assert res.violations.count() == 1
+
+
+def test_float_castable(spark):
+    df = spark.createDataFrame(
+        [("a", "1.5"), ("a", "oops"), ("a", None)], "k string, v string"
+    )
+    res = C.check_float_castable(df, "v", "k")
+    r = _one(res.verdicts)
+    assert not r.passed and r.violation_count == 1
+    assert r.error_message == errors.INVALID_VALUE_FORMAT.format("v")
+
+
+def test_finite_and_bounds(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", float("inf")), ("a", 1e200)],
+        "k string, v double",
+    )
+    fin = _one(C.check_finite(df, "v", "k").verdicts)
+    assert not fin.passed and fin.violation_count == 2
+    assert fin.error_message == errors.INVALID_SERIES_VALUE.format("v")
+    bnd = _one(C.check_value_bounds(df, "v", "k").verdicts)
+    assert not bnd.passed and bnd.violation_count == 1  # inf excluded, 1e200 caught
+    assert bnd.error_message == errors.VALUE_OVERFLOW.format("v")
+
+
+def test_duplicate_timestamps(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:00"),
+         ("a", "2024-01-02 00:00:00"), ("b", "2024-01-01 00:00:00")],
+        "k string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    res = C.check_strictly_ascending(df, "ts", "k")
+    v = {r.partition_key: r for r in res.verdicts.collect()}
+    assert not v["a"].passed and v["a"].violation_count == 1
+    assert v["a"].error_message == errors.DUPLICATE_SERIES_TIMESTAMP
+    assert v["b"].passed
+
+
+def test_ascending_by_order_column(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "2024-01-02 00:00:00"), ("a", 2, "2024-01-01 00:00:00"),
+         ("a", 3, "2024-01-03 00:00:00")],
+        "k string, pos int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    res = C.check_ascending_by(df, "ts", "pos", "k")
+    r = _one(res.verdicts)
+    assert not r.passed and r.violation_count == 1
+    assert r.error_message == errors.INVALID_SERIES_ORDER
+
+
+def test_batch_size_validation():
+    with pytest.raises(ValueError, match="batchSize"):
+        C.validate_batch_size(5)
+    C.validate_batch_size(0)
+    C.validate_batch_size(100)
+
+
+def test_unique_key_check(spark):
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u1"), ("a", "u2"), ("b", "u3")],
+        "k string, url string",
+    )
+    res = check_unique_key(df, "url", "k")
+    v = {r.partition_key: r for r in res.verdicts.collect()}
+    assert not v["a"].passed and v["a"].violation_count == 2  # both dup rows
+    assert v["a"].error_message == errors.DUPLICATE_KEY.format("url")
+    assert v["b"].passed
+    assert res.violations.count() == 2
+
+
+def test_referential_check(spark):
+    child = spark.createDataFrame(
+        [("a", "d1"), ("a", "d2"), ("a", "dX"), ("a", None)],
+        "k string, domain string",
+    )
+    parent = spark.createDataFrame([("d1",), ("d2",)], "domain string")
+    res = check_referential(child, "domain", parent, "domain", "k")
+    r = _one(res.verdicts)
+    assert not r.passed and r.violation_count == 1  # null is not a violation
+    viol = res.violations.collect()
+    assert len(viol) == 1 and viol[0].domain == "dX"

@@ -1,0 +1,95 @@
+"""End-to-end engine test over the synthetic pages table: the injected
+violation regimes (FIXTURES.md F3) must surface as exactly the right
+verdicts, and the drift check must flag exactly the injected windows."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from anomalydetector_spark import datagen
+from anomalydetector_spark.engine import ValidationConfig, run_validation
+
+
+def _win_start(widx: int) -> datetime.datetime:
+    return datetime.datetime(2025, 1, 1) + datetime.timedelta(days=widx)
+
+
+def test_run_validation_end_to_end(spark, pages):
+    domains = datagen.domains_dim(spark)
+    res = run_validation(pages, domains, ValidationConfig())
+
+    verdicts = {r.check_name: r for r in res.verdicts.collect()}
+    assert verdicts["column_presence"].passed
+    assert verdicts["min_row_count"].passed
+    assert verdicts["not_null_warc_ts"].passed
+    assert not verdicts["unique_url"].passed  # dup burst injected
+    assert verdicts["unique_url"].violation_count > 0
+    assert not verdicts["ref_domain"].passed  # dangling domains injected
+
+    # violation rows exist for each failing row-addressable check
+    by_check = dict(
+        res.violations.groupBy("check_name").count().collect()
+    )
+    assert by_check.get("unique_url", 0) > 0
+    assert by_check.get("ref_domain", 0) > 0
+    assert "not_null_warc_ts" not in by_check
+
+    dv = {r.stat_name: r for r in res.drift_verdicts.collect()}
+    truth = datagen.truth()
+    # every injected drift regime flagged, in the injected window
+    flagged = {
+        r.stat_name: r.last_anomalous_window
+        for r in res.drift_verdicts.filter("verdict = 'fail'").collect()
+    }
+    assert flagged["null_rate"] == _win_start(truth["null_window"])
+    assert flagged["len_p50"] == _win_start(truth["len_window"])
+    assert flagged["len_p95"] == _win_start(truth["len_window"])
+    assert flagged["lang_frac_zh"] == _win_start(truth["lang_window"])
+    assert flagged["lang_frac_en"] == _win_start(truth["lang_window"])
+    assert flagged["approx_distinct_url"] == _win_start(truth["dup_window"])
+    # stable stats stay clean
+    assert dv["doc_count"].verdict == "pass"
+    assert dv["lang_frac_de"].verdict == "pass"
+
+
+def test_text_byte_identity_per_url(pages):
+    """north-star invariant: extracted text is byte-identical per url —
+    duplicate-url rows must agree on text and html."""
+    diff = (
+        pages.filter(F.col("text").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.countDistinct("text").alias("nt"),
+            F.countDistinct(F.sha2(F.col("html"), 256)).alias("nh"),
+        )
+        .filter((F.col("nt") > 1) | (F.col("nh") > 1))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_text_is_tag_strip_of_html(pages):
+    """text == regexp tag-strip of html for every non-null-text row."""
+    bad = (
+        pages.filter(F.col("text").isNotNull())
+        .withColumn(
+            "stripped",
+            F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]+>", ""),
+        )
+        .filter(F.col("stripped") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hot_domain_skew_present(pages):
+    """fixture sanity: the hot domain really is ≥20% of rows (skew knob)."""
+    total = pages.count()
+    hot = pages.filter(F.col("domain") == datagen.HOT_DOMAIN).count()
+    assert hot / total >= 0.2
+
+
+def test_datagen_deterministic(spark):
+    a = datagen.generate_pages(spark, 2000)
+    b = datagen.generate_pages(spark, 2000)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

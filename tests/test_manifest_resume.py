@@ -1,0 +1,70 @@
+"""Resume semantics (SURVEY.md §5 item 5): run → interrupt → rerun must
+skip completed (partition, check) pairs and converge to identical final
+verdicts."""
+
+import pyspark.sql.functions as F
+
+from anomalydetector_spark import manifest as M
+
+
+def _verdicts(spark, parts):
+    rows = [(f"chk", p, p != "bad", None, 0 if p != "bad" else 3, 100) for p in parts]
+    return spark.createDataFrame(
+        rows,
+        "check_name string, partition_key string, passed boolean, "
+        "error_message string, violation_count long, rows_scanned long",
+    )
+
+
+def test_resume_skips_completed(spark, tmp_path):
+    path = str(tmp_path / "manifest")
+    v1 = _verdicts(spark, ["p0", "p1"])
+    out1 = M.run_with_resume(spark, v1, "snapA", path)
+    assert out1.count() == 2
+
+    # second run adds p2/bad; p0/p1 must be skipped (exactly one manifest
+    # row each, i.e. no duplicate work recorded)
+    v2 = _verdicts(spark, ["p0", "p1", "p2", "bad"])
+    out2 = M.run_with_resume(spark, v2, "snapA", path)
+    assert out2.count() == 4
+
+    all_rows = spark.read.parquet(path)
+    per_part = dict(
+        all_rows.groupBy("partition_spec").count().collect()
+    )
+    assert per_part == {"p0": 1, "p1": 1, "p2": 1, "bad": 1}
+
+    final = {r.partition_spec: r.verdict for r in out2.collect()}
+    assert final == {"p0": "pass", "p1": "pass", "p2": "pass", "bad": "fail"}
+
+
+def test_different_snapshot_not_skipped(spark, tmp_path):
+    path = str(tmp_path / "manifest")
+    v = _verdicts(spark, ["p0"])
+    M.run_with_resume(spark, v, "snapA", path)
+    M.run_with_resume(spark, v, "snapB", path)
+    rows = spark.read.parquet(path)
+    assert rows.count() == 2  # one per snapshot — lineage respected
+
+
+def test_pending_partitions_anti_join(spark):
+    work = spark.createDataFrame(
+        [("p0", "chk"), ("p1", "chk")], "partition_spec string, check_name string"
+    )
+    man = spark.createDataFrame(
+        [("snapA", "p0", "d", "chk", "pass", None, None)],
+        M.MANIFEST_SCHEMA,
+    )
+    pend = M.pending_partitions(work, man, "snapA").collect()
+    assert [r.partition_spec for r in pend] == ["p1"]
+
+
+def test_snapshot_id_stable(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"xx")
+    s1 = M.snapshot_id_for_path(str(d))
+    s2 = M.snapshot_id_for_path(str(d))
+    assert s1 == s2
+    (d / "b.parquet").write_bytes(b"yy")
+    assert M.snapshot_id_for_path(str(d)) != s1
