@@ -1,0 +1,84 @@
+"""Column-expression helpers — pure ``pyspark.sql.functions`` compositions.
+
+Everything here stays JVM-side (whole-stage codegen); no Python UDFs.
+Where cross-engine determinism matters (DuckDB oracle parity), hashing is
+built on ``md5`` (identical hex output in Spark and DuckDB) rather than
+``xxhash64`` (Spark-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash from md5 hex — reproducible in
+    ANSI SQL as ``('0x' || substr(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered so ``size`` is a
+    true token count."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (n-grams) of a text column, built with
+    ``sequence`` + ``transform`` — no UDF, no explode (the array stays
+    inside the row, so shingling adds zero shuffle)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: for seed ``i``, min over shingles of
+    ``md5_long(i || shingle)``. Seeding via string prefix keeps the scheme
+    reproducible in plain SQL."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: md5_long(F.concat(F.lit(f"{i}|"), s)),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays via ``zip_with`` +
+    ``aggregate`` — runs entirely in the JVM per row."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def is_finite(col: Column) -> Column:
+    c = col.cast("double")
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk_bruteforce` — the exactness baseline: broadcast the
+  (small) query set against the corpus, JVM-side dot products, window
+  top-k. Cost is |queries| × |corpus| — right when queries are few or the
+  corpus fits a single scan.
+* :func:`lsh_bucket_ann` — the scale path: random-hyperplane signatures
+  (sign bits of dot products with seeded planes) bucket the corpus; probe
+  joins on the bucket id and ranks only within buckets. Recall tunes with
+  ``n_planes`` (fewer planes → bigger buckets → higher recall, more work).
+* :func:`embedding_near_duplicates` — pairwise near-dup detection via the
+  same bucketing (embedding-cosine dedup for training pipelines).
+
+All dot products run through ``zip_with``/``aggregate`` inside codegen —
+no Python in the hot path. Hyperplanes are generated from a seeded numpy
+RNG on the driver and shipped as literals (tiny: n_planes × dim floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.functions import cosine_similarity
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded).
+
+    The query side is broadcast — at 100 TB the corpus never shuffles;
+    each task ranks its split locally and the final per-query top-k is a
+    bounded window over |queries| × k rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def _signature(vec_col, planes: np.ndarray):
+    """Sign-bit signature as a compact long (n_planes ≤ 63)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = sig * 2 + b
+    return sig
+
+
+def lsh_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's hyperplane bucket.
+
+    One signature pass per side, an equi-join on ``bucket``, then the same
+    windowed top-k as brute force — the crossJoin is gone; work scales
+    with bucket occupancy (corpus/2^n_planes per bucket in expectation).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, candidates
+    confined to LSH buckets (self-join on ``bucket`` with ``a < b``)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

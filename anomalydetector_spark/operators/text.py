@@ -1,0 +1,129 @@
+"""Text-analysis operators for web-scale corpora — all pure JVM column
+expressions (no Python in the hot path), each usable standalone or as a
+stat feeding the drift engine.
+
+* token counting (whitespace + a BPE-ish subword regex),
+* quality scoring (length / punctuation / stopword / repetition ratios),
+* language ID via marker-token voting (n-gram heuristic),
+* document fingerprinting (polynomial rolling hash over tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.functions import md5_long, tokens
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by",
+)
+
+# marker tokens per language for the voting heuristic; at production scale
+# this table would be a broadcast dimension, the plan shape is identical
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish proxy: count alphanumeric runs and punctuation marks as
+    separate units (what a byte-pair tokenizer's pre-tokenizer does)."""
+    pieces = F.filter(
+        F.split(col, r"(?=[^\w])|(?<=[^\w])"), lambda t: F.trim(t) != F.lit("")
+    )
+    return F.size(pieces)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    return stop / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def repetition_ratio(col: Column) -> Column:
+    """1 − (distinct tokens / tokens): high → boilerplate/spam."""
+    toks = tokens(F.lower(col))
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, some
+    stopwords, low punctuation, low repetition — the standard web-text
+    filters (C4/Gopher-style) expressed as one column program."""
+    n_tok = token_count(col).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(
+        F.least(n_tok / 10.0, F.lit(1.0))
+    )
+    stop_ok = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    rep_ok = F.lit(1.0) - repetition_ratio(col)
+    return (len_ok + stop_ok + punct_ok + rep_ok) / 4.0
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-token vote: the language whose marker set hits the most
+    tokens wins ('und' → unknown when nothing hits). Pure ``greatest`` over
+    per-language counts — one pass, no UDF."""
+    toks = tokens(F.lower(col))
+
+    def hits_in(markers):
+        # single-arg lambda (Spark HOFs dispatch on lambda arity)
+        return lambda t: t.isin(*markers)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, hits_in(markers))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens:
+    ``acc = (acc * 31 + md5_long(token)) % mod`` — reproducible in ANSI
+    SQL (DuckDB ``list_reduce``), unlike a Python ``hash``."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.pmod(md5_long(t), F.lit(mod))) % mod,
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text stats in one projection — single scan, fully codegen'd."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_subwords": subword_count(c),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+            "repetition_ratio": repetition_ratio(c),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

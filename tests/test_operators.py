@@ -1,0 +1,163 @@
+"""Unit tests for dedup / similarity / text / multimodal operators on
+tiny crafted inputs (the DuckDB oracle harness in tools/ covers them at
+sf0.01; these pin the semantics)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetector_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en", "s1"),  # near dup
+        (4, "der hund und die katze sind das beste team", "de", "s1"),
+        (5, "completely different content about spark engines", "en", "s2"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_exact_duplicates(docs):
+    out = {r.doc_id: r for r in dedup.exact_duplicates(docs).collect()}
+    assert out[1].group_size == 2 and out[2].group_size == 2
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[1].is_canonical and not out[2].is_canonical
+    assert out[3].group_size == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # 8/9 shingles shared
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = dedup.ngram_jaccard_pairs(docs, block_col="source", threshold=0.5)
+    res = {(r.id_a, r.id_b): r.jaccard_sim for r in out.collect()}
+    assert res[(1, 2)] == pytest.approx(1.0)
+    assert 0.5 <= res[(1, 3)] < 1.0
+    assert (1, 4) not in res
+
+
+def test_simhash_properties(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]  # identical text, identical signature
+    ham_near = bin(sig[1] ^ sig[3]).count("1")
+    ham_far = bin(sig[1] ^ sig[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_fnv_stable():
+    assert dedup.hash_bytes(b"abc") == dedup.hash_bytes(b"abc")
+    assert dedup.hash_bytes(b"abc") != dedup.hash_bytes(b"abd")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_bruteforce(vecs):
+    out = similarity.cosine_topk_bruteforce(vecs, vecs.filter("vec_id = 0"), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2, 3]
+    assert rows[0].cosine_sim == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5)
+    assert rows[2].cosine_sim == pytest.approx(-1.0)
+
+
+def test_embedding_near_duplicates(vecs):
+    out = similarity.embedding_near_duplicates(
+        vecs, threshold=0.9, n_planes=2, dim=3
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
+def test_lsh_ann_subset_of_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    data = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    ann = similarity.lsh_bucket_ann(df, q, k=3, n_planes=4, dim=16)
+    # every ANN result must be a genuine (query, neighbor) pair with the
+    # correct cosine — spot-check against brute force scores
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in similarity.cosine_topk_bruteforce(df, q, k=200).collect()
+    }
+    for r in ann.collect():
+        assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine_sim)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat"),
+            (2, "der hund und die katze ist gut"),
+            (3, "xyzzy qwerty asdf"),
+            (4, "a a a a a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in text.text_profile(df, "text").collect()}
+    assert prof[1].n_tokens == 9
+    assert prof[1].lang_pred == "en"
+    assert prof[2].lang_pred == "de"
+    assert prof[3].lang_pred == "und"
+    assert prof[4].repetition_ratio == pytest.approx(0.9)
+    assert prof[1].stopword_ratio > prof[3].stopword_ratio
+    assert prof[4].quality < prof[1].quality
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in df.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_multimodal_features(spark):
+    med = multimodal.synth_media(spark, 12)
+    out = multimodal.extract_features(med).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r.feature) == 8
+        assert r.n_bytes > 0
+    # deterministic: same payload → same features
+    again = multimodal.extract_features(multimodal.synth_media(spark, 12)).collect()
+    assert sorted(map(repr, out)) == sorted(map(repr, again))
+
+
+def test_multimodal_stub_raises(spark):
+    med = multimodal.synth_media(spark, 3)
+    with pytest.raises(Exception, match="codec"):
+        multimodal.extract_features(med, use_stub=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    med = multimodal.synth_media(spark, 9)
+    out = multimodal.frame_sample_plan(med, every_ms=1000).collect()
+    videos = {r.media_id for r in med.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in out} == videos
+    assert all(r.frame_ts_ms % 1000 == 0 for r in out)
