@@ -1,0 +1,282 @@
+"""spark-submit entrypoint — the engine's CLI surface.
+
+Two subcommands:
+
+* ``detect`` — reference-parity series detector, mirroring the reference
+  CLI argument surface (aml_component/invoker.py:92-163 /
+  ad_component.yaml:11-60): read a (timestamp, value[, ...]) table, run
+  the P1-P9 validation gauntlet with the reference's whole-job raise
+  semantics and exact messages, SR-detect each value column, write the
+  result. Detection runs through ``applyInPandas`` (one group per value
+  column) — the same code path the distributed engine uses.
+* ``validate`` — the web-scale engine: pages table in → verdicts,
+  violations, drift scores, manifest out (EP2 generalized per SURVEY §3).
+
+Usage:
+  spark-submit --py-files anomalydetector_spark.zip -m anomalydetector_spark.cli detect \
+      --input-path in.parquet --output-path out/ --detect-mode AnomalyAndMargin
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.kernel.sr import (
+    MIN_POINTS,
+    SrParams,
+    VALUE_LOWER_BOUND,
+    VALUE_UPPER_BOUND,
+)
+from anomalydetector_spark.operators import errors
+
+
+def _read_any(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".csv"):
+        return spark.read.option("header", True).csv(path)
+    return spark.read.parquet(path)
+
+
+def _validate_series_input(
+    df: DataFrame, ts_col: str, value_cols: list[str], batch_size: int
+) -> DataFrame:
+    """The reference's fail-fast gauntlet (invoker.py:43-82), executed as
+    ONE aggregation pass; first failing rule raises its exact message."""
+    n = df.count()
+    if n < MIN_POINTS:
+        raise Exception(errors.NOT_ENOUGH_POINTS.format(MIN_POINTS))
+    if 0 < batch_size < MIN_POINTS:
+        raise Exception(errors.INVALID_BATCH_SIZE.format(MIN_POINTS))
+    for col in [ts_col, *value_cols]:
+        if col not in df.columns:
+            raise Exception(errors.COLUMN_NOT_FOUND.format(col))
+
+    ts = F.col(ts_col).cast("string").try_cast("timestamp")
+    aggs = [F.sum(ts.isNull().cast("long")).alias("_bad_ts")]
+    for col in value_cols:
+        v = F.col(col).cast("string").try_cast("double")
+        aggs += [
+            # unparseable non-null input (reference: float() raises →
+            # InvalidValueFormat, invoker.py:71-74)
+            F.sum((F.col(col).isNotNull() & v.isNull()).cast("long")).alias(
+                f"_badfmt_{col}"
+            ),
+            # null input reads as NaN in the reference's pandas frame →
+            # the isfinite rule catches it (invoker.py:76-77)
+            F.sum(
+                F.when(F.col(col).isNull(), 1)
+                .when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), 1)
+                .otherwise(0)
+            ).alias(f"_nonfin_{col}"),
+            F.sum(
+                F.when((v < VALUE_LOWER_BOUND) | (v > VALUE_UPPER_BOUND), 1)
+                .otherwise(0)
+            ).alias(f"_oob_{col}"),
+        ]
+    stats = df.agg(*aggs).collect()[0]
+
+    if stats["_bad_ts"] > 0:
+        raise Exception(errors.INVALID_TIMESTAMPS)
+
+    # ordering/duplication along input order (invoker.py:27-35). Input
+    # order for a file directory = lexicographic file order + within-file
+    # row order (the reference's loader concatenates files in listed
+    # order); monotonically_increasing_id alone is NOT stable across a
+    # multi-file read because Spark schedules splits by size.
+    from pyspark.sql import Window
+
+    ordered = df.withColumn("_file", F.input_file_name()).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("_file", "_rid")
+    lagged = ordered.select(
+        ts.alias("_ts"), F.lag(ts).over(w).alias("_prev")
+    ).filter(F.col("_prev").isNotNull())
+    order_stats = lagged.agg(
+        F.sum((F.col("_ts") < F.col("_prev")).cast("long")).alias("desc"),
+        F.sum((F.col("_ts") == F.col("_prev")).cast("long")).alias("dup"),
+    ).collect()[0]
+    if order_stats["desc"] > 0:
+        raise Exception(errors.INVALID_SERIES_ORDER)
+    if order_stats["dup"] > 0:
+        raise Exception(errors.DUPLICATE_SERIES_TIMESTAMP)
+
+    for col in value_cols:
+        if stats[f"_badfmt_{col}"] > 0:
+            raise Exception(errors.INVALID_VALUE_FORMAT.format(col))
+        if stats[f"_nonfin_{col}"] > 0:
+            raise Exception(errors.INVALID_SERIES_VALUE.format(col))
+        if stats[f"_oob_{col}"] > 0:
+            raise Exception(errors.VALUE_OVERFLOW.format(col))
+    return df
+
+
+def _detect_columns(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    params: SrParams,
+) -> DataFrame:
+    """Melt value columns to (series_key, timestamp, value), SR-detect each
+    series in one ``applyInPandas`` shuffle, pivot results back wide with
+    reference-style ``{result}_{col}`` names (sr_detector.py:51-62).
+    Single-column inputs keep the reference's unsuffixed names."""
+    from anomalydetector_spark.drift import _make_group_fn
+
+    long = (
+        df.select(
+            F.col(ts_col).cast("string").try_cast("timestamp").alias("window_start"),
+            *[F.col(c).cast("string").try_cast("double").alias(c) for c in value_cols],
+        )
+        .unpivot(
+            ids=["window_start"],
+            values=value_cols,
+            variableColumnName="stat_name",
+            valueColumnName="value",
+        )
+        .withColumn("partition_key", F.lit("cli"))
+    )
+    from anomalydetector_spark.drift import DRIFT_MARGIN_SCHEMA, DRIFT_SCHEMA
+
+    schema = DRIFT_MARGIN_SCHEMA if params.with_margin else DRIFT_SCHEMA
+    scored = long.groupBy("partition_key", "stat_name").applyInPandas(
+        _make_group_fn(params), schema=schema
+    )
+
+    base_cols = {
+        "mag": "mag",
+        "score": "score",
+        "is_anomaly": "isAnomaly",
+    }
+    if params.with_margin:
+        base_cols.update(
+            {
+                "expected_value": "expectedValue",
+                "lower_boundary": "lowerBoundary",
+                "upper_boundary": "upperBoundary",
+            }
+        )
+
+    outs = []
+    for col in value_cols:
+        suffix = "" if len(value_cols) == 1 else f"_{col}"
+        sel = [F.col("window_start").alias("timestamp")] + [
+            F.col(src).alias(f"{dst}{suffix}") for src, dst in base_cols.items()
+        ]
+        if suffix == "":
+            sel.insert(1, F.col("value"))
+        outs.append(scored.filter(F.col("stat_name") == col).select(*sel))
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.join(o, "timestamp")
+    return result.orderBy("timestamp")
+
+
+def cmd_detect(args, spark: SparkSession) -> None:
+    df = _read_any(spark, args.input_path)
+    value_cols = [c.strip() for c in args.value_column.split(",")]
+    _validate_series_input(df, args.timestamp_column, value_cols, args.batch_size)
+    params = SrParams(
+        threshold=args.threshold,
+        sensitivity=args.sensitivity,
+        batch_size=args.batch_size,
+        with_margin=(args.detect_mode == "AnomalyAndMargin"),
+    )
+    result = _detect_columns(df, args.timestamp_column, value_cols, params)
+    if args.append_mode:
+        left = df.withColumn(
+            "timestamp",
+            F.col(args.timestamp_column).cast("string").try_cast("timestamp"),
+        )
+        dup = [c for c in result.columns if c in left.columns and c != "timestamp"]
+        result = left.join(result.drop(*dup), "timestamp")
+    result.write.mode("overwrite").parquet(args.output_path)
+    print(f"wrote {args.output_path}")
+
+
+def cmd_validate(args, spark: SparkSession) -> None:
+    from anomalydetector_spark import manifest as M
+    from anomalydetector_spark.engine import ValidationConfig, run_validation
+
+    pages = spark.read.parquet(args.input_path)
+    domains = spark.read.parquet(args.domains) if args.domains else None
+    cfg = ValidationConfig(
+        window_duration=args.window,
+        partition_by=args.partition_by,
+        sr=SrParams(threshold=args.threshold, sensitivity=args.sensitivity),
+    )
+    t0 = time.time()
+    res = run_validation(pages, domains, cfg)
+
+    out = args.output_path.rstrip("/")
+    res.violations.write.mode("overwrite").parquet(f"{out}/violations")
+    res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
+    res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
+
+    snapshot = M.snapshot_id_for_path(args.input_path)
+    if args.manifest:
+        merged = M.run_with_resume(spark, res.verdicts, snapshot, args.manifest)
+        merged.write.mode("overwrite").parquet(f"{out}/verdicts")
+    else:
+        res.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    n = pages.count()
+    dt = time.time() - t0
+    print(
+        f"validated {n} docs in {dt:.1f}s ({n / dt:.0f} docs/sec); "
+        f"snapshot={snapshot}; outputs under {out}/"
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="anomalydetector_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="reference-parity series detection")
+    d.add_argument("--input-path", required=True)
+    d.add_argument("--output-path", required=True)
+    d.add_argument(
+        "--detect-mode",
+        choices=["AnomalyOnly", "AnomalyAndMargin"],
+        default="AnomalyOnly",
+    )
+    d.add_argument("--timestamp-column", default="timestamp")
+    d.add_argument("--value-column", default="value",
+                   help="comma-separated for multi-column")
+    d.add_argument("--batch-size", type=int, default=2000)
+    d.add_argument("--threshold", type=float, default=0.3)
+    d.add_argument("--sensitivity", type=float, default=99)
+    d.add_argument("--append-mode", action="store_true")
+
+    v = sub.add_parser("validate", help="web-scale pages validation")
+    v.add_argument("--input-path", required=True)
+    v.add_argument("--output-path", required=True)
+    v.add_argument("--domains", default=None)
+    v.add_argument("--manifest", default=None)
+    v.add_argument("--window", default="1 day")
+    v.add_argument("--partition-by", default=None)
+    v.add_argument("--threshold", type=float, default=0.3)
+    v.add_argument("--sensitivity", type=float, default=99)
+
+    args = parser.parse_args(argv)
+    from anomalydetector_spark.session import get_spark
+
+    spark = get_spark("anomalydetector_spark.cli")
+    try:
+        if args.cmd == "detect":
+            cmd_detect(args, spark)
+        else:
+            cmd_validate(args, spark)
+    except Exception as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        raise
+
+
+if __name__ == "__main__":
+    main()

@@ -126,31 +126,37 @@ def generate_pages(
         ),
     )
 
+    # one 64-bit digest of the url; all content derives from it (still a
+    # pure function of the url — the byte-identity invariant holds — but
+    # ~100 downstream hash calls per row hash 8 bytes instead of a ~60-char
+    # string, which dominates generation cost at millions of rows)
+    df = df.withColumn("_uh", _h("url"))
+
     # --- warc_ts: window start + hash-jitter within the window
     df = df.withColumn(
         "warc_ts",
         F.to_timestamp(F.lit(start_ts))
         + F.make_interval(hours=F.col("wid") * window_hours)
-        + F.make_interval(secs=_pm(_h("url"), window_hours * 3600).cast("double")),
+        + F.make_interval(secs=_pm(F.col("_uh"), window_hours * 3600).cast("double")),
     )
 
     # --- body text: words drawn by hash from a fixed vocabulary; length
     #     distribution shifts upward inside LEN_WIN (quantile drift)
     words = F.array(*[F.lit(w) for w in _WORDS])
     n_words = F.when(
-        F.col("wid") == LEN_WIN, 150 + _pm(_h("url", F.lit("len2")), 200)
-    ).otherwise(20 + _pm(_h("url", F.lit("len")), 60))
+        F.col("wid") == LEN_WIN, 150 + _pm(_h("_uh", F.lit("len2")), 200)
+    ).otherwise(20 + _pm(_h("_uh", F.lit("len")), 60))
     body = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(words, (_pm(_h(F.col("url"), i), len(_WORDS)) + 1).cast("int")),
+            lambda i: F.element_at(words, (_pm(_h(F.col("_uh"), i), len(_WORDS)) + 1).cast("int")),
         ),
     )
     df = df.withColumn("body", body)
 
     # --- lang: categorical histogram, proportions shift inside LANG_WIN
-    lang_roll = _pm(_h("url", s, F.lit("lang")), 100)
+    lang_roll = _pm(_h("_uh", s, F.lit("lang")), 100)
     base_lang = (
         F.when(lang_roll < 60, "en")
         .when(lang_roll < 75, "de")
@@ -174,7 +180,7 @@ def generate_pages(
     html_str = F.concat(
         F.lit("<html><body><p>"), F.col("body"), F.lit("</p></body></html>")
     )
-    null_roll = _pm(_h("url", s, F.lit("null")), 100)
+    null_roll = _pm(_h("_uh", s, F.lit("null")), 100)
     text = F.when(
         (F.col("wid") == NULL_WIN) & (null_roll < 15), F.lit(None).cast("string")
     ).otherwise(F.col("body"))

@@ -65,10 +65,52 @@ def run_validation(
     C.validate_batch_size(cfg.batch_size, cfg.min_points)
     part = cfg.partition_by
 
+    # Fused cheap-check pass (SURVEY §4 item 2: one scan for all simple
+    # per-partition stats): count + null-count ride ONE aggregation; the
+    # per-partition result is tiny, so persisting it makes every verdict
+    # frame derived from it free.
+    p = C._part(pages, part)
+    base = (
+        p.groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).alias("rows_scanned"),
+            F.sum(F.col("warc_ts").isNull().cast("long")).alias("_null_ts"),
+        )
+        .persist()
+    )
+    from anomalydetector_spark.operators import errors as E
+
+    min_rows_verdicts = base.select(
+        F.lit("min_row_count").alias("check_name"),
+        "partition_key",
+        (F.col("rows_scanned") >= cfg.min_points).alias("passed"),
+        F.when(
+            F.col("rows_scanned") < cfg.min_points,
+            F.lit(E.NOT_ENOUGH_POINTS.format(cfg.min_points)),
+        ).alias("error_message"),
+        F.when(F.col("rows_scanned") < cfg.min_points, F.col("rows_scanned"))
+        .otherwise(F.lit(0))
+        .alias("violation_count"),
+        "rows_scanned",
+    )
+    not_null_verdicts = base.select(
+        F.lit("not_null_warc_ts").alias("check_name"),
+        "partition_key",
+        (F.col("_null_ts") == 0).alias("passed"),
+        F.when(F.col("_null_ts") > 0, F.lit(E.INVALID_TIMESTAMPS)).alias(
+            "error_message"
+        ),
+        F.col("_null_ts").alias("violation_count"),
+        "rows_scanned",
+    )
+    null_ts_violations = p.filter(F.col("warc_ts").isNull()).select(
+        F.lit("not_null_warc_ts").alias("check_name"), "partition_key", "url"
+    )
+
     results: list[C.CheckResult] = [
         C.check_column_presence(pages, PAGES_COLUMNS),
-        C.check_min_rows(pages, part, cfg.min_points),
-        C.check_not_null(pages, "warc_ts", part, keep=["url"]),
+        C.CheckResult(min_rows_verdicts),
+        C.CheckResult(not_null_verdicts, null_ts_violations),
         check_unique_key(pages, cfg.unique_key, part),
     ]
     if domains is not None:
@@ -87,13 +129,16 @@ def run_validation(
         [r.violations for r in results if r.violations is not None]
     )
 
+    # the stat series is windows × partitions × stats rows — persist so
+    # the scoring pass and any verdict/inspection action reuse one scan
+    # of the (large) pages table instead of re-aggregating per action
     stat_series = compute_window_stats(
         pages,
         window_duration=cfg.window_duration,
         partition_by=part,
         langs=cfg.langs,
-    )
-    scored = score_drift(stat_series, cfg.sr)
+    ).persist()
+    scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)
 
     return ValidationResult(verdicts, violations, stat_series, scored, dverdicts)

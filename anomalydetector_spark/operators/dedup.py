@@ -77,11 +77,32 @@ def minhash_lsh_candidates(
     deduped with ``a < b``.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), k_shingle), n_hashes).alias(
-            "_sig"
-        ),
+    # explode → per-shingle hashes → groupBy(min): the shingle array is
+    # computed ONCE per doc (a single nested-expression signature column
+    # would be inlined n_hashes times by CollapseProject, exploding
+    # codegen size), and the mins partial-aggregate map-side so the
+    # shuffle carries one row per (doc × partition), not per shingle.
+    # spread the hash-heavy stage across the cluster even when the input
+    # is a handful of files (a real 100-TB scan is already thousands of
+    # splits; repartition() here is a no-op cost next to 16 md5/shingle)
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    exploded = df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(
+        n_parts
+    ).select(
+        "_id",
+        F.explode(word_shingles(F.col(text_col), k_shingle)).alias("_s"),
+    )
+    hashed = exploded.select(
+        "_id",
+        *[
+            md5_long(F.concat(F.lit(f"{i}|"), F.col("_s"))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)]
     )
     banded = sig.select(
         "_id",
@@ -93,9 +114,7 @@ def minhash_lsh_candidates(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("_sig", b * rows_per_band + r + 1).cast(
-                                    "string"
-                                )
+                                F.col(f"_h{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("band_sig"),

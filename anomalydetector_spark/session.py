@@ -42,10 +42,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local-mode shuffle files go through spark.local.dir; the sandbox's
+    # virtual disk throttles after sustained writes, so prefer tmpfs when
+    # it exists (a real cluster uses its own local SSDs — this knob is
+    # sandbox-only and overridable via SPARK_LOCAL_DIRS)
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -19,7 +19,7 @@ Column pruning matters at 100 TB: this pass never touches ``html`` binary
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LANGS = ("en", "de", "fr", "zh", "es")
@@ -54,12 +54,18 @@ def compute_window_stats(
         else (F.col(partition_by) if isinstance(partition_by, str) else partition_by)
     )
 
-    text_len = F.length("text")
+    # Quantiles deliberately do NOT use percentile_approx here: a
+    # TypedImperativeAggregate in the shared agg forces the whole pass
+    # onto ObjectHashAggregate (no whole-stage codegen) — measured 10×
+    # slower at 4M rows. Text lengths are bounded ints, so EXACT quantiles
+    # come cheaper from a two-phase length histogram:
+    #   groupBy(window, partition, len).count  (codegen hash agg)
+    #   → cumulative count over len → inverse-CDF lookup.
+    # The histogram is O(windows × partitions × distinct lengths) rows —
+    # tiny — and both phases stay in codegen.
     aggs = [
         F.count(F.lit(1)).cast("double").alias("doc_count"),
         F.avg(F.col("text").isNull().cast("double")).alias("null_rate"),
-        F.percentile_approx(text_len, 0.5, 2000).cast("double").alias("len_p50"),
-        F.percentile_approx(text_len, 0.95, 2000).cast("double").alias("len_p95"),
         F.approx_count_distinct("url").cast("double").alias("approx_distinct_url"),
     ]
     for lang in langs:
@@ -67,12 +73,46 @@ def compute_window_stats(
             F.avg((F.col("lang") == lang).cast("double")).alias(f"lang_frac_{lang}")
         )
 
+    keyed = pages.withColumn("partition_key", part).withColumn(
+        "w", F.window(F.col(ts_col), window_duration)
+    )
     wide = (
-        pages.withColumn("partition_key", part)
-        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "partition_key")
+        keyed.groupBy("w", "partition_key")
         .agg(*aggs)
         .withColumn("window_start", F.col("w.start"))
         .drop("w")
+    )
+
+    hist = (
+        keyed.filter(F.col("text").isNotNull())
+        .groupBy("w", "partition_key", F.length("text").alias("_len"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cum_w = (
+        Window.partitionBy("w", "partition_key")
+        .orderBy("_len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("w", "partition_key")
+    cum = hist.withColumn("_cum", F.sum("_n").over(cum_w)).withColumn(
+        "_tot", F.sum("_n").over(tot_w)
+    )
+    quants = (
+        cum.groupBy("w", "partition_key")
+        .agg(
+            F.min(
+                F.when(F.col("_cum") >= F.ceil(F.col("_tot") * 0.5), F.col("_len"))
+            ).cast("double").alias("len_p50"),
+            F.min(
+                F.when(F.col("_cum") >= F.ceil(F.col("_tot") * 0.95), F.col("_len"))
+            ).cast("double").alias("len_p95"),
+        )
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+    wide = wide.join(quants, ["partition_key", "window_start"], "left").fillna(
+        {"len_p50": 0.0, "len_p95": 0.0}
     )
 
     stat_cols = [c for c in wide.columns if c not in ("partition_key", "window_start")]

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline operations at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+* pages_validate — the flagship: generate a synthetic pages table
+  (rows ∝ sf) and run the FULL validation engine (hard checks + salted
+  uniqueness + referential + stats pass + SR drift); docs/sec derives
+  from this.
+* drift_events / stats_events — stats pass + SR scoring on the events
+  table.
+* uniqueness_lineitem — two-phase salted duplicate counting, 600k rows.
+* dedup_minhash_docs — shingle → 16 minhashes → banded LSH self-join.
+* embedding_topk — brute-force cosine top-k.
+* text_profile_docs — full JVM-side text analysis pass.
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": <sf>, "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def materialize(df) -> int:
+    """Force full execution; noop sink avoids disk in the timing."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    pages_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", int(2_000_000 * sf_num)))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from anomalydetector_spark.session import get_spark
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.engine import ValidationConfig, run_validation
+    from anomalydetector_spark.operators.dedup import minhash_lsh_candidates
+    from anomalydetector_spark.operators.text import text_profile
+    from anomalydetector_spark.operators.similarity import cosine_topk_bruteforce
+    from anomalydetector_spark.operators.uniqueness import duplicate_key_counts
+    import __spark_entry__ as entry
+    import pyspark.sql.functions as F
+
+    spark = get_spark("bench", cores=cpus)
+    # warm the JVM + python workers so the first timed query isn't paying
+    # startup cost
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
+    def timed(name, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full validation engine over a synthetic pages table.
+    # Cache + count first: generation stands in for the input scan, and
+    # docs/sec should measure VALIDATION, not synthesis.
+    pages = datagen.generate_pages(spark, pages_rows).cache()
+    pages.count()
+    domains = datagen.domains_dim(spark)
+
+    def run_pages():
+        res = run_validation(pages, domains, ValidationConfig())
+        res.verdicts.collect()
+        materialize(res.violations)
+        res.drift_verdicts.collect()
+        res.stat_series.unpersist()
+        res.drift_scored.unpersist()
+
+    if os.environ.get("SPARK_GRAFT_WARMUP", "0") == "1":
+        # steady-state measurement: first run pays JIT + Python-worker
+        # startup; scaling evidence should compare warm throughput
+        run_pages()
+    timed("pages_validate", run_pages)
+
+    timed(
+        "drift_events",
+        lambda: entry.q_sr_drift_events(spark, sf_dir).collect(),
+    )
+    timed(
+        "stats_events",
+        lambda: entry.q_stats_pass_events(spark, sf_dir).collect(),
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "uniqueness_lineitem",
+        lambda: materialize(duplicate_key_counts(li, "l_orderkey")),
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "dedup_minhash_docs",
+        lambda: materialize(minhash_lsh_candidates(docs)),
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "embedding_topk",
+        lambda: materialize(
+            cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+        ),
+    )
+
+    timed("text_profile_docs", lambda: materialize(text_profile(docs)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = (
+        round(pages_rows / timings["pages_validate"], 1)
+        if "pages_validate" in timings
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "pages_rows": pages_rows,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Dump formatted physical plans for the engine's key operators and
+assert the plan properties that matter at 100 TB:
+
+* stats pass never reads ``html`` (ReadSchema pruning),
+* referential + duplicate-violation joins go broadcast,
+* stats aggregation has a partial (map-side) aggregate before the shuffle,
+* filters on the scan are pushed (PushedFilters).
+
+Run: python tools/explain_plans.py  (prints plans + PASS/FAIL per property)
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}" + (f"  ({detail})" if detail else ""))
+    return ok
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from anomalydetector_spark.session import get_spark
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.stats import compute_window_stats
+    from anomalydetector_spark.operators.referential import check_referential
+    from anomalydetector_spark.operators.uniqueness import check_unique_key
+
+    spark = get_spark("explain", cores=8)
+
+    # use a parquet-backed pages table so scan pruning is observable
+    path = "/tmp/explain_pages.parquet"
+    datagen.generate_pages(spark, 20_000).write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    domains = datagen.domains_dim(spark)
+
+    ok = True
+
+    stats_plan = plan_of(compute_window_stats(pages))
+    ok &= check(
+        "stats pass prunes html from the scan",
+        "html" not in stats_plan.split("ReadSchema")[1].split("\n")[0]
+        if "ReadSchema" in stats_plan
+        else False,
+        "ReadSchema excludes html binary",
+    )
+    ok &= check(
+        "stats pass partial-aggregates before shuffle",
+        "partial" in stats_plan.lower(),
+    )
+
+    ref_plan = plan_of(
+        check_referential(pages, "domain", domains, "domain").violations
+    )
+    ok &= check("referential violations use broadcast join",
+                "Broadcast" in ref_plan)
+
+    uniq_plan = plan_of(check_unique_key(pages, "url").violations)
+    ok &= check("duplicate-violation join is broadcast", "Broadcast" in uniq_plan)
+
+    filt_plan = plan_of(
+        pages.filter(F.col("lang") == "en").select("url", "lang")
+    )
+    ok &= check(
+        "filter pushes to parquet scan",
+        "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in filt_plan
+        or "PushedFilters" in filt_plan and "lang" in filt_plan,
+    )
+
+    print()
+    print("=== stats pass plan ===")
+    print(stats_plan[:4000])
+    print("=== uniqueness violations plan ===")
+    print(uniq_plan[:3000])
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency ≥ 0.8
+from N to 4N executors).
+
+No real cluster exists in the sandbox, so — per the task directive — the
+SAME validation job runs at two parallelism levels (local[8] = N,
+local[32] = 4N) in separate JVMs over the SAME input table:
+
+1. a synthetic pages table (hot-domain skew + all violation regimes) is
+   generated ONCE and written to parquet on tmpfs — input preparation is
+   not part of the measured job, just like a production table scan;
+2. each measured run reads that parquet cold and executes the full
+   validation engine: fused hard checks, salted two-phase uniqueness,
+   broadcast referential, single-scan window stats, SR drift scoring,
+   violation materialization;
+3. efficiency = (T_N / T_4N) / 4 over best-of-reps.
+
+Results land in BENCH.md. Usage:
+    python tools/scaling_bench.py [pages_rows] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAGES_PATH = "/dev/shm/scaling_pages.parquet"
+
+RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from anomalydetector_spark.session import get_spark
+from anomalydetector_spark import datagen
+from anomalydetector_spark.engine import ValidationConfig, run_validation
+
+spark = get_spark("scaling", cores={cores})
+pages = spark.read.parquet({path!r})
+domains = datagen.domains_dim(spark)
+t0 = time.perf_counter()
+res = run_validation(pages, domains, ValidationConfig())
+res.verdicts.collect()
+res.violations.write.format("noop").mode("overwrite").save()
+res.drift_verdicts.collect()
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"sec": round(dt, 2)}}))
+"""
+
+
+def prepare(rows: int) -> None:
+    snippet = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from anomalydetector_spark.session import get_spark
+from anomalydetector_spark import datagen
+spark = get_spark("prep", cores=32)
+datagen.generate_pages(spark, {rows}).write.mode("overwrite").parquet({PAGES_PATH!r})
+print("prepared")
+"""
+    subprocess.run(
+        [sys.executable, "-c", snippet], check=True, timeout=3600,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def run_once(cores: int) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET.format(repo=REPO, cores=cores,
+                                                  path=PAGES_PATH)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])["sec"]
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def main():
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    print(f"preparing {rows:,}-row pages table …", flush=True)
+    prepare(rows)
+
+    # the sandbox host steals CPU in bursts (shared tenancy), so reps are
+    # INTERLEAVED across configs and the per-config minimum is reported —
+    # the min reflects true capability, and interleaving decorrelates the
+    # two configs from any one steal burst
+    raw: dict[int, list[float]] = {8: [], 32: []}
+    for i in range(reps):
+        for cores in (8, 32):
+            sec = run_once(cores)
+            raw[cores].append(sec)
+            print(f"rep {i} local[{cores}]: {sec}s", flush=True)
+
+    results = {}
+    for cores in (8, 32):
+        best = min(raw[cores])
+        results[cores] = {
+            "times": raw[cores],
+            "best_sec": best,
+            "docs_per_sec": round(rows / best, 1),
+        }
+        print(f"local[{cores}]: best {best}s "
+              f"({results[cores]['docs_per_sec']} docs/sec)", flush=True)
+
+    t8, t32 = results[8]["best_sec"], results[32]["best_sec"]
+    speedup = t8 / t32
+    eff = speedup / 4.0
+    print(f"speedup {speedup:.2f}x, efficiency {eff:.2f}")
+
+    md = f"""# BENCH — scaling evidence (N → 4N parallelism)
+
+The north rule requires throughput scaling efficiency ≥ 0.8 between N and
+4N executors. The sandbox has no cluster, so per the task directive the
+same validation job — the full engine (fused hard checks, salted
+two-phase uniqueness on url, broadcast referential, single-scan window
+stats, SR drift via ``applyInPandas``, violation materialization) — runs
+at two parallelism levels in separate JVMs over the same
+{rows:,}-row synthetic pages parquet (hot-domain-skewed, all violation
+regimes active). Input preparation is excluded (a production run scans an
+existing table); each measured run starts from a cold read of the parquet.
+
+| parallelism | wall sec (best of {reps}) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {t8:.1f} | {results[8]['docs_per_sec']:,} |
+| local[32] (4N) | {t32:.1f} | {results[32]['docs_per_sec']:,} |
+
+**speedup {speedup:.2f}× → scaling efficiency {eff:.2f}** (target ≥ 0.8)
+
+All runs (sec): {json.dumps({str(k): v['times'] for k, v in results.items()})}
+
+Reproduce: `python tools/scaling_bench.py {rows} {reps}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
