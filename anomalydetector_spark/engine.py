@@ -7,8 +7,10 @@ sink), restructured for Spark:
 * the all-or-nothing ``raise`` becomes per-partition verdict rows,
 * the per-column Python loop becomes one long-format stats pass + one
   ``applyInPandas`` drift stage,
-* every hard check is a declarative DataFrame program; Catalyst shares the
-  scan where possible and AQE handles stragglers.
+* the whole verdict suite is compiled onto TWO shared scans of the input
+  (plans/fused.py): a counts cube and a salted url profile — every
+  verdict frame and every stat series is a rollup of one of them, so
+  adding a check never adds a scan.
 
 The runner itself never calls ``.collect()`` on data-sized frames — only
 verdict/stat frames (bounded by partitions × checks) are ever gathered.
@@ -25,9 +27,9 @@ from pyspark.sql import functions as F
 from anomalydetector_spark.drift import drift_verdicts, score_drift
 from anomalydetector_spark.kernel.sr import SrParams
 from anomalydetector_spark.operators import checks as C
-from anomalydetector_spark.operators.referential import check_referential
-from anomalydetector_spark.operators.uniqueness import check_unique_key
-from anomalydetector_spark.stats import compute_window_stats
+from anomalydetector_spark.operators import errors as E
+from anomalydetector_spark.plans import fused
+from anomalydetector_spark.stats import compute_window_stats  # noqa: F401 (public API)
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
@@ -50,6 +52,11 @@ class ValidationResult:
     stat_series: DataFrame  # long-format per-window stats
     drift_scored: DataFrame  # SR-scored stat series
     drift_verdicts: DataFrame  # per-(partition, stat) pass/fail
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def _union(frames: list[DataFrame]) -> DataFrame:
@@ -63,24 +70,24 @@ def run_validation(
 ) -> ValidationResult:
     cfg = config or ValidationConfig()
     C.validate_batch_size(cfg.batch_size, cfg.min_points)
-    part = cfg.partition_by
 
-    # Fused cheap-check pass (SURVEY §4 item 2: one scan for all simple
-    # per-partition stats): count + null-count ride ONE aggregation; the
-    # per-partition result is tiny, so persisting it makes every verdict
-    # frame derived from it free.
-    p = C._part(pages, part)
-    base = (
-        p.groupBy("partition_key")
-        .agg(
-            F.count(F.lit(1)).alias("rows_scanned"),
-            F.sum(F.col("warc_ts").isNull().cast("long")).alias("_null_ts"),
+    keyed = fused.keyed_input(pages, cfg.window_duration, cfg.partition_by)
+    if domains is not None and "domain" not in pages.columns:
+        keyed = keyed.withColumn(
+            "domain", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
         )
-        .persist()
-    )
-    from anomalydetector_spark.operators import errors as E
 
-    min_rows_verdicts = base.select(
+    scans = fused.build_fused_scans(
+        keyed, ref_dim=domains, unique_key=cfg.unique_key
+    )
+    cube = scans.cube.persist()
+    profile = scans.profile.persist()
+
+    # per-partition scalars — every cheap verdict is a projection of this
+    # one tiny frame (the cube rollup), evaluated once per action at most
+    roll = fused.partition_rollup(cube)
+
+    min_rows_verdicts = roll.select(
         F.lit("min_row_count").alias("check_name"),
         "partition_key",
         (F.col("rows_scanned") >= cfg.min_points).alias("passed"),
@@ -93,52 +100,74 @@ def run_validation(
         .alias("violation_count"),
         "rows_scanned",
     )
-    not_null_verdicts = base.select(
-        F.lit("not_null_warc_ts").alias("check_name"),
-        "partition_key",
-        (F.col("_null_ts") == 0).alias("passed"),
-        F.when(F.col("_null_ts") > 0, F.lit(E.INVALID_TIMESTAMPS)).alias(
-            "error_message"
-        ),
-        F.col("_null_ts").alias("violation_count"),
-        "rows_scanned",
-    )
-    null_ts_violations = p.filter(F.col("warc_ts").isNull()).select(
-        F.lit("not_null_warc_ts").alias("check_name"), "partition_key", "url"
+    not_null_verdicts = C._verdict_from_violation_count(
+        roll.withColumn("violation_count", F.col("null_ts")),
+        "not_null_warc_ts",
+        E.INVALID_TIMESTAMPS,
     )
 
-    results: list[C.CheckResult] = [
-        C.check_column_presence(pages, PAGES_COLUMNS),
-        C.CheckResult(min_rows_verdicts),
-        C.CheckResult(not_null_verdicts, null_ts_violations),
-        check_unique_key(pages, cfg.unique_key, part),
+    uniq_name = f"unique_{cfg.unique_key}"
+    dup_counts = fused.per_partition_dup_counts(profile)
+    uniq_verdicts = C._verdict_from_violation_count(
+        roll.select("partition_key", "rows_scanned")
+        .join(dup_counts, "partition_key", "left")
+        .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0))),
+        uniq_name,
+        E.DUPLICATE_KEY.format(cfg.unique_key),
+    )
+
+    verdict_frames = [
+        C.check_column_presence(pages, PAGES_COLUMNS).verdicts,
+        min_rows_verdicts,
+        not_null_verdicts,
+        uniq_verdicts,
     ]
     if domains is not None:
-        dom_col = (
-            F.col("domain")
-            if "domain" in pages.columns
-            else F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("domain")
-        )
-        child = pages.withColumn("domain", dom_col)
-        results.append(
-            check_referential(child, "domain", domains, "domain", part, keep=["url"])
+        verdict_frames.append(
+            C._verdict_from_violation_count(
+                roll.withColumn("violation_count", F.col("dangling")),
+                "ref_domain",
+                E.DANGLING_REFERENCE.format("domain", "domain"),
+            )
         )
 
-    verdicts = _union([r.verdicts for r in results])
-    violations = _union(
-        [r.violations for r in results if r.violations is not None]
+    # violation ROWS must come from the input — extraction is inherent,
+    # but it lives in its own DAG, materialized only when the caller sinks
+    # violations (and the duplicate-key set rides a broadcast)
+    dups = fused.dup_keys_from_profile(profile)
+    violation_frames = [
+        keyed.filter(F.col("warc_ts").isNull()).select(
+            F.lit("not_null_warc_ts").alias("check_name"), "partition_key", "url"
+        ),
+        keyed.join(
+            F.broadcast(dups),
+            keyed[cfg.unique_key] == dups["key"],
+            "left_semi",
+        ).select(
+            F.lit(uniq_name).alias("check_name"), "partition_key", cfg.unique_key
+        ),
+    ]
+    if domains is not None:
+        dim = F.broadcast(domains.select("domain").distinct())
+        violation_frames.append(
+            keyed.filter(F.col("domain").isNotNull())
+            .join(dim, "domain", "left_anti")
+            .select(F.lit("ref_domain").alias("check_name"), "partition_key", "url")
+        )
+
+    stat_series = (
+        fused.stats_from_cube(cube, langs=cfg.langs)
+        .unionByName(fused.distinct_series_from_profile(profile))
+        .persist()
     )
-
-    # the stat series is windows × partitions × stats rows — persist so
-    # the scoring pass and any verdict/inspection action reuse one scan
-    # of the (large) pages table instead of re-aggregating per action
-    stat_series = compute_window_stats(
-        pages,
-        window_duration=cfg.window_duration,
-        partition_by=part,
-        langs=cfg.langs,
-    ).persist()
     scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)
 
-    return ValidationResult(verdicts, violations, stat_series, scored, dverdicts)
+    return ValidationResult(
+        verdicts=_union(verdict_frames),
+        violations=_union(violation_frames),
+        stat_series=stat_series,
+        drift_scored=scored,
+        drift_verdicts=dverdicts,
+        cached=[cube, profile, stat_series, scored],
+    )

@@ -41,7 +41,7 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = 0.1
-    pages_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", int(2_000_000 * sf_num)))
+    pages_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", int(10_000_000 * sf_num)))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from anomalydetector_spark.session import get_spark
@@ -83,12 +83,14 @@ def main() -> None:
         res.verdicts.collect()
         materialize(res.violations)
         res.drift_verdicts.collect()
-        res.stat_series.unpersist()
-        res.drift_scored.unpersist()
+        res.unpersist()
 
-    if os.environ.get("SPARK_GRAFT_WARMUP", "0") == "1":
-        # steady-state measurement: first run pays JIT + Python-worker
-        # startup; scaling evidence should compare warm throughput
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+        # steady-state measurement (default): the first run pays one-time
+        # JVM JIT + codegen-compile + Python-worker startup, which at
+        # bench scale rivals the real work; a 1000-executor cluster
+        # amortizes that over vastly more data, so warm throughput is the
+        # scale-relevant number. Set SPARK_GRAFT_WARMUP=0 for cold runs.
         run_pages()
     timed("pages_validate", run_pages)
 

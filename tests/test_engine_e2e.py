@@ -46,7 +46,7 @@ def test_run_validation_end_to_end(spark, pages):
     assert flagged["len_p95"] == _win_start(truth["len_window"])
     assert flagged["lang_frac_zh"] == _win_start(truth["lang_window"])
     assert flagged["lang_frac_en"] == _win_start(truth["lang_window"])
-    assert flagged["approx_distinct_url"] == _win_start(truth["dup_window"])
+    assert flagged["distinct_url"] == _win_start(truth["dup_window"])
     # stable stats stay clean
     assert dv["doc_count"].verdict == "pass"
     assert dv["lang_frac_de"].verdict == "pass"
