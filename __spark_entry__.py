@@ -38,6 +38,7 @@ from anomalydetector_spark.operators.dedup import (
 from anomalydetector_spark.operators.referential import check_referential
 from anomalydetector_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    ivf_ann,
     lsh_bucket_ann,
 )
 from anomalydetector_spark.operators.uniqueness import duplicate_key_counts
@@ -357,6 +358,15 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return lsh_bucket_ann(emb, queries, k=5, n_planes=6, dim=64)
 
 
+def q_embedding_ann_ivf(spark, sf_dir):
+    """IVF ANN: driver-trained coarse quantizer + Arrow-batched cell
+    assignment + cell equi-join probe (approximate candidate set →
+    rows-only; cosine values themselves are exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann(emb, queries, k=5, n_cells=8, nprobe=3, seed=42)
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -470,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "token_counts": q_token_counts,
         "quality_profile": q_quality_profile,
         "lang_id_agreement": q_lang_id_agreement,

@@ -112,7 +112,17 @@ def fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
     )
 
 
-def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fast_fingerprint(col: Column) -> Column:
+    """One-hash-per-document fingerprint over normalized tokens — the
+    100-TB path (xxhash64 is a single JVM call per row; the per-token
+    rolling hash in :func:`fingerprint` costs one md5 per token and exists
+    for its ANSI-SQL reproducibility)."""
+    return F.xxhash64(F.concat_ws(" ", tokens(F.lower(col))))
+
+
+def text_profile(
+    df: DataFrame, text_col: str = "text", rolling_fingerprint: bool = False
+) -> DataFrame:
     """All text stats in one projection — single scan, fully codegen'd."""
     c = F.col(text_col)
     return df.withColumns(
@@ -124,6 +134,8 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "repetition_ratio": repetition_ratio(c),
             "quality": quality_score(c),
             "lang_pred": lang_id(c),
-            "fingerprint": fingerprint(c),
+            "fingerprint": fingerprint(c)
+            if rolling_fingerprint
+            else fast_fingerprint(c),
         }
     )

@@ -1,0 +1,22 @@
+"""Structured Streaming surface of the validation engine.
+
+The reference is batch-only (SURVEY.md §2.6: no streaming anywhere), but
+a continuously-crawled pages table is naturally a stream; this package
+re-expresses the engine's stats→SR pipeline as two chained streaming
+stages (storage-chained, because Spark restricts arbitrary stateful-op
+chaining inside one query):
+
+1. :func:`streaming_window_stats` — watermarked tumbling-window stats
+   (built-in windowed aggregation; late data handled by the watermark),
+2. :func:`sr_score_stream` — stateful SR scoring with
+   ``applyInPandasWithState``: per (partition, stat) the state carries the
+   full window series seen so far, and each new finalized window is
+   scored against that history with the reference SR kernel.
+"""
+
+from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
+    SCORED_SCHEMA,
+    STAT_STATE_SCHEMA,
+    sr_score_stream,
+    streaming_window_stats,
+)

@@ -64,12 +64,19 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     def timed(name, fn):
+        # min-of-reps: the sandbox host steals CPU in bursts, so a single
+        # sample can be 2-4x off; the minimum is the least-contended run
         if only and name not in only:
             return
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # flagship: full validation engine over a synthetic pages table.
     # Cache + count first: generation stands in for the input scan, and
@@ -123,7 +130,12 @@ def main() -> None:
         ),
     )
 
-    timed("text_profile_docs", lambda: materialize(text_profile(docs)))
+    # text profiling over the (cached) pages table — documents.parquet is
+    # only ~5k rows at sf0.1, too small to measure anything but overhead
+    timed(
+        "text_profile_pages",
+        lambda: materialize(text_profile(pages.select("url", "text"))),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = (

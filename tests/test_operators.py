@@ -161,3 +161,39 @@ def test_frame_sample_plan(spark):
     videos = {r.media_id for r in med.filter("kind = 'video'").collect()}
     assert {r.media_id for r in out} == videos
     assert all(r.frame_ts_ms % 1000 == 0 for r in out)
+
+
+def test_ivf_ann_recall_and_exactness(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    data = [(i, rng.standard_normal(16).tolist()) for i in range(400)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    ann = similarity.ivf_ann(df, q, k=3, n_cells=4, nprobe=2, seed=7)
+    bf_rows = similarity.cosine_topk_bruteforce(df, q, k=400).collect()
+    bf = {(r.query_id, r.neighbor_id): r.cosine_sim for r in bf_rows}
+    top3 = {}
+    for r in bf_rows:
+        if r.rank <= 3:
+            top3.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ann.collect():
+        # cosine values must be exact (IVF approximates the candidate
+        # set, never the metric)
+        assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine_sim)
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # nprobe=2 of 4 cells must recover most true neighbors
+    hits = sum(len(got.get(qid, set()) & t3) for qid, t3 in top3.items())
+    assert hits >= 0.6 * sum(len(t3) for t3 in top3.values())
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    data = [(i, rng.standard_normal(8).tolist()) for i in range(100)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    c1 = similarity.train_ivf_centroids(df, n_cells=3, seed=5)
+    c2 = similarity.train_ivf_centroids(df, n_cells=3, seed=5)
+    assert np.allclose(c1, c2)
