@@ -74,6 +74,30 @@ def q_stats_pass_events(spark, sf_dir):
     )
 
 
+def q_stats_cube_events(spark, sf_dir):
+    """The engine's fused counts-cube stats pass (plans/fused.py) driven
+    over an events-derived pages-shaped table: ONE scan yields doc counts,
+    null rates, categorical fractions, exact inverse-CDF length quantiles;
+    the salted key profile yields exact per-window distinct counts."""
+    from anomalydetector_spark.plans import fused
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("lang"),
+    )
+    keyed = fused.keyed_input(ev, "1 day", None)
+    scans = fused.build_fused_scans(keyed, unique_key="url")
+    langs = ("click", "error", "purchase", "signup", "view")
+    series = fused.stats_from_cube(scans.cube, langs=langs).unionByName(
+        fused.distinct_series_from_profile(scans.profile)
+    )
+    return series.select(
+        "stat_name", "window_start", _r6(F.col("value")).alias("value")
+    )
+
+
 def q_min_rows_verdict(spark, sf_dir):
     """P1 min-row-count verdicts per partition (invoker.py:43-44)."""
     ev = _t(spark, sf_dir, "events")
@@ -457,6 +481,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_pass_events": q_stats_pass_events,
+        "stats_cube_events": q_stats_cube_events,
         "min_rows_verdict": q_min_rows_verdict,
         "duplicate_keys": q_duplicate_keys,
         "ascending_violations": q_ascending_violations,
@@ -527,6 +552,53 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p50_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "stats_cube_events": """
+            WITH base AS (
+                SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
+                       props AS text, event_type AS lang,
+                       CAST(user_id AS VARCHAR) AS url
+                FROM events
+            ),
+            hist AS (
+                SELECT window_start, length(text) AS len, count(*) AS n
+                FROM base WHERE text IS NOT NULL GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT window_start, len, n,
+                       sum(n) OVER (PARTITION BY window_start ORDER BY len) AS c,
+                       sum(n) OVER (PARTITION BY window_start) AS tot
+                FROM hist
+            ),
+            quants AS (
+                SELECT window_start,
+                       min(CASE WHEN c >= ceil(tot * 0.5) THEN len END) AS p50,
+                       min(CASE WHEN c >= ceil(tot * 0.95) THEN len END) AS p95
+                FROM cum GROUP BY 1
+            ),
+            wide AS (
+                SELECT window_start,
+                       count(*)::DOUBLE AS doc_count,
+                       avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate,
+                       avg(CASE WHEN lang = 'click' THEN 1.0 ELSE 0.0 END) AS f_click,
+                       avg(CASE WHEN lang = 'error' THEN 1.0 ELSE 0.0 END) AS f_error,
+                       avg(CASE WHEN lang = 'purchase' THEN 1.0 ELSE 0.0 END) AS f_purchase,
+                       avg(CASE WHEN lang = 'signup' THEN 1.0 ELSE 0.0 END) AS f_signup,
+                       avg(CASE WHEN lang = 'view' THEN 1.0 ELSE 0.0 END) AS f_view,
+                       count(DISTINCT url)::DOUBLE AS n_distinct
+                FROM base GROUP BY 1
+            ),
+            joined AS (SELECT * FROM wide LEFT JOIN quants USING (window_start))
+            SELECT 'doc_count' AS stat_name, window_start, round(doc_count, 6) AS value FROM joined
+            UNION ALL SELECT 'null_rate', window_start, round(null_rate, 6) FROM joined
+            UNION ALL SELECT 'lang_frac_click', window_start, round(f_click, 6) FROM joined
+            UNION ALL SELECT 'lang_frac_error', window_start, round(f_error, 6) FROM joined
+            UNION ALL SELECT 'lang_frac_purchase', window_start, round(f_purchase, 6) FROM joined
+            UNION ALL SELECT 'lang_frac_signup', window_start, round(f_signup, 6) FROM joined
+            UNION ALL SELECT 'lang_frac_view', window_start, round(f_view, 6) FROM joined
+            UNION ALL SELECT 'len_p50', window_start, round(coalesce(p50, 0), 6) FROM joined
+            UNION ALL SELECT 'len_p95', window_start, round(coalesce(p95, 0), 6) FROM joined
+            UNION ALL SELECT 'distinct_url', window_start, round(n_distinct, 6) FROM joined
         """,
         "min_rows_verdict": """
             SELECT 'min_row_count' AS check_name,

@@ -132,28 +132,35 @@ def run_validation(
         )
 
     # violation ROWS must come from the input — extraction is inherent,
-    # but it lives in its own DAG, materialized only when the caller sinks
-    # violations (and the duplicate-key set rides a broadcast)
-    dups = fused.dup_keys_from_profile(profile)
-    violation_frames = [
-        keyed.filter(F.col("warc_ts").isNull()).select(
-            F.lit("not_null_warc_ts").alias("check_name"), "partition_key", "url"
-        ),
-        keyed.join(
-            F.broadcast(dups),
-            keyed[cfg.unique_key] == dups["key"],
-            "left_semi",
-        ).select(
-            F.lit(uniq_name).alias("check_name"), "partition_key", cfg.unique_key
-        ),
+    # but all row-addressable checks share ONE scan: broadcast-join the
+    # (small) duplicate-key and dimension sets, tag each row with every
+    # check it violates, explode. The DAG lives apart from the verdicts
+    # and is materialized only when the caller sinks violations.
+    dups = fused.dup_keys_from_profile(profile).select(
+        F.col("key"), F.lit(True).alias("_is_dup")
+    )
+    tagged = keyed.join(
+        F.broadcast(dups), keyed[cfg.unique_key] == dups["key"], "left"
+    )
+    tags = [
+        F.when(F.col("warc_ts").isNull(), F.lit("not_null_warc_ts")),
+        F.when(F.col("_is_dup"), F.lit(uniq_name)),
     ]
     if domains is not None:
-        dim = F.broadcast(domains.select("domain").distinct())
-        violation_frames.append(
-            keyed.filter(F.col("domain").isNotNull())
-            .join(dim, "domain", "left_anti")
-            .select(F.lit("ref_domain").alias("check_name"), "partition_key", "url")
+        dim = F.broadcast(
+            domains.select("domain", F.lit(True).alias("_known")).distinct()
         )
+        tagged = tagged.join(dim, "domain", "left")
+        tags.append(
+            F.when(
+                F.col("domain").isNotNull() & F.col("_known").isNull(),
+                F.lit("ref_domain"),
+            )
+        )
+    hit = F.filter(F.array(*tags), lambda t: t.isNotNull())
+    violations = tagged.select(
+        F.explode(hit).alias("check_name"), "partition_key", cfg.unique_key
+    )
 
     stat_series = (
         fused.stats_from_cube(cube, langs=cfg.langs)
@@ -165,7 +172,7 @@ def run_validation(
 
     return ValidationResult(
         verdicts=_union(verdict_frames),
-        violations=_union(violation_frames),
+        violations=violations,
         stat_series=stat_series,
         drift_scored=scored,
         drift_verdicts=dverdicts,

@@ -82,6 +82,52 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def _resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — real impl: decode, resample to (width, height), re-encode.
+    No codecs in this container; tests use the deterministic fake below."""
+    raise NotImplementedError("image resize requires a codec library")
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake: length-scaled byte payload (area ratio), so
+    batch shapes and size accounting behave like a real resample."""
+    if payload is None:
+        return b""
+    target = max(1, int(len(payload) * min(1.0, (width * height) / (64 * 48))))
+    reps = target // max(len(payload), 1) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 24, use_stub: bool = True
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (same Arrow-batch contract
+    as :func:`extract_features`); non-image rows pass through unchanged.
+    Output schema equals the input media schema with updated dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            fn = _fake_resize if use_stub else _resize_image
+            out.loc[is_img, "payload"] = [
+                fn(p, width, height) for p in out.loc[is_img, "payload"]
+            ]
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            yield out
+
+    return media.select(
+        "media_id", "kind", "payload", "mime", "width", "height", "duration_ms"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

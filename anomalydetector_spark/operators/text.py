@@ -80,22 +80,36 @@ def quality_score(col: Column) -> Column:
     return (len_ok + stop_ok + punct_ok + rep_ok) / 4.0
 
 
-def lang_id(col: Column) -> Column:
+def _marker_map() -> Column:
+    """Literal map marker-token → array of languages claiming it (a marker
+    like 'la' belongs to several languages)."""
+    claims: dict[str, list[str]] = {}
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        for m in markers:
+            claims.setdefault(m, []).append(lang)
+    entries = []
+    for m, langs in claims.items():
+        entries.append(F.lit(m))
+        entries.append(F.array(*[F.lit(lang) for lang in langs]))
+    return F.create_map(*entries)
+
+
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Marker-token vote: the language whose marker set hits the most
-    tokens wins ('und' → unknown when nothing hits). Pure ``greatest`` over
-    per-language counts — one pass, no UDF."""
-    toks = tokens(F.lower(col))
-
-    def hits_in(markers):
-        # single-arg lambda (Spark HOFs dispatch on lambda arity)
-        return lambda t: t.isin(*markers)
-
+    tokens wins ('und' → unknown when nothing hits). One map lookup per
+    token (instead of |langs|×|markers| string compares), then a
+    ``greatest`` over per-language counts — no UDF."""
+    toks = tokens(F.lower(col)) if toks is None else toks
+    m = _marker_map()
+    votes = F.flatten(
+        F.filter(F.transform(toks, lambda t: m[t]), lambda v: v.isNotNull())
+    )
     scores = [
         F.struct(
-            F.size(F.filter(toks, hits_in(markers))).alias("hits"),
+            F.size(F.filter(votes, lambda v: v == F.lit(lang))).alias("hits"),
             F.lit(lang).alias("lang"),
         )
-        for lang, markers in sorted(LANG_MARKERS.items())
+        for lang in sorted(LANG_MARKERS)
     ]
     best = F.greatest(*scores)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
@@ -123,19 +137,47 @@ def fast_fingerprint(col: Column) -> Column:
 def text_profile(
     df: DataFrame, text_col: str = "text", rolling_fingerprint: bool = False
 ) -> DataFrame:
-    """All text stats in one projection — single scan, fully codegen'd."""
+    """All text stats in one projection — single scan, fully codegen'd.
+
+    The tokenized array is materialized ONCE as an intermediate column and
+    every derived stat reads it: Spark's subexpression elimination does
+    not reliably merge the repeated ``split`` trees across output columns,
+    and re-tokenizing per stat measurably dominates the pass (~25% wall at
+    1M docs)."""
     c = F.col(text_col)
-    return df.withColumns(
-        {
-            "n_tokens": token_count(c),
-            "n_subwords": subword_count(c),
-            "punct_ratio": punct_ratio(c),
-            "stopword_ratio": stopword_ratio(c),
-            "repetition_ratio": repetition_ratio(c),
-            "quality": quality_score(c),
-            "lang_pred": lang_id(c),
-            "fingerprint": fingerprint(c)
-            if rolling_fingerprint
-            else fast_fingerprint(c),
-        }
+    lt = F.col("_lt")
+    n_tok = F.size(lt).cast("double")
+    stop = F.size(
+        F.filter(lt, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    ) / F.greatest(F.size(lt), F.lit(1)).cast("double")
+    rep = F.lit(1.0) - F.size(F.array_distinct(lt)) / F.greatest(
+        F.size(lt), F.lit(1)
+    ).cast("double")
+    pr = punct_ratio(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(
+        F.least(n_tok / 10.0, F.lit(1.0))
+    )
+    quality = (
+        len_ok
+        + F.least(stop * 5.0, F.lit(1.0))
+        + (F.lit(1.0) - F.least(pr * 4.0, F.lit(1.0)))
+        + (F.lit(1.0) - rep)
+    ) / 4.0
+    return (
+        df.withColumn("_lt", tokens(F.lower(c)))
+        .withColumns(
+            {
+                "n_tokens": F.size(lt),
+                "n_subwords": subword_count(c),
+                "punct_ratio": pr,
+                "stopword_ratio": stop,
+                "repetition_ratio": rep,
+                "quality": quality,
+                "lang_pred": lang_id(c, toks=lt),
+                "fingerprint": fingerprint(c)
+                if rolling_fingerprint
+                else F.xxhash64(F.concat_ws(" ", lt)),
+            }
+        )
+        .drop("_lt")
     )

@@ -197,3 +197,20 @@ def test_ivf_centroids_deterministic(spark):
     c1 = similarity.train_ivf_centroids(df, n_cells=3, seed=5)
     c2 = similarity.train_ivf_centroids(df, n_cells=3, seed=5)
     assert np.allclose(c1, c2)
+
+
+def test_multimodal_resize(spark):
+    med = multimodal.synth_media(spark, 12)
+    out = {r.media_id: r for r in multimodal.resize_images(med, 32, 24).collect()}
+    orig = {r.media_id: r for r in med.collect()}
+    for mid, r in out.items():
+        if r.kind == "image":
+            assert (r.width, r.height) == (32, 24)
+            assert len(r.payload) < len(orig[mid].payload)
+        else:
+            assert r.payload == bytes(orig[mid].payload)
+            assert r.width == orig[mid].width
+    # un-stubbed path marks where a real codec goes
+    import pytest as _pt
+    with _pt.raises(Exception):
+        multimodal.resize_images(med, use_stub=False).filter("kind='image'").collect()
