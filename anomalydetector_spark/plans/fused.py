@@ -44,6 +44,38 @@ from pyspark.sql import functions as F
 
 DEFAULT_LANGS = ("en", "de", "fr", "zh", "es")
 
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def duration_seconds(duration: str) -> int:
+    """Parse ``'1 day'`` / ``'6 hours'`` style tumbling-window durations."""
+    n, unit = duration.strip().split()
+    unit = unit.rstrip("s")
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported window duration: {duration!r}")
+    return int(n) * _UNIT_SECONDS[unit]
+
+
+def window_start_col(df: DataFrame, ts_col: str, duration: str) -> Column:
+    """Tumbling-window start, arithmetically.
+
+    Deliberately NOT ``F.window``: Spark's TimeWindowing rule injects an
+    implicit ``IsNotNull(ts)`` filter, which would silently DROP
+    null-timestamp rows from the shared scans — but the not-null check
+    needs to count and extract exactly those rows. Epoch-floor bucketing
+    aligns to the same 1970-epoch grid as ``F.window`` and maps null ts to
+    a null bucket instead of dropping the row."""
+    sec = duration_seconds(duration)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    start = F.timestamp_seconds((F.floor(epoch / sec) * sec).cast("long"))
+    return start.cast(df.schema[ts_col].dataType)
+
 
 @dataclass
 class FusedScans:
@@ -72,7 +104,7 @@ def keyed_input(
         )
     )
     return df.withColumn("partition_key", part).withColumn(
-        "window_start", F.window(F.col(ts_col), window_duration)["start"]
+        "window_start", window_start_col(df, ts_col, window_duration)
     )
 
 

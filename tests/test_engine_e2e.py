@@ -93,3 +93,32 @@ def test_datagen_deterministic(spark):
     a = datagen.generate_pages(spark, 2000)
     b = datagen.generate_pages(spark, 2000)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_null_timestamps_counted_not_dropped(spark):
+    """Regression: F.window() would silently filter null-ts rows out of
+    the fused scans (Spark's TimeWindowing adds IsNotNull); the engine
+    must count them in rows_scanned, fail the not-null verdict, and emit
+    their violation rows."""
+    pages = datagen.generate_pages(spark, 5000)
+    pages = pages.withColumn(
+        "warc_ts",
+        F.when(F.xxhash64("url") % 20 == 0, None).otherwise(F.col("warc_ts")),
+    ).cache()
+    n_total = pages.count()
+    n_null = pages.filter(F.col("warc_ts").isNull()).count()
+    assert n_null > 0
+
+    res = run_validation(pages, None, ValidationConfig())
+    v = {r.check_name: r for r in res.verdicts.collect()}
+    assert v["not_null_warc_ts"].rows_scanned == n_total
+    assert not v["not_null_warc_ts"].passed
+    assert v["not_null_warc_ts"].violation_count == n_null
+    assert v["min_row_count"].rows_scanned == n_total
+
+    viol = (
+        res.violations.filter("check_name = 'not_null_warc_ts'").count()
+    )
+    assert viol == n_null
+    res.unpersist()
+    pages.unpersist()

@@ -25,6 +25,29 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def _executed_parquet_scans(plan: str) -> int:
+    """Count parquet scans that actually execute: an InMemoryRelation's
+    description embeds its (already-materialized) cached plan, whose scan
+    nodes must not be counted. Those lines are indented under the
+    relation in the tree section — skip deeper-indented lines after it."""
+    n = 0
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*")
+        indent = len(line) - len(stripped)
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if stripped.startswith("InMemoryRelation"):
+            skip_deeper_than = indent
+            continue
+        if not stripped.startswith(("Scan parquet", "* Scan parquet")):
+            continue
+        n += 1
+    return n
+
+
 def check(name: str, ok: bool, detail: str = "") -> bool:
     print(f"{'PASS' if ok else 'FAIL'}  {name}" + (f"  ({detail})" if detail else ""))
     return ok
@@ -70,6 +93,39 @@ def main() -> None:
 
     uniq_plan = plan_of(check_unique_key(pages, "url").violations)
     ok &= check("duplicate-violation join is broadcast", "Broadcast" in uniq_plan)
+
+    # the fused engine path: cube + profile + one-scan violations
+    from anomalydetector_spark.engine import ValidationConfig, run_validation
+    from anomalydetector_spark.plans import fused
+
+    keyed = fused.keyed_input(pages, "1 day", None)
+    cube_plan = plan_of(
+        fused.build_fused_scans(keyed, ref_dim=domains).cube
+    )
+    ok &= check(
+        "counts cube prunes html from the scan",
+        "ReadSchema" in cube_plan
+        and "html" not in cube_plan.split("ReadSchema")[1].split("\n")[0],
+    )
+    ok &= check(
+        "counts cube partial-aggregates before shuffle",
+        "partial" in cube_plan.lower(),
+    )
+    ok &= check(
+        "counts cube dimension join is broadcast", "Broadcast" in cube_plan
+    )
+    res = run_validation(pages, domains, ValidationConfig())
+    # materialize verdicts so the shared cube/profile caches fill — the
+    # violations pass then reads the input once plus cached aggregates
+    res.verdicts.collect()
+    viol_plan = plan_of(res.violations)
+    n_scans = _executed_parquet_scans(viol_plan)
+    ok &= check(
+        "fused violation extraction re-reads the input once (profile cached)",
+        n_scans == 1 and "InMemoryTableScan" in viol_plan,
+        f"{n_scans} executed parquet scans + cached profile",
+    )
+    res.unpersist()
 
     filt_plan = plan_of(
         pages.filter(F.col("lang") == "en").select("url", "lang")
