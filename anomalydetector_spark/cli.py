@@ -234,6 +234,67 @@ def cmd_validate(args, spark: SparkSession) -> None:
     )
 
 
+def cmd_stream_validate(args, spark: SparkSession) -> None:
+    """Two chained streaming stages (streaming/drift_stream.py): stats →
+    SR scoring, each with its own checkpoint under ``--checkpoint`` so
+    either can be torn down and resumed independently."""
+    from anomalydetector_spark.streaming import (
+        sr_score_stream,
+        streaming_window_stats,
+    )
+
+    out = args.output_path.rstrip("/")
+    ckpt = args.checkpoint.rstrip("/")
+    schema = spark.read.parquet(args.input_path).schema
+
+    reader = spark.readStream.schema(schema)
+    if args.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    pages = reader.parquet(args.input_path)
+    stats = streaming_window_stats(
+        pages,
+        window_duration=args.window,
+        watermark_delay=args.watermark,
+        partition_by=args.partition_by,
+    )
+    w1 = (
+        stats.writeStream.format("parquet")
+        .option("path", f"{out}/stat_series")
+        .option("checkpointLocation", f"{ckpt}/stats")
+        .outputMode("append")
+    )
+
+    stat_schema = (
+        "partition_key string, stat_name string, "
+        "window_start timestamp, value double"
+    )
+    scored = sr_score_stream(
+        spark.readStream.schema(stat_schema).parquet(f"{out}/stat_series")
+    )
+    w2 = (
+        scored.writeStream.format("parquet")
+        .option("path", f"{out}/drift_scores")
+        .option("checkpointLocation", f"{ckpt}/scores")
+        .outputMode("append")
+    )
+
+    if args.available_now:
+        q1 = w1.trigger(availableNow=True).start()
+        q1.awaitTermination()
+        q2 = w2.trigger(availableNow=True).start()
+        q2.awaitTermination()
+        try:
+            n = spark.read.parquet(f"{out}/drift_scores").count()
+        except Exception:
+            n = 0  # fewer than MIN_POINTS finalized windows → no scores yet
+        print(f"drained available input; {n} scored windows under {out}/")
+    else:
+        w1.start()
+        w2.start()
+        print(f"streaming validation running; outputs under {out}/")
+        spark.streams.awaitAnyTermination()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="anomalydetector_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -264,6 +325,21 @@ def main(argv=None):
     v.add_argument("--threshold", type=float, default=0.3)
     v.add_argument("--sensitivity", type=float, default=99)
 
+    s = sub.add_parser(
+        "stream-validate",
+        help="continuous drift validation over a streamed pages directory",
+    )
+    s.add_argument("--input-path", required=True,
+                   help="parquet directory monitored as a file stream")
+    s.add_argument("--output-path", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--window", default="1 day")
+    s.add_argument("--watermark", default="2 days")
+    s.add_argument("--partition-by", default=None)
+    s.add_argument("--available-now", action="store_true",
+                   help="drain what's there and stop (batch-like run)")
+    s.add_argument("--max-files-per-trigger", type=int, default=None)
+
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
 
@@ -271,6 +347,8 @@ def main(argv=None):
     try:
         if args.cmd == "detect":
             cmd_detect(args, spark)
+        elif args.cmd == "stream-validate":
+            cmd_stream_validate(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:

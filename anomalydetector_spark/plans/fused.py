@@ -262,12 +262,18 @@ def dup_keys_from_profile(profile: DataFrame) -> DataFrame:
 def per_partition_dup_counts(profile: DataFrame) -> DataFrame:
     """``(partition_key, violation_count)`` where violation_count is the
     number of rows in the partition whose key occurs more than once
-    globally. One small shuffle of the profile by key — never a re-scan
-    or a join against the input."""
-    w = Window.partitionBy("key")
+    globally.
+
+    Shape matters at 10^12 keys: the duplicate-key SET is small (it is a
+    data-quality defect), so semi-joining the profile against its
+    broadcast beats a ``Window.partitionBy(key)`` pass — the window
+    variant shuffles AND SORTS the full profile; this is one sort-free
+    hash aggregation plus a broadcast probe. Catalyst falls back to a
+    shuffle join automatically if the dup set outgrows the broadcast
+    threshold."""
+    dups = dup_keys_from_profile(profile).select("key")
     return (
-        profile.withColumn("_total", F.sum("cnt").over(w))
-        .filter(F.col("_total") > 1)
+        profile.join(F.broadcast(dups), "key", "left_semi")
         .groupBy("partition_key")
         .agg(F.sum("cnt").alias("violation_count"))
     )
