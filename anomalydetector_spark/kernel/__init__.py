@@ -1,5 +1,6 @@
 from anomalydetector_spark.kernel.filters import average_filter, median_filter
 from anomalydetector_spark.kernel import boundary
+from anomalydetector_spark.kernel.api import DetectMode, SpectralResidual
 from anomalydetector_spark.kernel.sr import (
     SrParams,
     sr_detect,
@@ -12,6 +13,8 @@ from anomalydetector_spark.kernel.sr import (
 )
 
 __all__ = [
+    "DetectMode",
+    "SpectralResidual",
     "average_filter",
     "median_filter",
     "boundary",

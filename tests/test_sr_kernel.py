@@ -130,3 +130,38 @@ def test_min_points_enforced():
     ts, v = ramp(10)
     with pytest.raises(ValueError):
         sr_detect(ts, v, SrParams())
+
+
+class TestReferenceApiSurface:
+    """Drop-in SpectralResidual class: the reference's own shape contract
+    (reference tests/test_spectral_residual.py:8-48)."""
+
+    def _ramp(self):
+        import pandas as pd
+        import numpy as np
+        return pd.DataFrame({
+            "timestamp": pd.date_range("2020-01-01", periods=100, freq="D"),
+            "value": np.linspace(1, 100, 100),
+        })
+
+    def test_anomaly_only_columns(self):
+        from anomalydetector_spark.kernel import DetectMode, SpectralResidual
+        out = SpectralResidual(self._ramp()).detect()
+        assert len(out) == 100
+        assert list(out.columns) == ["timestamp", "value", "mag", "score", "isAnomaly"]
+
+    def test_margin_mode_columns_and_batch(self):
+        from anomalydetector_spark.kernel import DetectMode, SpectralResidual
+        out = SpectralResidual(
+            self._ramp(),
+            detect_mode=DetectMode.anomaly_and_margin,
+            batch_size=33,
+        ).detect()
+        assert len(out) == 100
+        for c in ["expectedValue", "unit", "lowerBoundary", "upperBoundary"]:
+            assert c in out.columns
+
+    def test_memoized(self):
+        from anomalydetector_spark.kernel import SpectralResidual
+        sr = SpectralResidual(self._ramp())
+        assert sr.detect() is sr.detect()
