@@ -92,8 +92,11 @@ def main():
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
-    print(f"preparing {rows:,}-row pages table …", flush=True)
-    prepare(rows)
+    if os.environ.get("SPARK_GRAFT_SKIP_PREP") == "1" and os.path.isdir(PAGES_PATH):
+        print("reusing existing pages table", flush=True)
+    else:
+        print(f"preparing {rows:,}-row pages table …", flush=True)
+        prepare(rows)
 
     # the sandbox host steals CPU in bursts (shared tenancy), so reps are
     # INTERLEAVED across configs and the per-config minimum is reported —
