@@ -134,3 +134,41 @@ def test_referential_check(spark):
     assert not r.passed and r.violation_count == 1  # null is not a violation
     viol = res.violations.collect()
     assert len(viol) == 1 and viol[0].domain == "dX"
+
+
+def test_uniqueness_under_extreme_hot_key(spark):
+    """North rule: domain-skewed url partitions. One url carrying 30% of
+    all rows must neither stall nor miscount: the positional salt spreads
+    its rows over n_salts phase-1 groups, and the re-aggregated count is
+    exact."""
+    import pyspark.sql.functions as F
+    from anomalydetector_spark.operators.uniqueness import (
+        check_unique_key,
+        duplicate_key_counts,
+    )
+
+    n, hot = 50_000, 15_000
+    df = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit("https://hot.example.com/only"))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("url")
+    )
+    dups = {r.key: r.cnt for r in duplicate_key_counts(df, "url").collect()}
+    assert dups == {"https://hot.example.com/only": hot}
+
+    res = check_unique_key(df, "url")
+    v = res.verdicts.collect()[0]
+    assert not v.passed and v.violation_count == hot and v.rows_scanned == n
+
+    # the salt must actually split the hot key: phase-1 group sizes are
+    # bounded by ~hot/n_salts, not by the full hot count
+    from pyspark.sql import functions as F2
+    phase1 = (
+        df.withColumn(
+            "_salt", F2.pmod(F2.monotonically_increasing_id(), F2.lit(64))
+        )
+        .groupBy("url", "_salt")
+        .count()
+    )
+    max_group = phase1.agg(F2.max("count")).collect()[0][0]
+    assert max_group < hot / 8  # far below the unsalted hot-group size
