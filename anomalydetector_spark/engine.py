@@ -43,6 +43,10 @@ class ValidationConfig:
     min_points: int = 12
     unique_key: str = "url"
     batch_size: int = 0
+    # opt-in: the one check pair that must read the ``html`` binary /
+    # full ``text`` bytes (north-rule byte-identity invariant). Off by
+    # default so the standard suite never scans html.
+    verify_text_extraction: bool = False
 
 
 @dataclass
@@ -161,6 +165,26 @@ def run_validation(
     violations = tagged.select(
         F.explode(hit).alias("check_name"), "partition_key", cfg.unique_key
     )
+
+    if cfg.verify_text_extraction:
+        # byte-identity invariant (north rule): text == extract_text(html)
+        # per row, and rows sharing a url agree on text bytes. These are
+        # the only stages that read ``html``/full ``text``; their scans
+        # are separate from the fused cube/profile by design.
+        tx = C.check_text_extraction(
+            keyed, partition_by=F.col("partition_key"), keep=[cfg.unique_key]
+        )
+        consistency = C.check_key_text_consistency(
+            keyed, key_col=cfg.unique_key, partition_by=F.col("partition_key")
+        )
+        verdict_frames += [tx.verdicts, consistency.verdicts]
+        violations = violations.unionByName(
+            tx.violations.select("check_name", "partition_key", cfg.unique_key)
+        ).unionByName(
+            consistency.violations.select(
+                "check_name", "partition_key", cfg.unique_key
+            )
+        )
 
     stat_series = (
         fused.stats_from_cube(cube, langs=cfg.langs)

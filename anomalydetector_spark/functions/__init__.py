@@ -82,3 +82,13 @@ def jaccard(a: Column, b: Column) -> Column:
 def is_finite(col: Column) -> Column:
     c = col.cast("double")
     return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def extract_text(html: Column) -> Column:
+    """Deterministic html → text extraction, entirely JVM-side: UTF-8
+    decode + tag strip. This is the engine's canonical extractor; the
+    per-url byte-identity invariant (north rule) is defined against it —
+    ``check_text_extraction`` re-runs it over stored ``html`` and flags
+    any row whose ``text`` column differs byte-wise. No Python UDF: at
+    10^12 docs the extractor must live inside whole-stage codegen."""
+    return F.regexp_replace(F.decode(html, "UTF-8"), "<[^>]+>", "")

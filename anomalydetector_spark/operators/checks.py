@@ -290,3 +290,72 @@ def validate_batch_size(batch_size: int, min_points: int = MIN_POINTS) -> None:
     """P2 — config validation, driver-side (invoker.py:46-47)."""
     if 0 < batch_size < min_points:
         raise ValueError(errors.INVALID_BATCH_SIZE.format(min_points))
+
+
+def check_text_extraction(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    partition_by: Column | str | None = None,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """North-rule invariant — stored ``text`` must be byte-identical to
+    the canonical extraction of ``html`` (functions.extract_text) for
+    every row with non-null text. Entirely JVM-side (decode + regexp in
+    whole-stage codegen); opt-in at the engine level because it is the
+    one check that must read the ``html`` binary column.
+
+    Byte identity is asserted by comparing UTF-8 encodings, not string
+    equality, so a lossy decode can never mask a mismatch."""
+    from anomalydetector_spark.functions import extract_text
+
+    name = "text_extraction"
+    p = _part(df, partition_by)
+    extracted = extract_text(F.col(html_col))
+    bad = F.col(text_col).isNotNull() & (
+        F.encode(extracted, "UTF-8") != F.encode(F.col(text_col), "UTF-8")
+    )
+    counted = p.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.TEXT_EXTRACTION_MISMATCH.format(text_col, html_col)
+        ),
+        _violation_rows(p, bad, name, keep or ["url", text_col]),
+    )
+
+
+def check_key_text_consistency(
+    df: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    partition_by: Column | str | None = None,
+) -> CheckResult:
+    """North-rule invariant — all rows sharing a key (url) must carry
+    byte-identical text. One hash-aggregate on the key; text bytes are
+    first collapsed to a 256-bit hash per row so the shuffle carries 32
+    bytes, never the document body. Violations are the offending KEYS
+    (row extraction would force a second scan; callers can semi-join)."""
+    name = f"consistent_text_{key_col}"
+    p = _part(df, partition_by).filter(F.col(text_col).isNotNull())
+    per_key = p.groupBy("partition_key", key_col).agg(
+        F.count_distinct(F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)).alias(
+            "_nv"
+        ),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    counted = per_key.groupBy("partition_key").agg(
+        F.sum((F.col("_nv") > 1).cast("long")).alias("violation_count"),
+        F.sum("_rows").alias("rows_scanned"),
+    )
+    bad_keys = per_key.filter(F.col("_nv") > 1).select(
+        F.lit(name).alias("check_name"), "partition_key", key_col
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.INCONSISTENT_KEY_TEXT.format(key_col)
+        ),
+        bad_keys,
+    )

@@ -23,3 +23,7 @@ COLUMN_NOT_FOUND = 'Column with name or index "{0}" not found.'
 # engine-only additions (no reference analog; SURVEY.md §2.2 note)
 DUPLICATE_KEY = 'The key column "{0}" contains duplicated values.'
 DANGLING_REFERENCE = 'Column "{0}" contains values absent from dimension "{1}".'
+TEXT_EXTRACTION_MISMATCH = (
+    'Column "{0}" is not byte-identical to the text extracted from "{1}".'
+)
+INCONSISTENT_KEY_TEXT = 'Rows sharing the same "{0}" disagree on text bytes.'

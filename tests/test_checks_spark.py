@@ -172,3 +172,66 @@ def test_uniqueness_under_extreme_hot_key(spark):
     )
     max_group = phase1.agg(F2.max("count")).collect()[0][0]
     assert max_group < hot / 8  # far below the unsalted hot-group size
+
+
+def test_text_extraction_check(spark):
+    """Byte-identity checks: a corrupted text row and a url whose rows
+    disagree on text must both be flagged, clean rows must not."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from anomalydetector_spark.operators import checks as C
+    from anomalydetector_spark.operators import errors as E
+
+    rows = [
+        # clean: text == tag-strip of html
+        ("https://a.example.org/1", "<p>hello world</p>", "hello world", "p0"),
+        # corrupted: stored text differs from extraction
+        ("https://a.example.org/2", "<p>original body</p>", "TAMPERED", "p0"),
+        # same url, two different text payloads
+        ("https://b.example.org/x", "<p>v1</p>", "v1", "p1"),
+        ("https://b.example.org/x", "<p>v2</p>", "v2", "p1"),
+        # null text is out of scope for both checks
+        ("https://a.example.org/3", "<p>ignored</p>", None, "p0"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "html_s", "text", "part"])
+    ).select(
+        "url", F.encode("html_s", "UTF-8").alias("html"), "text", "part"
+    )
+
+    tx = C.check_text_extraction(df, partition_by="part", keep=["url"])
+    verdicts = {r.partition_key: r for r in tx.verdicts.collect()}
+    assert verdicts["p0"].passed is False
+    assert verdicts["p0"].violation_count == 1
+    assert verdicts["p1"].passed is True
+    assert verdicts["p0"].error_message == E.TEXT_EXTRACTION_MISMATCH.format(
+        "text", "html"
+    )
+    bad = [r.url for r in tx.violations.collect()]
+    assert bad == ["https://a.example.org/2"]
+
+    cons = C.check_key_text_consistency(df, key_col="url", partition_by="part")
+    cv = {r.partition_key: r for r in cons.verdicts.collect()}
+    assert cv["p1"].passed is False and cv["p1"].violation_count == 1
+    assert cv["p0"].passed is True
+    assert [r.url for r in cons.violations.collect()] == ["https://b.example.org/x"]
+
+
+def test_engine_text_parity_opt_in(spark):
+    """verify_text_extraction=True adds both byte-identity checks to the
+    engine suite; the clean synthetic table passes them."""
+    from anomalydetector_spark.datagen import generate_pages
+    from anomalydetector_spark.engine import ValidationConfig, run_validation
+
+    pages = generate_pages(spark, 3_000)
+    res = run_validation(
+        pages, config=ValidationConfig(verify_text_extraction=True)
+    )
+    names = {
+        r.check_name: r.passed
+        for r in res.verdicts.filter(
+            "check_name in ('text_extraction', 'consistent_text_url')"
+        ).collect()
+    }
+    assert names == {"text_extraction": True, "consistent_text_url": True}
+    res.unpersist()
