@@ -211,6 +211,7 @@ def cmd_validate(args, spark: SparkSession) -> None:
         window_duration=args.window,
         partition_by=args.partition_by,
         sr=SrParams(threshold=args.threshold, sensitivity=args.sensitivity),
+        verify_text_extraction=args.verify_text_extraction,
     )
     t0 = time.time()
     res = run_validation(pages, domains, cfg)
@@ -324,6 +325,9 @@ def main(argv=None):
     v.add_argument("--partition-by", default=None)
     v.add_argument("--threshold", type=float, default=0.3)
     v.add_argument("--sensitivity", type=float, default=99)
+    v.add_argument("--verify-text-extraction", action="store_true",
+                   help="also run the byte-identity text checks "
+                        "(reads the html binary column)")
 
     s = sub.add_parser(
         "stream-validate",
