@@ -35,6 +35,11 @@ from anomalydetector_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from anomalydetector_spark.operators.evaluate import (
+    confusion_counts,
+    f1_threshold_sweep,
+    segment_adjust_predictions,
+)
 from anomalydetector_spark.operators.referential import check_referential
 from anomalydetector_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -239,73 +244,47 @@ _SWEEP_LABEL = "(event_type = 'purchase')"
 
 
 def q_threshold_sweep(spark, sf_dir):
-    """W18 threshold sweep: 98 thresholds × F1 (evalue.py:163-176)."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "label", F.expr(_SWEEP_LABEL).cast("int")
+    """W18 threshold sweep: 98 thresholds × F1 (evalue.py:163-176), via
+    operators/evaluate.f1_threshold_sweep."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(_SWEEP_LABEL).cast("int").alias("label"),
+        (F.col("value") / 500.0).alias("score"),
     )
-    th = spark.range(1, 99).select((F.col("id") / 100.0).alias("threshold"))
-    scored = ev.crossJoin(th).withColumn(
-        "pred", (F.col("value") / 500.0 > F.col("threshold")).cast("int")
-    )
-    agg = scored.groupBy("threshold").agg(
-        F.sum(F.expr("pred * label")).alias("tp"),
-        F.sum(F.expr("pred * (1 - label)")).alias("fp"),
-        F.sum(F.expr("(1 - pred) * label")).alias("fn"),
-    )
-    f1 = (2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
-    return agg.select(
+    sweep = f1_threshold_sweep(ev)
+    return sweep.select(
         _r6("threshold").alias("threshold"), "tp", "fp", "fn",
-        _r6(f1).alias("f1"),
+        _r6("f1").alias("f1"),
     )
 
 
 def q_confusion_matrix(spark, sf_dir):
-    """A5/A6 confusion counts + P/R/F1 at a fixed threshold."""
-    ev = _t(spark, sf_dir, "events")
-    lab = F.expr(_SWEEP_LABEL).cast("int")
-    pred = (F.col("value") > 250.0).cast("int")
-    agg = ev.select(lab.alias("label"), pred.alias("pred")).agg(
-        F.sum(F.expr("pred * label")).alias("tp"),
-        F.sum(F.expr("pred * (1 - label)")).alias("fp"),
-        F.sum(F.expr("(1 - pred) * label")).alias("fn"),
-        F.sum(F.expr("(1 - pred) * (1 - label)")).alias("tn"),
+    """A5/A6 confusion counts + P/R/F1 at a fixed threshold, via
+    operators/evaluate.confusion_counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(_SWEEP_LABEL).cast("int").alias("label"),
+        (F.col("value") > 250.0).cast("int").alias("pred"),
     )
-    p = F.col("tp") / (F.col("tp") + F.col("fp"))
-    r = F.col("tp") / (F.col("tp") + F.col("fn"))
-    return agg.select(
+    return confusion_counts(ev).select(
         "tp", "fp", "fn", "tn",
-        _r6(p).alias("precision"), _r6(r).alias("recall"),
-        _r6(2 * p * r / (p + r)).alias("f1"),
+        _r6("precision").alias("precision"), _r6("recall").alias("recall"),
+        _r6("f1").alias("f1"),
     )
 
 
 def q_segment_adjusted(spark, sf_dir):
     """W16 segment-aware prediction adjustment
-    (competition_metric.py:9-34): an anomaly segment counts as detected
-    iff any alert lands within its first delay+1 points; detected →
-    whole segment scored 1, else 0; outside segments preds unchanged."""
-    delay = 7
+    (competition_metric.py:9-34) via
+    operators/evaluate.segment_adjust_predictions — parity with the
+    reference's get_range_proba is asserted in tests/test_evaluate_ops.py."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
         F.expr("cast(value > 300.0 as int)").alias("label"),
         F.expr("cast(value > 250.0 as int)").alias("pred"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("label").over(w).isNull() | (F.col("label") != F.lag("label").over(w)),
-        1,
-    ).otherwise(0)
-    seg = ev.withColumn("seg_id", F.sum(chg).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    ))
-    ws = Window.partitionBy("user_id", "seg_id").orderBy("ts", "event_id")
-    seg = seg.withColumn("rn", F.row_number().over(ws))
-    wseg = Window.partitionBy("user_id", "seg_id")
-    detected = F.max(
-        F.when((F.col("rn") <= delay + 1) & (F.col("pred") == 1), 1).otherwise(0)
-    ).over(wseg)
-    adj = F.when(F.col("label") == 1, detected).otherwise(F.col("pred"))
-    out = seg.withColumn("adj_pred", adj).agg(
+    adj = segment_adjust_predictions(
+        ev, order_by=["ts", "event_id"], partition_by="user_id", delay=7
+    )
+    out = adj.agg(
         F.sum(F.expr("adj_pred * label")).alias("tp"),
         F.sum(F.expr("adj_pred * (1 - label)")).alias("fp"),
         F.sum(F.expr("(1 - adj_pred) * label")).alias("fn"),

@@ -1,0 +1,164 @@
+"""Detector-quality evaluation — the reference's competition metric as
+distributed DataFrame programs (SURVEY.md §2.4 A5-A7, §2.5 W16-W18).
+
+Reference semantics (srcnn/competition_metric.py):
+
+* ``get_range_proba`` (:9-34): label runs segment the series; an anomaly
+  segment counts as detected iff any positive prediction lands within its
+  first ``delay+1`` points — then the WHOLE segment's prediction becomes
+  1, else 0. Outside anomaly segments predictions pass through.
+* ``reconstruct_label`` (:37-52): scatter sparse (timestamp, label) onto
+  the dense min-interval grid, missing slots = 0.
+* threshold sweep (srcnn/evalue.py:163-176): scan thresholds, keep the
+  best F1.
+
+Distributed shapes: the segment id is a running sum of label-change
+indicators over an ordered window (one shuffle per partition key); the
+grid spine is ``sequence()`` + left join; the sweep is a crossJoin with a
+literal threshold column — all JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order_by: list[str]) -> list[Column]:
+    return [F.col(c) for c in order_by]
+
+
+def segment_adjust_predictions(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    order_by: list[str] | None = None,
+    partition_by: str | None = None,
+    delay: int = 7,
+) -> DataFrame:
+    """W16 — append ``adj_pred`` per competition_metric.py:9-34.
+
+    ``partition_by`` scopes independent series (each evaluated like one
+    reference call); ``order_by`` fixes the time order within a series.
+    """
+    order_by = order_by or ["ts"]
+    part = [partition_by] if partition_by else []
+    w = Window.partitionBy(*part).orderBy(*_order_cols(order_by))
+
+    prev = F.lag(label_col).over(w)
+    chg = F.when(prev.isNull() | (F.col(label_col) != prev), 1).otherwise(0)
+    seg = df.withColumn(
+        "_seg_id", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy(*part, "_seg_id").orderBy(*_order_cols(order_by))
+    seg = seg.withColumn("_rn", F.row_number().over(ws))
+    wseg = Window.partitionBy(*part, "_seg_id")
+    detected = F.max(
+        F.when((F.col("_rn") <= delay + 1) & (F.col(pred_col) == 1), 1).otherwise(0)
+    ).over(wseg)
+    adj = F.when(F.col(label_col) == 1, detected).otherwise(F.col(pred_col))
+    return seg.withColumn("adj_pred", adj).drop("_seg_id", "_rn")
+
+
+def confusion_counts(
+    df: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """A5/A6 — one-row confusion counts + precision/recall/F1
+    (competition_metric.py:62-92). Fully map-side partial-aggregated."""
+    lab = F.col(label_col)
+    pred = F.col(pred_col)
+    agg = df.agg(
+        F.sum(pred * lab).alias("tp"),
+        F.sum(pred * (1 - lab)).alias("fp"),
+        F.sum((1 - pred) * lab).alias("fn"),
+        F.sum((1 - pred) * (1 - lab)).alias("tn"),
+    )
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        p.alias("precision"), r.alias("recall"),
+        (2 * p * r / (p + r)).alias("f1"),
+    )
+
+
+def f1_threshold_sweep(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_thresholds: int = 98,
+    scale: float = 0.01,
+) -> DataFrame:
+    """W18 — F1 at thresholds ``{scale, 2*scale, …}`` (evalue.py:163-176:
+    98 thresholds × 0.01). One crossJoin with a 98-row literal frame (a
+    broadcast by size), one groupBy(threshold)."""
+    spark = df.sparkSession
+    th = spark.range(1, n_thresholds + 1).select(
+        (F.col("id") * scale).alias("threshold")
+    )
+    scored = df.crossJoin(F.broadcast(th)).withColumn(
+        "_pred", (F.col(score_col) > F.col("threshold")).cast("int")
+    )
+    lab = F.col(label_col)
+    agg = scored.groupBy("threshold").agg(
+        F.sum(F.col("_pred") * lab).alias("tp"),
+        F.sum(F.col("_pred") * (1 - lab)).alias("fp"),
+        F.sum((1 - F.col("_pred")) * lab).alias("fn"),
+    )
+    f1 = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    return agg.select("threshold", "tp", "fp", "fn", f1.alias("f1"))
+
+
+def best_threshold(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_thresholds: int = 98,
+    scale: float = 0.01,
+) -> DataFrame:
+    """W18 top-1: argmax-F1 threshold (ties → lowest threshold, matching
+    the reference's strict ``>`` best-so-far scan in evalue.py:171-176)."""
+    sweep = f1_threshold_sweep(df, score_col, label_col, n_thresholds, scale)
+    return sweep.orderBy(F.col("f1").desc_nulls_last(), "threshold").limit(1)
+
+
+def dense_label_grid(
+    df: DataFrame,
+    ts_col: str = "ts",
+    label_col: str = "label",
+    partition_by: str | None = None,
+) -> DataFrame:
+    """W17 — reconstruct the dense min-interval grid per series
+    (competition_metric.py:37-52): spine = ``sequence(min, max,
+    min_interval)``, observed labels scattered on, gaps filled with 0.
+    Emits ``(partition, grid_ts, label)``."""
+    part = [partition_by] if partition_by else []
+    w = Window.partitionBy(*part).orderBy(ts_col)
+    with_prev = df.withColumn("_prev", F.lag(ts_col).over(w))
+    bounds = with_prev.groupBy(*part).agg(
+        F.min(ts_col).alias("_t0"),
+        F.max(ts_col).alias("_t1"),
+        F.min(
+            F.when(
+                F.col("_prev").isNotNull(),
+                F.unix_timestamp(ts_col) - F.unix_timestamp("_prev"),
+            )
+        ).alias("_iv"),
+    )
+    spine = bounds.select(
+        *part,
+        F.explode(
+            F.sequence(
+                F.unix_timestamp("_t0"),
+                F.unix_timestamp("_t1"),
+                F.col("_iv"),
+            )
+        ).alias("_gts"),
+    ).select(*part, F.col("_gts").cast("timestamp").alias("grid_ts"))
+    obs = df.select(
+        *part, F.col(ts_col).alias("grid_ts"), F.col(label_col).alias("_obs")
+    )
+    on = part + ["grid_ts"]
+    return spine.join(obs, on, "left").select(
+        *on, F.coalesce(F.col("_obs"), F.lit(0)).alias(label_col)
+    )

@@ -1,0 +1,159 @@
+"""operators/evaluate vs the reference's competition metric.
+
+The reference functions are imported verbatim from
+/root/reference/srcnn/competition_metric.py (sklearn stubbed — the
+functions under test don't use it; ``np.int`` patched for the removed
+numpy alias) and compared against the distributed implementations on
+randomized series.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def ref_metric():
+    path = "/root/reference/srcnn/competition_metric.py"
+    try:
+        open(path).close()
+    except OSError:
+        pytest.skip("reference repo not available")
+    if "sklearn" not in sys.modules:
+        sk = types.ModuleType("sklearn")
+        skm = types.ModuleType("sklearn.metrics")
+        skm.f1_score = skm.precision_score = skm.recall_score = lambda *a, **k: 0.0
+        sk.metrics = skm
+        sys.modules["sklearn"] = sk
+        sys.modules["sklearn.metrics"] = skm
+    spec = importlib.util.spec_from_file_location("ref_competition_metric", path)
+    mod = importlib.util.module_from_spec(spec)
+    if not hasattr(np, "int"):
+        np.int = int  # removed alias, used by reconstruct_label
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _random_case(rng, n):
+    label = (rng.random(n) < 0.25).astype(int)
+    pred = (rng.random(n) < 0.3).astype(int)
+    return label, pred
+
+
+def test_segment_adjust_matches_reference(spark, ref_metric):
+    from anomalydetector_spark.operators.evaluate import segment_adjust_predictions
+
+    rng = np.random.default_rng(7)
+    frames = []
+    expected = {}
+    for series in range(6):
+        n = int(rng.integers(5, 120))
+        label, pred = _random_case(rng, n)
+        delay = 7
+        expected[f"s{series}"] = ref_metric.get_range_proba(pred, label, delay)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series": f"s{series}",
+                    "i": np.arange(n),
+                    "label": label,
+                    "pred": pred,
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    out = (
+        segment_adjust_predictions(
+            df, order_by=["i"], partition_by="series", delay=7
+        )
+        .toPandas()
+        .sort_values(["series", "i"])
+    )
+    for key, want in expected.items():
+        got = out[out["series"] == key]["adj_pred"].to_numpy()
+        np.testing.assert_array_equal(got, want, err_msg=key)
+
+
+def test_segment_adjust_small_delay(spark, ref_metric):
+    """delay=1 exercises the boundary between hit and miss windows."""
+    from anomalydetector_spark.operators.evaluate import segment_adjust_predictions
+
+    label = np.array([0, 1, 1, 1, 0, 1, 1, 0])
+    pred = np.array([1, 0, 0, 1, 0, 0, 1, 0])
+    want = ref_metric.get_range_proba(pred, label, delay=1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(label)), "label": label, "pred": pred})
+    )
+    got = (
+        segment_adjust_predictions(df, order_by=["i"], delay=1)
+        .toPandas()
+        .sort_values("i")["adj_pred"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dense_label_grid_matches_reference(spark, ref_metric):
+    from anomalydetector_spark.operators.evaluate import dense_label_grid
+
+    # sparse timestamps on a 60s base grid, shuffled order, missing slots
+    base = 1_600_000_000
+    offsets = np.array([0, 1, 2, 5, 6, 9, 10, 14])
+    ts = base + offsets * 60
+    label = np.array([0, 1, 0, 1, 1, 0, 1, 0])
+    want = ref_metric.reconstruct_label(ts, label)
+
+    perm = np.random.default_rng(3).permutation(len(ts))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": pd.to_datetime(ts[perm], unit="s"), "label": label[perm]}
+        )
+    )
+    out = dense_label_grid(df).toPandas().sort_values("grid_ts")
+    assert len(out) == len(want)
+    np.testing.assert_array_equal(out["label"].to_numpy(), want)
+
+
+def test_confusion_and_sweep(spark):
+    from anomalydetector_spark.operators.evaluate import (
+        best_threshold,
+        confusion_counts,
+        f1_threshold_sweep,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    label = (rng.random(n) < 0.2).astype(int)
+    score = np.clip(label * 0.6 + rng.random(n) * 0.5, 0, 1)
+    pdf = pd.DataFrame({"label": label, "score": score})
+    df = spark.createDataFrame(pdf)
+
+    cc = confusion_counts(
+        df.withColumn("pred", (F.col("score") > 0.5).cast("int"))
+    ).first()
+    pred = (score > 0.5).astype(int)
+    assert cc.tp == int((pred * label).sum())
+    assert cc.fp == int((pred * (1 - label)).sum())
+    assert cc.fn == int(((1 - pred) * label).sum())
+    assert cc.tn == int(((1 - pred) * (1 - label)).sum())
+
+    sweep = f1_threshold_sweep(df).toPandas()
+    assert len(sweep) == 98
+    # exhaustive numpy check of the argmax row
+    best = best_threshold(df).first()
+    f1s = {}
+    for k in range(1, 99):
+        t = k * 0.01
+        p = (score > t).astype(int)
+        tp, fp, fn = (p * label).sum(), (p * (1 - label)).sum(), ((1 - p) * label).sum()
+        f1s[round(t, 2)] = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    want_t = max(sorted(f1s), key=lambda t: f1s[t])
+    assert abs(best.f1 - f1s[want_t]) < 1e-12
+    assert abs(best.threshold - want_t) < 1e-9
