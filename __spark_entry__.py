@@ -447,6 +447,26 @@ def q_sr_scores_events(spark, sf_dir):
     return _drift_on_events(spark, sf_dir, with_scores=True)
 
 
+def q_srcnn_features_events(spark, sf_dir):
+    """W14 — sliding-window SR featurization (SR-CNN inference input,
+    srcnn/utils.py:266-299 sans torch model) over per-day event-count
+    series. Rows-only check (FFT not SQL-expressible)."""
+    from anomalydetector_spark.operators.srcnn_features import sliding_sr_features
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.window("ts", "1 day").alias("w"),
+        F.col("event_type").alias("series_key"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+        "series_key", F.col("w.start").alias("ts"), "value"
+    )
+    feat = sliding_sr_features(series, window=16)
+    return feat.select(
+        "series_key", "ts", _r6("value").alias("value"),
+        _r6("sr_feature").alias("sr_feature"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -491,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
+        "srcnn_features_events": q_srcnn_features_events,
     }
 
 

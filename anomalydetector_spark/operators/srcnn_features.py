@@ -1,0 +1,104 @@
+"""W14 — SR-CNN sliding-window SR featurization as a Spark operator.
+
+The reference's SR-CNN inference (srcnn/utils.py:266-299 ``sr_cnn_eval``)
+slides a step-1 window over each series; for every position it extends
+the window with 5 predicted points (``SpectralResidual.extend_series``)
+and computes the SR saliency map (``srcnn/utils.py:196-221
+spectral_residual`` — same transform as
+msanomalydetector/spectral_residual.py:118-144), then feeds the saliency
+into a CNN. The CNN itself is torch and out of scope (SURVEY.md §2.5);
+this operator produces the model's INPUT — the per-point causal SR
+saliency feature — with the reference's exact window geometry:
+
+* the first ``window - backaddnum`` positions emit 0 (the reference
+  pre-fills ``detres``/``scores`` with zeros, utils.py:288-289),
+* position ``i`` (0-based) is featurized from the window
+  ``value[max(0, i+1-(window-backaddnum)) : i+1+back]`` — the loop at
+  utils.py:291-297 with ``step=1``: each pt appends ``mag[pt-1-head]``
+  computed on ``value[head:pt+back]`` — so the feature is causal,
+* trailing positions the stepped loop never reaches stay 0
+  (utils.py:298-299).
+
+Distributed shape: one ``groupBy(series_key).applyInPandas`` — each
+series is one Arrow batch, the loop is numpy per group. Cost is
+O(n · w log w) per series, exactly the reference's inference cost; at
+100 TB this op is meant for the small per-window stat series or sampled
+raw series, not the full document firehose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from anomalydetector_spark.kernel.sr import (
+    extend_series,
+    spectral_residual_transform,
+)
+
+
+def sr_feature_series(
+    values: np.ndarray,
+    window: int,
+    back_k: int = 0,
+    backaddnum: int = 5,
+    step: int = 1,
+) -> np.ndarray:
+    """Per-point causal SR saliency, reference window geometry
+    (srcnn/utils.py:279-299 with the torch model call removed)."""
+    values = np.asarray(values, dtype=float)
+    length = len(values)
+    back = back_k if back_k <= 5 else 5
+    head_fill = window - backaddnum
+    out: list[float] = [0.0] * head_fill
+
+    for pt in range(head_fill + back + step, length - back, step):
+        head = max(0, pt - head_fill)
+        tail = min(length, pt)
+        wave = extend_series(values[head : tail + back])
+        mag = spectral_residual_transform(wave)
+        for ipt in range(pt - step - back, pt - back):
+            out.append(float(mag[ipt - head]))
+
+    out += [0.0] * (length - len(out))
+    return np.asarray(out[:length], dtype=float)
+
+
+def sliding_sr_features(
+    df: DataFrame,
+    series_key: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 64,
+    back_k: int = 0,
+    backaddnum: int = 5,
+    step: int = 1,
+) -> DataFrame:
+    """Append ``sr_feature`` per row: one ``applyInPandas`` pass, whole
+    series per group (the FFT window needs the ordered batch — SURVEY.md
+    §1.3). Output schema: (series_key, ts, value, sr_feature)."""
+    schema = (
+        f"{series_key} string, {ts_col} timestamp, "
+        f"{value_col} double, sr_feature double"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        feat = sr_feature_series(
+            pdf[value_col].to_numpy(), window, back_k, backaddnum, step
+        )
+        return pd.DataFrame(
+            {
+                series_key: pdf[series_key].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: pdf[value_col].to_numpy(),
+                "sr_feature": feat,
+            }
+        )
+
+    return (
+        df.select(series_key, ts_col, value_col)
+        .groupBy(series_key)
+        .applyInPandas(run, schema)
+    )
