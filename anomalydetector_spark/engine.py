@@ -144,7 +144,9 @@ def run_validation(
         F.col("key"), F.lit(True).alias("_is_dup")
     )
     tagged = keyed.join(
-        F.broadcast(dups), keyed[cfg.unique_key] == dups["key"], "left"
+        F.broadcast(dups),
+        fused.profile_key_col(keyed[cfg.unique_key]) == dups["key"],
+        "left",
     )
     tags = [
         F.when(F.col("warc_ts").isNull(), F.lit("not_null_warc_ts")),

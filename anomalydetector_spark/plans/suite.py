@@ -245,7 +245,9 @@ def run_suite(
             dups = fused.dup_keys_from_profile(profile)
             violations.append(
                 keyed.join(
-                    F.broadcast(dups), keyed[s.column] == dups["key"], "left_semi"
+                    F.broadcast(dups),
+                    fused.profile_key_col(keyed[s.column]) == dups["key"],
+                    "left_semi",
                 ).select(
                     F.lit(name).alias("check_name"), "partition_key", s.column
                 )
