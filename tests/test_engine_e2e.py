@@ -122,3 +122,18 @@ def test_null_timestamps_counted_not_dropped(spark):
     assert viol == n_null
     res.unpersist()
     pages.unpersist()
+
+
+def test_violation_row_recall_exact(spark):
+    """North metric: violation-ROW recall (and precision) vs independently
+    derived ground truth must be exactly 1.0 for both row-addressable
+    checks (tools/violation_recall.py is the full-size scorer)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from violation_recall import score
+
+    checks = score(spark, n_rows=30_000)
+    for name, m in checks.items():
+        assert m["recall"] == 1.0, (name, m)
+        assert m["precision"] == 1.0, (name, m)
+        assert m["truth_rows"] > 0, name
