@@ -205,8 +205,10 @@ def cmd_validate(args, spark: SparkSession) -> None:
     from anomalydetector_spark import manifest as M
     from anomalydetector_spark.engine import ValidationConfig, run_validation
 
-    pages = spark.read.parquet(args.input_path)
-    domains = spark.read.parquet(args.domains) if args.domains else None
+    from anomalydetector_spark.sources.tables import read_table, table_version
+
+    pages = read_table(spark, args.input_path)
+    domains = read_table(spark, args.domains) if args.domains else None
     cfg = ValidationConfig(
         window_duration=args.window,
         partition_by=args.partition_by,
@@ -221,7 +223,7 @@ def cmd_validate(args, spark: SparkSession) -> None:
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
 
-    snapshot = M.snapshot_id_for_path(args.input_path)
+    snapshot = table_version(spark, args.input_path)
     if args.manifest:
         merged = M.run_with_resume(spark, res.verdicts, snapshot, args.manifest)
         merged.write.mode("overwrite").parquet(f"{out}/verdicts")

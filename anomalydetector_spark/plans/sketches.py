@@ -140,3 +140,109 @@ def global_distinct_estimate(sketches: DataFrame) -> DataFrame:
         ),
         F.sum("rows_scanned").alias("rows_scanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches — mergeable length-quantile stats
+# ---------------------------------------------------------------------------
+
+
+def partition_quantile_sketches(
+    df: DataFrame,
+    value_col,
+    partition_by: str | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """One KLL sketch of a bigint-valued expression per partition —
+    the mergeable counterpart of the engine's exact counts-cube
+    quantiles: quantiles compose across partitions / snapshots by
+    merging sketches (k=200 ≈ 1.3% rank error, ~2 KB each), so a
+    resumed or incremental run never rescans finished partitions to
+    re-estimate a global distribution."""
+    part = (
+        F.col(partition_by).cast("string") if partition_by else F.lit("global")
+    )
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    return (
+        df.withColumn("partition_key", part)
+        .groupBy("partition_key")
+        .agg(
+            F.kll_sketch_agg_bigint(v.cast("bigint"), F.lit(k)).alias("sketch"),
+            F.count(F.lit(1)).alias("rows_scanned"),
+        )
+    )
+
+
+def global_quantiles(
+    sketches: DataFrame, probs: tuple[float, ...] = (0.5, 0.95)
+) -> DataFrame:
+    """Merge stored KLL sketches → one row of global quantile estimates
+    (columns ``q50``-style names from the requested probabilities)."""
+    merged = sketches.agg(
+        F.kll_merge_agg_bigint("sketch").alias("_m"),
+        F.sum("rows_scanned").alias("rows_scanned"),
+    )
+    cols = [
+        F.kll_sketch_get_quantile_bigint(F.col("_m"), F.lit(float(p))).alias(
+            f"q{int(round(p * 100))}"
+        )
+        for p in probs
+    ]
+    return merged.select(*cols, "rows_scanned")
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches — cross-snapshot set algebra (url churn)
+# ---------------------------------------------------------------------------
+
+
+def partition_theta_sketches(
+    df: DataFrame, key_col: str = "url", partition_by: str | None = None
+) -> DataFrame:
+    """Theta sketches support set INTERSECTION and DIFFERENCE, which HLL
+    cannot: between two crawl snapshots they estimate returning urls
+    (intersection), new urls (B−A), and dropped urls (A−B) from the
+    stored per-partition sketches alone — no rescan of either snapshot."""
+    part = (
+        F.col(partition_by).cast("string") if partition_by else F.lit("global")
+    )
+    return (
+        df.withColumn("partition_key", part)
+        .groupBy("partition_key")
+        .agg(
+            F.theta_sketch_agg(key_col).alias("sketch"),
+            F.count(F.lit(1)).alias("rows_scanned"),
+        )
+    )
+
+
+def snapshot_churn(
+    store: DataFrame, snapshot_a: str, snapshot_b: str
+) -> DataFrame:
+    """Url churn between two snapshots from stored theta sketches
+    (stat_name='url_theta' rows): one row
+    ``(distinct_a, distinct_b, returning, new, dropped)``."""
+
+    def _union_for(snap):
+        return (
+            store.filter(
+                (F.col("snapshot_id") == snap)
+                & (F.col("stat_name") == "url_theta")
+            )
+            .agg(F.theta_union_agg("sketch").alias("u"))
+            .first()
+            .u
+        )
+
+    spark = store.sparkSession
+    a, b = _union_for(snapshot_a), _union_for(snapshot_b)
+    pair = spark.createDataFrame([(a, b)], "a binary, b binary")
+    return pair.select(
+        F.theta_sketch_estimate("a").alias("distinct_a"),
+        F.theta_sketch_estimate("b").alias("distinct_b"),
+        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias(
+            "returning"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("b", "a")).alias("new"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("dropped"),
+    )

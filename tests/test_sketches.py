@@ -96,3 +96,54 @@ def test_sketch_store_schema(spark, tmp_path):
         "rows_scanned", "completed_at",
     }
     assert out.filter(F.col("stat_name") != "distinct_url").count() == 0
+
+
+def test_kll_quantile_sketches(spark):
+    """Merged KLL quantiles track exact quantiles within rank error."""
+    rng = np.random.default_rng(7)
+    lens = rng.lognormal(6, 1, 30_000).astype(int)
+    pdf = pd.DataFrame(
+        {"length": lens, "domain": [f"p{v}" for v in rng.integers(0, 5, len(lens))]}
+    )
+    df = spark.createDataFrame(pdf)
+    sk = S.partition_quantile_sketches(df, "length", partition_by="domain")
+    assert sk.count() == 5
+    q = S.global_quantiles(sk, probs=(0.5, 0.95)).first()
+    exact50, exact95 = np.percentile(lens, [50, 95])
+    # KLL k=200 → ~1.3% rank error; translate via empirical quantiles at
+    # shifted ranks to bound the value error
+    lo50, hi50 = np.percentile(lens, [46, 54])
+    lo95, hi95 = np.percentile(lens, [92, 98])
+    assert lo50 <= q.q50 <= hi50, (q.q50, exact50)
+    assert lo95 <= q.q95 <= hi95, (q.q95, exact95)
+    assert q.rows_scanned == len(lens)
+
+
+def test_theta_snapshot_churn(spark, tmp_path):
+    """Returning/new/dropped url estimates between two snapshots from
+    stored sketches only (exact at this cardinality)."""
+    path = str(tmp_path / "theta")
+
+    def snap(lo, hi, name):
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://x.org/{v}" for v in range(lo, hi)],
+                "domain": [f"p{v % 3}" for v in range(lo, hi)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        S.sketches_to_manifest_rows(
+            S.partition_theta_sketches(df, partition_by="domain"),
+            name,
+            stat_name="url_theta",
+        ).write.mode("append").parquet(path)
+
+    snap(0, 1000, "snapA")
+    snap(500, 2000, "snapB")
+
+    churn = S.snapshot_churn(S.read_sketches(spark, path), "snapA", "snapB").first()
+    assert abs(churn.distinct_a - 1000) < 20
+    assert abs(churn.distinct_b - 1500) < 30
+    assert abs(churn.returning - 500) < 20
+    assert abs(churn.new - 1000) < 30
+    assert abs(churn.dropped - 500) < 20

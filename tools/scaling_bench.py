@@ -156,8 +156,16 @@ rollups), so the same ratio is what a real N → 4N executor scale-out sees.
 
 Reproduce: `python tools/scaling_bench.py {rows} {reps} {n_small} {n_big}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve any hand-written analysis sections below the headline block
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")  # headline block has no ## sections of its own
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md.rstrip() + "\n" + tail)
     print("wrote BENCH.md")
 
 
