@@ -180,3 +180,20 @@ def test_sliding_sr_features_spark(spark):
     # the spike position carries a clearly elevated saliency
     a = out[out["series_key"] == "a"]["sr_feature"].to_numpy()
     assert a[70] > 5 * np.median(a[60:70])
+
+
+def test_vectorized_equals_loop_large():
+    """Vectorized path == per-window loop across chunk boundaries and
+    parameter corners (incl. step>1 and back>0)."""
+    from anomalydetector_spark.operators.srcnn_features import (
+        _sr_feature_series_loop,
+        sr_feature_series,
+    )
+
+    rng = np.random.default_rng(13)
+    v = np.cumsum(rng.normal(0, 1, 9000)) + 50
+    for window, back_k, step in [(64, 0, 1), (64, 3, 1), (128, 5, 1), (32, 0, 3)]:
+        got = sr_feature_series(v, window, back_k=back_k, step=step)
+        want = _sr_feature_series_loop(v, window, back_k=back_k, step=step)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12,
+                                   err_msg=f"w={window} back={back_k} step={step}")
