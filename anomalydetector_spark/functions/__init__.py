@@ -90,5 +90,13 @@ def extract_text(html: Column) -> Column:
     per-url byte-identity invariant (north rule) is defined against it —
     ``check_text_extraction`` re-runs it over stored ``html`` and flags
     any row whose ``text`` column differs byte-wise. No Python UDF: at
-    10^12 docs the extractor must live inside whole-stage codegen."""
-    return F.regexp_replace(F.decode(html, "UTF-8"), "<[^>]+>", "")
+    10^12 docs the extractor must live inside whole-stage codegen.
+
+    Malformed UTF-8 yields NULL rather than an error: under Spark 4's
+    default ANSI mode ``decode(html,'UTF-8')`` THROWS on the first bad
+    byte — one corrupt page of 10^12 would kill the job. The lenient
+    binary→string cast + ``try_validate_utf8`` turns those rows into
+    per-row violations instead."""
+    return F.regexp_replace(
+        F.try_validate_utf8(html.cast("string")), "<[^>]+>", ""
+    )

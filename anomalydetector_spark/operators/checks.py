@@ -312,8 +312,11 @@ def check_text_extraction(
     name = "text_extraction"
     p = _part(df, partition_by)
     extracted = extract_text(F.col(html_col))
+    # malformed-UTF-8 html extracts to NULL (functions.extract_text) —
+    # with non-null stored text that is a violation, not a skip
     bad = F.col(text_col).isNotNull() & (
-        F.encode(extracted, "UTF-8") != F.encode(F.col(text_col), "UTF-8")
+        extracted.isNull()
+        | (F.encode(extracted, "UTF-8") != F.encode(F.col(text_col), "UTF-8"))
     )
     counted = p.groupBy("partition_key").agg(
         F.sum(bad.cast("long")).alias("violation_count"),

@@ -235,3 +235,20 @@ def test_engine_text_parity_opt_in(spark):
     }
     assert names == {"text_extraction": True, "consistent_text_url": True}
     res.unpersist()
+
+
+def test_text_extraction_malformed_utf8(spark):
+    """A page whose html is not valid UTF-8 must become a per-row
+    violation, never a job failure (Spark 4 ANSI decode would throw)."""
+    from pyspark.sql import functions as F
+    from anomalydetector_spark.operators import checks as C
+
+    rows = [
+        ("https://ok.example.org/1", bytearray(b"<p>fine</p>"), "fine"),
+        ("https://bad.example.org/2", bytearray(b"<p>\xff\xfe</p>"), "anything"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, text string")
+    tx = C.check_text_extraction(df, keep=["url"])
+    v = tx.verdicts.first()
+    assert v.passed is False and v.violation_count == 1
+    assert [r.url for r in tx.violations.collect()] == ["https://bad.example.org/2"]
