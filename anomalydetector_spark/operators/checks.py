@@ -188,7 +188,9 @@ def check_finite(
     """P8 — no NaN/±inf (invoker.py:76-77)."""
     name = f"finite_{column}"
     p = _part(df, partition_by)
-    c = F.col(column).cast("double")
+    # try_cast: unparseable values are P7's violation class, not this
+    # check's — and a strict cast would THROW under ANSI mode
+    c = F.col(column).cast("string").try_cast("double")
     bad = c.isNotNull() & (F.isnan(c) | (F.abs(c) == F.lit(float("inf"))))
     counted = p.groupBy("partition_key").agg(
         F.sum(bad.cast("long")).alias("violation_count"),
@@ -214,7 +216,7 @@ def check_value_bounds(
     constants.py:1-2)."""
     name = f"value_bounds_{column}"
     p = _part(df, partition_by)
-    c = F.col(column).cast("double")
+    c = F.col(column).cast("string").try_cast("double")
     # non-finite values belong to check_finite, not here — each check owns
     # exactly one violation class so counts never double-report
     finite = c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))

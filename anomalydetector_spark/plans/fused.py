@@ -72,7 +72,15 @@ def window_start_col(df: DataFrame, ts_col: str, duration: str) -> Column:
     aligns to the same 1970-epoch grid as ``F.window`` and maps null ts to
     a null bucket instead of dropping the row."""
     sec = duration_seconds(duration)
-    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    # malformed timestamp values must surface as null-window rows (counted
+    # by the not-null check), not ANSI cast errors — but the string
+    # round-trip is only needed when the column isn't a timestamp already
+    # (this expression runs inside the hot cube scan)
+    dt = df.schema[ts_col].dataType.typeName()
+    if dt in ("timestamp", "timestamp_ntz", "date"):
+        epoch = F.col(ts_col).cast("timestamp").cast("double")
+    else:
+        epoch = F.col(ts_col).cast("string").try_cast("timestamp").cast("double")
     start = F.timestamp_seconds((F.floor(epoch / sec) * sec).cast("long"))
     return start.cast(df.schema[ts_col].dataType)
 
