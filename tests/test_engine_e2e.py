@@ -137,3 +137,20 @@ def test_violation_row_recall_exact(spark):
         assert m["recall"] == 1.0, (name, m)
         assert m["precision"] == 1.0, (name, m)
         assert m["truth_rows"] > 0, name
+
+
+def test_empty_input_fails_min_rows(spark):
+    """Reference contract: empty input must fail with NOT_ENOUGH_POINTS
+    (invoker.py:43-44) — the verdict must exist even though no partition
+    rows exist to roll up."""
+    from anomalydetector_spark.operators import errors as E
+
+    df = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    res = run_validation(df, config=ValidationConfig())
+    v = {r.check_name: r for r in res.verdicts.collect()}
+    assert v["min_row_count"].passed is False
+    assert v["min_row_count"].error_message == E.NOT_ENOUGH_POINTS.format(12)
+    assert v["min_row_count"].rows_scanned == 0
+    res.unpersist()
