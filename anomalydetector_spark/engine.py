@@ -91,18 +91,8 @@ def run_validation(
     # one tiny frame (the cube rollup), evaluated once per action at most
     roll = fused.partition_rollup(cube)
 
-    # an EMPTY input has no rollup rows, which would silently skip the
-    # min-row-count failure the reference contractually raises on empty
-    # input (invoker.py:43-44 → NOT_ENOUGH_POINTS). Seed one zero row
-    # that survives only when the rollup produced nothing.
-    spark = pages.sparkSession
-    seed = spark.createDataFrame(
-        [("global", 0, 0, 0)],
-        "partition_key string, rows_scanned long, null_ts long, dangling long",
-    ).join(
-        roll.select(F.lit(1).alias("_any")).limit(1), F.lit(True), "left_anti"
-    )
-    roll = roll.unionByName(seed)
+    # empty input must still fail min-row-count (reference contract)
+    roll = fused.seeded_rollup(roll)
 
     min_rows_verdicts = roll.select(
         F.lit("min_row_count").alias("check_name"),

@@ -320,3 +320,19 @@ def distinct_series_from_profile(profile: DataFrame) -> DataFrame:
             "value",
         )
     )
+
+
+def seeded_rollup(roll: DataFrame) -> DataFrame:
+    """Guarantee the rollup has at least one row: an EMPTY input produces
+    no partition rows, which would silently skip the min-row-count
+    failure the reference contractually raises on empty input
+    (invoker.py:43-44 → NOT_ENOUGH_POINTS). The zero seed row survives
+    the anti-join only when the rollup is empty."""
+    spark = roll.sparkSession
+    seed = spark.createDataFrame(
+        [("global", 0, 0, 0)],
+        "partition_key string, rows_scanned long, null_ts long, dangling long",
+    ).join(
+        roll.select(F.lit(1).alias("_any")).limit(1), F.lit(True), "left_anti"
+    )
+    return roll.unionByName(seed)

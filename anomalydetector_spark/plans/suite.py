@@ -170,7 +170,7 @@ def run_suite(
         if persist_scans:
             cube = cube.persist()
             cached.append(cube)
-        roll = fused.partition_rollup(cube)
+        roll = fused.seeded_rollup(fused.partition_rollup(cube))
 
         for s in cube_specs:
             if s.kind == "min_rows":

@@ -77,3 +77,18 @@ def test_suite_catches_injected_violations(spark):
     assert not v["unique_event_id"].passed
     assert v["min_row_count"].passed
     res.unpersist()
+
+
+def test_suite_empty_input_fails_min_rows(spark):
+    """Same empty-input contract at the suite-compiler level."""
+    from anomalydetector_spark.plans import suite as S
+
+    df = spark.createDataFrame([], "url string, warc_ts timestamp")
+    res = S.run_suite(
+        df,
+        [S.min_rows(), S.not_null_ts("warc_ts"), S.unique("url")],
+        persist_scans=False,
+    )
+    v = {r.check_name: r for r in res.verdicts.collect()}
+    assert v["min_row_count"].passed is False
+    assert v["min_row_count"].rows_scanned == 0
