@@ -293,6 +293,20 @@ def q_segment_adjusted(spark, sf_dir):
     return out.select("tp", "fp", "fn", _r6(f1).alias("f1"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Skew monitor: exact top-5 sources by doc count with their share
+    (operators/frequency.heavy_hitters — the detection half of the north
+    rule's domain-skew handling)."""
+    from anomalydetector_spark.operators.frequency import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    hh = heavy_hitters(docs, key_col="source", k=5)
+    return hh.select(
+        "partition_key", "key", "cnt",
+        _r6("hot_fraction").alias("hot_fraction"), "rank",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_duplicates(docs).select(
@@ -494,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumsum": q_cumsum,
         "min_ts_interval": q_min_ts_interval,
         "topk_orders": q_topk_orders,
+        "heavy_hitters": q_heavy_hitters,
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
         "segment_adjusted": q_segment_adjusted,
@@ -674,6 +689,18 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "heavy_hitters": """
+            WITH counts AS (
+              SELECT 'global' AS partition_key, source AS key, count(*) AS cnt
+              FROM documents GROUP BY 2),
+            ranked AS (
+              SELECT partition_key, key, cnt,
+                     cnt * 1.0 / sum(cnt) OVER () AS hot_fraction,
+                     row_number() OVER (ORDER BY cnt DESC, key) AS rank
+              FROM counts)
+            SELECT partition_key, key, cnt, round(hot_fraction, 6) AS hot_fraction, rank
+            FROM ranked WHERE rank <= 5
         """,
         "threshold_sweep": f"""
             WITH th AS (SELECT i / 100.0 AS threshold FROM range(1, 99) t(i)),

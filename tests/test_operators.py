@@ -214,3 +214,29 @@ def test_multimodal_resize(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         multimodal.resize_images(med, use_stub=False).filter("kind='image'").collect()
+
+
+def test_heavy_hitters_and_skew_report(spark):
+    """The datagen hot domain (>=20% of rows) must surface as rank 1 with
+    is_skewed=True; candidate counts are exact."""
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.operators.frequency import (
+        candidate_key_counts,
+        heavy_hitters,
+        skew_report,
+    )
+    from pyspark.sql import functions as F
+
+    pages = datagen.generate_pages(spark, 20_000)
+    hh = heavy_hitters(pages, key_col="domain", k=3).collect()
+    assert hh[0].rank == 1 and hh[0].key == datagen.HOT_DOMAIN
+    assert hh[0].hot_fraction >= 0.2
+    assert len(hh) == 3
+
+    rep = skew_report(pages, key_col="domain").first()
+    assert rep.is_skewed is True and rep.top_key == datagen.HOT_DOMAIN
+
+    cand = spark.createDataFrame([(datagen.HOT_DOMAIN,)], "domain string")
+    got = candidate_key_counts(pages, cand, key_col="domain").first()
+    exact = pages.filter(F.col("domain") == datagen.HOT_DOMAIN).count()
+    assert got.cnt == exact
