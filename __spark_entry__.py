@@ -293,6 +293,19 @@ def q_segment_adjusted(spark, sf_dir):
     return out.select("tp", "fp", "fn", _r6(f1).alias("f1"))
 
 
+def q_training_prep(spark, sf_dir):
+    """Composed training-corpus prep: exact dedup → quality gate →
+    token counts + fingerprints, one program
+    (operators/pipeline.prepare_training_corpus)."""
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_training_corpus(docs, min_quality=0.5)
+    return out.select(
+        "doc_id", "n_tokens", _r6("quality").alias("quality"), "fingerprint"
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Skew monitor: exact top-5 sources by doc count with their share
     (operators/frequency.heavy_hitters — the detection half of the north
@@ -509,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_ts_interval": q_min_ts_interval,
         "topk_orders": q_topk_orders,
         "heavy_hitters": q_heavy_hitters,
+        "training_prep": q_training_prep,
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
         "segment_adjusted": q_segment_adjusted,
@@ -689,6 +703,40 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "training_prep": f"""
+            WITH canon AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY {_DUCK_MD5L.format(x='text')}) AS canonical_id
+                FROM documents)
+              WHERE doc_id = canonical_id),
+            feat AS (
+              SELECT doc_id, text,
+                     {_DUCK_TOKS} AS toks,
+                     list_transform({_DUCK_TOKS}, x -> lower(x)) AS ltoks
+              FROM canon),
+            q AS (
+              SELECT doc_id, toks,
+                     (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0
+                           ELSE least(len(toks) / 10.0, 1.0) END
+                      + least((len(list_filter(ltoks, x -> x IN
+                          ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'))) /
+                          greatest(len(ltoks), 1)::DOUBLE) * 5.0, 1.0)
+                      + (1.0 - least((length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) /
+                          greatest(length(text), 1)::DOUBLE) * 4.0, 1.0))
+                      + (1.0 - (1.0 - len(list_distinct(ltoks)) / greatest(len(ltoks), 1)::DOUBLE))
+                     ) / 4.0 AS quality
+              FROM feat)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(quality, 6) AS quality,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(toks,
+                         t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007 + 1000000007) % 1000000007)),
+                     (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+            FROM q WHERE quality >= 0.5
         """,
         "heavy_hitters": """
             WITH counts AS (

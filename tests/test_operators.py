@@ -240,3 +240,30 @@ def test_heavy_hitters_and_skew_report(spark):
     got = candidate_key_counts(pages, cand, key_col="domain").first()
     exact = pages.filter(F.col("domain") == datagen.HOT_DOMAIN).count()
     assert got.cnt == exact
+
+
+def test_prepare_training_corpus(spark):
+    """Composition: duplicates collapse to one canonical row, low-quality
+    docs are gated, features are exact."""
+    import pandas as pd
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+    from pyspark.sql import functions as F
+
+    good = ("this is a reasonably long document with plenty of normal "
+            "words and the usual amount of structure in it for a test " * 2)
+    rows = [
+        (1, good),
+        (2, good),                      # exact duplicate of 1
+        (3, "!!! ??? ### $$$ %%%"),     # punctuation garbage → gated
+        (4, good + " unique tail here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = prepare_training_corpus(df, min_quality=0.5).toPandas()
+    assert sorted(out["doc_id"]) == [1, 4]  # 2 deduped, 3 gated
+    assert (out["quality"] >= 0.5).all()
+    n_tok = len(good.split())
+    assert int(out[out["doc_id"] == 1]["n_tokens"].iloc[0]) == n_tok
+    # identical text → identical fingerprint; different text → different
+    fp4 = out[out["doc_id"] == 4]["fingerprint"].iloc[0]
+    fp1 = out[out["doc_id"] == 1]["fingerprint"].iloc[0]
+    assert fp1 != fp4
