@@ -237,6 +237,28 @@ def cmd_validate(args, spark: SparkSession) -> None:
     )
 
 
+def cmd_prep_corpus(args, spark: SparkSession) -> None:
+    """Training-corpus prep over a documents-shaped table
+    (operators/pipeline.prepare_training_corpus)."""
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+    from anomalydetector_spark.sources.tables import read_table
+
+    docs = read_table(spark, args.input_path)
+    out = prepare_training_corpus(
+        docs,
+        text_col=args.text_column,
+        id_col=args.id_column,
+        min_quality=args.min_quality,
+    )
+    out.write.mode("overwrite").parquet(args.output_path)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output_path).count()
+    print(
+        f"prepared {n_out}/{n_in} docs "
+        f"({n_in - n_out} removed by dedup+quality) → {args.output_path}"
+    )
+
+
 def cmd_stream_validate(args, spark: SparkSession) -> None:
     """Two chained streaming stages (streaming/drift_stream.py): stats →
     SR scoring, each with its own checkpoint under ``--checkpoint`` so
@@ -346,6 +368,16 @@ def main(argv=None):
                    help="drain what's there and stop (batch-like run)")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    p = sub.add_parser(
+        "prep-corpus",
+        help="training-corpus prep: exact dedup + quality gate + features",
+    )
+    p.add_argument("--input-path", required=True)
+    p.add_argument("--output-path", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--min-quality", type=float, default=0.5)
+
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
 
@@ -355,6 +387,8 @@ def main(argv=None):
             cmd_detect(args, spark)
         elif args.cmd == "stream-validate":
             cmd_stream_validate(args, spark)
+        elif args.cmd == "prep-corpus":
+            cmd_prep_corpus(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:
