@@ -212,14 +212,23 @@ def cmd_validate(args, spark: SparkSession) -> None:
     cfg = ValidationConfig(
         window_duration=args.window,
         partition_by=args.partition_by,
-        sr=SrParams(threshold=args.threshold, sensitivity=args.sensitivity),
+        sr=SrParams(
+            threshold=args.threshold,
+            sensitivity=args.sensitivity,
+            with_margin=args.drift_margin,
+        ),
         verify_text_extraction=args.verify_text_extraction,
     )
     t0 = time.time()
     res = run_validation(pages, domains, cfg)
 
     out = args.output_path.rstrip("/")
-    res.violations.write.mode("overwrite").parquet(f"{out}/violations")
+    # violations are read back selectively ("show me the unique_url rows
+    # for partition X") — physical partitioning makes those reads prune
+    # instead of scanning the full violation set
+    res.violations.write.mode("overwrite").partitionBy("check_name").parquet(
+        f"{out}/violations"
+    )
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
 
@@ -352,6 +361,9 @@ def main(argv=None):
     v.add_argument("--verify-text-extraction", action="store_true",
                    help="also run the byte-identity text checks "
                         "(reads the html binary column)")
+    v.add_argument("--drift-margin", action="store_true",
+                   help="score drift in AnomalyAndMargin mode (expected "
+                        "value + boundaries per window)")
 
     s = sub.add_parser(
         "stream-validate",
