@@ -154,3 +154,32 @@ def test_empty_input_fails_min_rows(spark):
     assert v["min_row_count"].error_message == E.NOT_ENOUGH_POINTS.format(12)
     assert v["min_row_count"].rows_scanned == 0
     res.unpersist()
+
+
+def test_drift_margin_mode_spark(spark):
+    """score_drift with with_margin=True: margin columns present and
+    boundaries bracket the expected value wherever scored."""
+    import pandas as pd
+    import numpy as np
+    from anomalydetector_spark.drift import score_drift
+    from anomalydetector_spark.kernel.sr import SrParams
+
+    n = 60
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "partition_key": "global",
+            "stat_name": "doc_count",
+            "window_start": pd.date_range("2025-01-01", periods=n, freq="D"),
+            "value": np.abs(rng.normal(100, 5, n)),
+        }
+    )
+    scored = score_drift(
+        spark.createDataFrame(pdf), SrParams(with_margin=True)
+    ).toPandas()
+    assert len(scored) == n
+    for c in ("expected_value", "unit", "lower_boundary", "upper_boundary"):
+        assert c in scored.columns
+        assert scored[c].notna().all()
+    assert (scored["lower_boundary"] <= scored["upper_boundary"]).all()
+    assert (scored["unit"] >= 1.0).all()  # reference clips units to >= 1
