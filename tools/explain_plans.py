@@ -127,6 +127,30 @@ def main() -> None:
     )
     res.unpersist()
 
+    # newer operators: partial aggregation + broadcast properties
+    from anomalydetector_spark.operators.frequency import heavy_hitters
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+    from anomalydetector_spark.plans.sketches import window_theta_sketches
+
+    hh_plan = plan_of(heavy_hitters(pages, key_col="domain", k=5))
+    ok &= check(
+        "heavy-hitters counts partial-aggregate before shuffle",
+        "partial" in hh_plan.lower(),
+    )
+    theta_plan = plan_of(window_theta_sketches(pages, window_duration="1 day"))
+    ok &= check(
+        "window theta sketches partial-aggregate before shuffle",
+        "partial" in theta_plan.lower(),
+    )
+    docs_like = pages.select(
+        F.col("url").alias("doc_id"), F.col("text")
+    ).filter(F.col("text").isNotNull())
+    prep_plan = plan_of(prepare_training_corpus(docs_like))
+    ok &= check(
+        "training prep keeps quality/tokens as projections (no extra agg)",
+        prep_plan.lower().count("hashaggregate") <= 4,  # dedup partial+final x join sides
+    )
+
     filt_plan = plan_of(
         pages.filter(F.col("lang") == "en").select("url", "lang")
     )
