@@ -104,6 +104,7 @@ def result_of(proc: subprocess.Popen) -> float:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
     make_shards()
 
     single, multi = [], []
@@ -147,10 +148,10 @@ against 1 identical worker JVM over the full input; each worker executes
 the complete validation engine on its shard (the map-dominant work an
 executor owns; the omitted cross-shard rollup is KBs per shard).
 
-| config | wall sec (best of {reps}) | docs/sec (16M rows) |
+| config | wall sec (best of {reps}) | docs/sec ({rows/1e6:.0f}M rows) |
 |---|---|---|
-| 1 worker JVM (N) | {t1:.1f} | {16_000_000 / t1:,.0f} |
-| {N_SHARDS} worker JVMs (4N) | {t4:.1f} | {16_000_000 / t4:,.0f} |
+| 1 worker JVM (N) | {t1:.1f} | {rows / t1:,.0f} |
+| {N_SHARDS} worker JVMs (4N) | {t4:.1f} | {rows / t4:,.0f} |
 
 **speedup {speedup:.2f}× → scaling efficiency {eff:.2f}** (target ≥ 0.8)
 
