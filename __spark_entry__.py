@@ -300,7 +300,9 @@ def q_training_prep(spark, sf_dir):
     from anomalydetector_spark.operators.pipeline import prepare_training_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    out = prepare_training_corpus(docs, min_quality=0.5)
+    out = prepare_training_corpus(
+        docs, min_quality=0.5, reproducible_fingerprint=True
+    )
     return out.select(
         "doc_id", "n_tokens", _r6("quality").alias("quality"), "fingerprint"
     )

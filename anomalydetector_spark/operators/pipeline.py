@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from anomalydetector_spark.operators.dedup import exact_duplicates
 from anomalydetector_spark.operators.text import (
+    fast_fingerprint,
     fingerprint,
     quality_score,
     token_count,
@@ -32,13 +33,19 @@ def prepare_training_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.5,
+    reproducible_fingerprint: bool = False,
 ) -> DataFrame:
     """Canonical, quality-gated corpus rows:
     ``(doc_id, n_tokens, quality, fingerprint)``.
 
     Dedup runs FIRST so the quality projection is computed once per
     surviving document, not once per duplicate — at web scale duplicates
-    are a double-digit percentage of rows."""
+    are a double-digit percentage of rows.
+
+    ``reproducible_fingerprint`` switches from the default one-xxhash64-
+    per-doc fingerprint (the 100-TB path) to the per-token md5 rolling
+    hash that DuckDB can replicate exactly (the oracle path) — measured
+    ~10× slower, so it is opt-in."""
     canon = exact_duplicates(docs, text_col=text_col, id_col=id_col).filter(
         F.col("is_canonical")
     )
@@ -51,6 +58,10 @@ def prepare_training_corpus(
             id_col,
             token_count(c).alias("n_tokens"),
             "quality",
-            fingerprint(c).alias("fingerprint"),
+            (
+                fingerprint(c)
+                if reproducible_fingerprint
+                else fast_fingerprint(c)
+            ).alias("fingerprint"),
         )
     )

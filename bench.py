@@ -137,6 +137,24 @@ def main() -> None:
         lambda: materialize(text_profile(pages.select("url", "text"))),
     )
 
+    from anomalydetector_spark.operators.frequency import heavy_hitters
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+
+    timed(
+        "heavy_hitters_pages",
+        lambda: materialize(heavy_hitters(pages, key_col="domain", k=10)),
+    )
+    timed(
+        "training_prep_pages",
+        lambda: materialize(
+            prepare_training_corpus(
+                pages.select(F.col("url").alias("doc_id"), "text").filter(
+                    F.col("text").isNotNull()
+                )
+            )
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = (
         round(pages_rows / timings["pages_validate"], 1)
