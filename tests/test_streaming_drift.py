@@ -142,3 +142,56 @@ def test_streaming_sr_flags_drift(spark, stream_dirs):
     assert ("null_rate", null_win) in flagged
     # a stable series must not fire
     assert not any(s == "lang_frac_de" for s, _ in flagged)
+
+
+def test_streaming_checkpoint_resume_no_duplicates(spark, stream_dirs, tmp_path):
+    """Kill-and-resume: drain half the input with availableNow, stop,
+    add the rest, drain again with the SAME checkpoint — every finalized
+    window appears exactly once across both runs."""
+    import shutil as _sh
+
+    root = stream_dirs["root"]
+    pages = stream_dirs["pages"]
+    schema = pages.schema
+
+    in2 = str(tmp_path / "pages_in2")
+    out = str(tmp_path / "stats_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in2)
+    files = sorted(glob.glob(f"{stream_dirs['in']}/*.parquet"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in2)
+        )
+        stats = streaming_window_stats(stream, window_duration="1 day",
+                                       watermark_delay="1 day")
+        q = (
+            stats.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: first half of the crawl
+    for f in files[: len(files) // 2]:
+        _sh.copy(f, in2)
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # run 2 (resumed from checkpoint): remaining files land
+    for f in files[len(files) // 2:]:
+        _sh.copy(f, in2)
+    drain()
+
+    final = spark.read.parquet(out)
+    total = final.count()
+    distinct = final.select("partition_key", "stat_name", "window_start").distinct().count()
+    assert total == distinct, "duplicate finalized windows after resume"
+    assert total > n_first  # the second drain appended new windows
