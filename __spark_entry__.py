@@ -649,19 +649,19 @@ def oracle_sql() -> dict[str, str]:
                      lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
               FROM events)
             SELECT user_id::VARCHAR AS user_id,
-                   sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts THEN 1 ELSE 0 END) AS violation_count,
+                   sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts THEN 1 ELSE 0 END)::BIGINT AS violation_count,
                    count(*) AS rows_scanned
             FROM lagged GROUP BY 1
         """,
         "value_bounds": """
             SELECT l_returnflag,
-                   sum(CASE WHEN l_quantity < 0 OR l_quantity > 45 THEN 1 ELSE 0 END) AS violation_count,
+                   sum(CASE WHEN l_quantity < 0 OR l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS violation_count,
                    count(*) AS rows_scanned
             FROM lineitem GROUP BY 1
         """,
         "referential_anti": """
             SELECT o_orderpriority,
-                   sum(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS violation_count,
+                   sum(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS violation_count,
                    count(*) AS rows_scanned
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
@@ -760,9 +760,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN {sweep_label} THEN 1 ELSE 0 END AS label
               FROM events CROSS JOIN th)
             SELECT round(threshold, 6) AS threshold,
-                   sum(pred * label) AS tp,
-                   sum(pred * (1 - label)) AS fp,
-                   sum((1 - pred) * label) AS fn,
+                   sum(pred * label)::BIGINT AS tp,
+                   sum(pred * (1 - label))::BIGINT AS fp,
+                   sum((1 - pred) * label)::BIGINT AS fn,
                    round(2.0 * sum(pred * label) /
                          (2.0 * sum(pred * label) + sum(pred * (1 - label)) + sum((1 - pred) * label)), 6) AS f1
             FROM scored GROUP BY threshold
@@ -776,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT sum(pred * label) AS tp, sum(pred * (1 - label)) AS fp,
                      sum((1 - pred) * label) AS fn, sum((1 - pred) * (1 - label)) AS tn
               FROM scored)
-            SELECT tp, fp, fn, tn,
+            SELECT tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn, tn::BIGINT AS tn,
                    round(tp / (tp + fp)::DOUBLE, 6) AS precision,
                    round(tp / (tp + fn)::DOUBLE, 6) AS recall,
                    round(2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE) /
@@ -808,9 +808,9 @@ def oracle_sql() -> dict[str, str]:
             adj AS (
               SELECT CASE WHEN label = 1 THEN detected ELSE pred END AS adj_pred, label
               FROM det)
-            SELECT sum(adj_pred * label) AS tp,
-                   sum(adj_pred * (1 - label)) AS fp,
-                   sum((1 - adj_pred) * label) AS fn,
+            SELECT sum(adj_pred * label)::BIGINT AS tp,
+                   sum(adj_pred * (1 - label))::BIGINT AS fp,
+                   sum((1 - adj_pred) * label)::BIGINT AS fn,
                    round(2.0 * sum(adj_pred * label) /
                          (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)), 6) AS f1
             FROM adj

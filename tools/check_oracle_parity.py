@@ -1,8 +1,14 @@
 """Local stand-in for the driver's correctness gate: run every
 ``__spark_entry__.queries()`` entry against its ``oracle_sql()`` DuckDB
 twin at sf0.01 and compare row count, column names, and an
-order-insensitive value hash (floats rounded to 6 significant-ish
-decimals before hashing, mirroring a tolerant comparator).
+order-insensitive value hash.
+
+The driver's comparator is type-sensitive: both sides travel through
+Arrow into pandas and cells are stringified at full precision, so a
+DuckDB HUGEINT that surfaces as float64 ("3.0") mismatches a Spark
+BIGINT ("3") even when values are equal.  This checker mirrors that:
+DuckDB results are fetched via ``.arrow().to_pandas()`` and floats are
+hashed at ``repr`` precision (no %.6g smoothing).
 
 Usage: python tools/check_oracle_parity.py [sf_dir] [query ...]
 """
@@ -14,6 +20,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -24,15 +31,18 @@ TABLES = [
 
 
 def norm_cell(v):
-    if v is None:
+    if v is None or v is np.nan and not isinstance(v, float):
         return "NULL"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
+        return repr(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
@@ -71,8 +81,9 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"{name:34s} SPARK ERROR: {str(e)[:200]}")
             failures.append(name)
@@ -81,9 +92,9 @@ def main():
             print(f"{name:34s} rows={len(srows):6d}  (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).arrow().to_pandas()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"{name:34s} ORACLE SQL ERROR: {e}")
             failures.append(name)
