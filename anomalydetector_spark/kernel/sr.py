@@ -110,18 +110,29 @@ def spectral_residual_transform(
     """Saliency map: FFT → log-amplitude minus its moving average →
     rescale the spectrum by exp(residual)/amplitude → inverse FFT
     amplitude (reference: spectral_residual.py:118-144)."""
+    # The exact arithmetic sequence matters for bit-parity with the
+    # reference: sqrt(re^2+im^2) (NOT np.hypot), index-assignment of the
+    # EPS floor, and per-component multiply-then-divide rescaling.  A
+    # hypot/np.where formulation differs by ~1e-17 in the saliency map,
+    # which generate_spectral_score's EPS divisor amplifies to ~1e-10 on
+    # near-zero-saliency series (round-1 fuzz-parity failure).
     values = np.asarray(values, dtype=float)
     freq = np.fft.fft(values)
-    amp = np.hypot(freq.real, freq.imag)
+    amp = np.sqrt(freq.real ** 2 + freq.imag ** 2)
+    tiny = np.where(amp <= EPS)[0]
+    amp[tiny] = EPS
 
-    tiny = amp <= EPS
-    amp_safe = np.where(tiny, EPS, amp)
-    log_amp = np.where(tiny, 0.0, np.log(amp_safe))
+    log_amp = np.log(amp)
+    log_amp[tiny] = 0
 
     residual = np.exp(log_amp - average_filter(log_amp, n=mag_window))
-    scale = np.where(tiny, 0.0, residual / amp_safe)
-    saliency = np.fft.ifft(freq * scale)
-    return np.hypot(saliency.real, saliency.imag)
+    freq.real = freq.real * residual / amp
+    freq.imag = freq.imag * residual / amp
+    freq.real[tiny] = 0
+    freq.imag[tiny] = 0
+
+    saliency = np.fft.ifft(freq)
+    return np.sqrt(saliency.real ** 2 + saliency.imag ** 2)
 
 
 def generate_spectral_score(
