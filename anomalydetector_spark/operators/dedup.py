@@ -203,40 +203,56 @@ def ngram_jaccard_pairs(
 _SIMHASH_BITS = 64
 
 
-@F.pandas_udf(LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace tokens, vectorized per Arrow batch.
+def simhash_fold_np(hash_arrays: pd.Series) -> pd.Series:
+    """Fold per-token 64-bit hashes (already computed JVM-side via
+    ``xxhash64``) into one SimHash signature per document.
 
-    Per doc: each token hashes to 64 bits (stable numpy pipeline); bit
-    positions vote +1/−1; the sign vector folds back into one int64. Pure
-    numpy — the only Python loop is per-document over already-vectorized
-    token arrays.
+    Fully vectorized across the Arrow batch: all docs' token hashes are
+    concatenated into one flat uint64 array; each of the 64 bit planes is
+    extracted with a single shift-and-mask over the flat array and summed
+    per document with ``np.add.reduceat``; votes > half the token count
+    set the signature bit. The only Python-level loop is per *bit plane*
+    (64 iterations) plus one cheap per-doc ``np.asarray`` during
+    flattening — no per-token Python anywhere (round-1 perf finding #3).
     """
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        # stable per-token 64-bit hashes
-        hs = np.array(
-            [hash_bytes(tok.encode()) for tok in toks], dtype=np.uint64
-        )
-        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+    n = len(hash_arrays)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in hash_arrays),
+        dtype=np.int64,
+        count=n,
+    )
+    nonempty = lens > 0
+    if not nonempty.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in hash_arrays[nonempty]]
+    ).view(np.uint64)
+
+    ne_lens = lens[nonempty]
+    starts = np.zeros(len(ne_lens), dtype=np.int64)
+    np.cumsum(ne_lens[:-1], out=starts[1:])
+
+    # per-bit-plane popcount: 64 × O(total_tokens), O(total_tokens) memory
+    ones = np.empty((len(ne_lens), _SIMHASH_BITS), dtype=np.int64)
+    for b in range(_SIMHASH_BITS):
+        plane = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones[:, b] = np.add.reduceat(plane, starts)
+
+    majority = (2 * ones) > ne_lens[:, None]
+    weights = np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    sigs = (majority.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sigs.view(np.int64)
     return pd.Series(out)
+
+
+simhash_fold = F.pandas_udf(simhash_fold_np, LongType())
 
 
 def hash_bytes(b: bytes) -> int:
     """FNV-1a 64-bit — deterministic across processes (unlike Python's
-    seeded ``hash``)."""
+    seeded ``hash``). Kept as a reference hash for tests; the SimHash hot
+    path hashes tokens JVM-side with ``xxhash64`` instead."""
     h = 0xCBF29CE484222325
     for byte in b:
         h ^= byte
@@ -249,7 +265,19 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, simhash, prefix16) — prefix bucketing gives cheap Hamming-
     neighborhood candidate generation (near-dups almost always share the
-    16-bit prefix; multi-table probing would extend recall)."""
+    16-bit prefix; multi-table probing would extend recall).
+
+    Token hashing happens inside whole-stage codegen: split → filter
+    empties → per-token ``xxhash64`` via a ``transform`` lambda, so the
+    Arrow batch that reaches Python carries int64 arrays, not strings.
+    """
+    token_hashes = F.transform(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        ),
+        lambda t: F.xxhash64(t),
+    )
     return df.select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+        F.col(id_col), simhash_fold(token_hashes).alias("simhash")
     ).withColumn("prefix16", F.shiftrightunsigned(F.col("simhash"), 48))
