@@ -131,26 +131,38 @@ def lsh_bucket_ann(
     )
 
 
+#: default ceiling on vectors collected to the driver for k-means training
+MAX_TRAIN_SAMPLE = 65536
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
     n_iter: int = 5,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_sample: int = MAX_TRAIN_SAMPLE,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means over a deterministic hash-sample.
 
     The sample (``hash(id) % sample_mod == 0``) is collected to the driver
-    — IVF training data is a tiny fixed-size subset even at 10^12 vectors
-    (raise ``sample_mod`` with corpus size); the full corpus is only ever
-    touched by the single assignment pass in :func:`ivf_ann`. Seeded
-    k-means++-style init keeps centroids reproducible run to run.
+    — IVF training data is a bounded subset even at 10^12 vectors: when
+    ``sample_mod`` is None (the default) it is derived from a cheap
+    ``count()`` so at most ``max_train_sample`` vectors reach the driver
+    (round-1 finding #4: the old default collected the whole corpus).
+    The full corpus is only ever touched by the single assignment pass in
+    :func:`ivf_ann`. Seeded k-means++-style init keeps centroids
+    reproducible run to run.
     """
+    if sample_mod is None:
+        n = corpus.count()
+        sample_mod = max(1, -(-n // max_train_sample))  # ceil division
     sample = (
         corpus.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
         .select(vec_col)
+        .limit(2 * max_train_sample)  # hard cap even under hash skew
         .toPandas()[vec_col]
     )
     x = np.stack(sample.to_numpy())
@@ -200,7 +212,7 @@ def ivf_ann(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 2,
-    train_sample_mod: int = 1,
+    train_sample_mod: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

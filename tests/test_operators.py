@@ -188,6 +188,36 @@ def test_ivf_ann_recall_and_exactness(spark):
     assert hits >= 0.6 * sum(len(t3) for t3 in top3.values())
 
 
+def test_ivf_training_sample_is_capped(spark, monkeypatch):
+    """Round-1 finding #4: the default must never collect the whole corpus
+    to the driver — sample_mod is derived from count() to bound the
+    k-means training sample, and recall-relevant behavior is unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    data = [(i, rng.standard_normal(8).tolist()) for i in range(500)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+    # patch the concrete class (Spark 4: classic/connect subclasses)
+    cls = type(df)
+    collected = {}
+    orig = cls.toPandas
+
+    def spy(self):
+        pdf = orig(self)
+        collected["n"] = len(pdf)
+        return pdf
+
+    monkeypatch.setattr(cls, "toPandas", spy)
+    cent = similarity.train_ivf_centroids(
+        df, n_cells=4, seed=5, max_train_sample=64
+    )
+    # sample_mod = ceil(500/64) = 8 → ~62 rows expected, never the corpus
+    assert collected["n"] <= 128
+    assert cent.shape == (4, 8)
+    assert np.isfinite(cent).all()
+
+
 def test_ivf_centroids_deterministic(spark):
     import numpy as np
 
