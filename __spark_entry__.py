@@ -38,6 +38,8 @@ from anomalydetector_spark.operators.dedup import (
 from anomalydetector_spark.operators.evaluate import (
     confusion_counts,
     f1_threshold_sweep,
+    f1_variance,
+    per_series_f1,
     segment_adjust_predictions,
 )
 from anomalydetector_spark.operators.referential import check_referential
@@ -293,6 +295,41 @@ def q_segment_adjusted(spark, sf_dir):
     return out.select("tp", "fp", "fn", _r6(f1).alias("f1"))
 
 
+def q_f1_by_series(spark, sf_dir):
+    """A7 — per-series segment-adjusted confusion + F1, the reference's
+    per-file evaluation protocol (competition_metric.py:81-99, bi_ variant
+    :136-148) via operators/evaluate.per_series_f1."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("cast(value > 300.0 as int)").alias("label"),
+        F.expr("cast(value > 250.0 as int)").alias("pred"),
+    )
+    per = per_series_f1(
+        ev, series_col="user_id", order_by=["ts", "event_id"], delay=7
+    )
+    return per.select(
+        "user_id", "tp", "fp", "fn", "tn", _r6(F.col("f1")).alias("f1")
+    )
+
+
+def q_f1_variance(spark, sf_dir):
+    """A7 — get_variance (competition_metric.py:161-166): population
+    variance of per-series F1 around the POOLED overall F1, one row."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("cast(value > 300.0 as int)").alias("label"),
+        F.expr("cast(value > 250.0 as int)").alias("pred"),
+    )
+    out = f1_variance(
+        ev, series_col="user_id", order_by=["ts", "event_id"], delay=7
+    )
+    return out.select(
+        _r6(F.col("overall_f1")).alias("overall_f1"),
+        "n_series",
+        _r6(F.col("f1_variance")).alias("f1_variance"),
+    )
+
+
 def q_training_prep(spark, sf_dir):
     """Composed training-corpus prep: exact dedup → quality gate →
     token counts + fingerprints, one program
@@ -528,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
         "segment_adjusted": q_segment_adjusted,
+        "f1_by_series": q_f1_by_series,
+        "f1_variance": q_f1_variance,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -814,6 +853,93 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * sum(adj_pred * label) /
                          (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)), 6) AS f1
             FROM adj
+        """,
+        "f1_by_series": """
+            WITH base AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN value > 300.0 THEN 1 ELSE 0 END AS label,
+                     CASE WHEN value > 250.0 THEN 1 ELSE 0 END AS pred
+              FROM events),
+            chg AS (
+              SELECT *, CASE WHEN lag(label) OVER w IS NULL
+                             OR label <> lag(label) OVER w THEN 1 ELSE 0 END AS is_chg
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg AS (
+              SELECT *, sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM chg),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id, seg_id ORDER BY ts, event_id) AS rn
+              FROM seg),
+            det AS (
+              SELECT *, max(CASE WHEN rn <= 8 AND pred = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id, seg_id) AS detected
+              FROM rn),
+            adj AS (
+              SELECT user_id,
+                     CASE WHEN label = 1 THEN detected ELSE pred END AS adj_pred, label
+              FROM det),
+            agg AS (
+              SELECT user_id,
+                     sum(adj_pred * label)::BIGINT AS tp,
+                     sum(adj_pred * (1 - label))::BIGINT AS fp,
+                     sum((1 - adj_pred) * label)::BIGINT AS fn,
+                     sum((1 - adj_pred) * (1 - label))::BIGINT AS tn
+              FROM adj GROUP BY user_id)
+            SELECT user_id, tp, fp, fn, tn,
+                   round(CASE WHEN 2 * tp + fp + fn > 0
+                              THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+            FROM agg
+        """,
+        "f1_variance": """
+            WITH base AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN value > 300.0 THEN 1 ELSE 0 END AS label,
+                     CASE WHEN value > 250.0 THEN 1 ELSE 0 END AS pred
+              FROM events),
+            chg AS (
+              SELECT *, CASE WHEN lag(label) OVER w IS NULL
+                             OR label <> lag(label) OVER w THEN 1 ELSE 0 END AS is_chg
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg AS (
+              SELECT *, sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM chg),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id, seg_id ORDER BY ts, event_id) AS rn
+              FROM seg),
+            det AS (
+              SELECT *, max(CASE WHEN rn <= 8 AND pred = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id, seg_id) AS detected
+              FROM rn),
+            adj AS (
+              SELECT user_id,
+                     CASE WHEN label = 1 THEN detected ELSE pred END AS adj_pred, label
+              FROM det),
+            per AS (
+              SELECT user_id,
+                     sum(adj_pred * label)::BIGINT AS tp,
+                     sum(adj_pred * (1 - label))::BIGINT AS fp,
+                     sum((1 - adj_pred) * label)::BIGINT AS fn
+              FROM adj GROUP BY user_id),
+            perf1 AS (
+              SELECT user_id,
+                     CASE WHEN 2 * tp + fp + fn > 0
+                          THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END AS f1,
+                     tp, fp, fn
+              FROM per),
+            overall AS (
+              SELECT CASE WHEN 2 * sum(tp) + sum(fp) + sum(fn) > 0
+                          THEN 2.0 * sum(tp) / (2 * sum(tp) + sum(fp) + sum(fn))
+                          ELSE 0.0 END AS overall_f1
+              FROM perf1)
+            SELECT round(overall_f1, 6) AS overall_f1,
+                   count(*) AS n_series,
+                   round(avg((f1 - overall_f1) * (f1 - overall_f1)), 6) AS f1_variance
+            FROM perf1 CROSS JOIN overall
+            GROUP BY overall_f1
         """,
         "dedup_exact": """
             WITH hashed AS (

@@ -82,6 +82,88 @@ def confusion_counts(
     )
 
 
+def per_series_f1(
+    df: DataFrame,
+    series_col: str = "series_id",
+    label_col: str = "label",
+    pred_col: str = "pred",
+    order_by: list[str] | None = None,
+    delay: int = 7,
+    adjust: bool = True,
+) -> DataFrame:
+    """A7 (part 1) — one confusion/F1 row per labeled series, the
+    reference's per-file evaluation protocol (competition_metric.py:81-99
+    reconstructs each file independently; the bi_ variant at :136-148
+    records each file's own f1_score). ``adjust=True`` applies the W16
+    segment adjustment per series first, as ``evaluate_for_all_series``
+    does via ``reconstruct_series``.
+
+    F1 degenerates to 0.0 when a series has no positive labels or
+    predictions — sklearn's ``zero_division`` behavior in the reference.
+
+    One shuffle on ``series_col`` (the window for adjustment and the
+    groupBy share the partitioning, so AQE coalesces them).
+    """
+    order_by = order_by or ["ts"]
+    if adjust:
+        scored = segment_adjust_predictions(
+            df, label_col, pred_col, order_by, partition_by=series_col, delay=delay
+        )
+        pred = F.col("adj_pred")
+    else:
+        scored = df
+        pred = F.col(pred_col)
+    lab = F.col(label_col)
+    agg = scored.groupBy(series_col).agg(
+        F.sum(pred * lab).alias("tp"),
+        F.sum(pred * (1 - lab)).alias("fp"),
+        F.sum((1 - pred) * lab).alias("fn"),
+        F.sum((1 - pred) * (1 - lab)).alias("tn"),
+    )
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    f1 = F.when(denom > 0, 2 * F.col("tp") / denom).otherwise(F.lit(0.0))
+    return agg.withColumn("f1", f1)
+
+
+def f1_variance(
+    df: DataFrame,
+    series_col: str = "series_id",
+    label_col: str = "label",
+    pred_col: str = "pred",
+    order_by: list[str] | None = None,
+    delay: int = 7,
+    adjust: bool = True,
+) -> DataFrame:
+    """A7 (part 2) — ``get_variance`` (competition_metric.py:161-166):
+    population mean of squared deviations of each series' F1 from the
+    POOLED overall F1 (not the mean of per-series F1s — the reference
+    passes the all-series score as the center).
+
+    Emits one row: ``(overall_f1, n_series, f1_variance)``. The overall
+    score is a rollup of the per-series confusion counts, so the input is
+    scanned once; the 1-row overall frame broadcasts onto the per-series
+    frame for the deviation average.
+    """
+    per = per_series_f1(
+        df, series_col, label_col, pred_col, order_by, delay, adjust
+    ).persist()
+    overall = per.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    overall = overall.select(
+        F.when(denom > 0, 2 * F.col("tp") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("overall_f1")
+    )
+    dev = (F.col("f1") - F.col("overall_f1")) ** 2
+    return per.crossJoin(F.broadcast(overall)).agg(
+        F.first("overall_f1").alias("overall_f1"),
+        F.count("*").alias("n_series"),
+        F.avg(dev).alias("f1_variance"),
+    )
+
+
 def f1_threshold_sweep(
     df: DataFrame,
     score_col: str = "score",

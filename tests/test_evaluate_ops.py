@@ -157,3 +157,50 @@ def test_confusion_and_sweep(spark):
     want_t = max(sorted(f1s), key=lambda t: f1s[t])
     assert abs(best.f1 - f1s[want_t]) < 1e-12
     assert abs(best.threshold - want_t) < 1e-9
+
+
+def _f1(label, pred):
+    tp = int((pred * label).sum())
+    fp = int((pred * (1 - label)).sum())
+    fn = int(((1 - pred) * label).sum())
+    d = 2 * tp + fp + fn
+    return 2 * tp / d if d else 0.0
+
+
+def test_per_series_f1_and_variance_match_reference(spark, ref_metric):
+    """A7: per-series segment-adjusted F1 + get_variance around the
+    POOLED overall F1, vs the reference protocol recomputed in numpy
+    (get_range_proba per series, f1 pooled, competition_metric.py
+    get_variance)."""
+    from anomalydetector_spark.operators.evaluate import f1_variance, per_series_f1
+
+    rng = np.random.default_rng(23)
+    frames, per_expected = [], {}
+    pooled_lab, pooled_adj = [], []
+    for series in range(8):
+        n = int(rng.integers(10, 150))
+        label, pred = _random_case(rng, n)
+        adj = np.asarray(ref_metric.get_range_proba(pred, label, 7))
+        per_expected[f"s{series}"] = _f1(label, adj)
+        pooled_lab.append(label)
+        pooled_adj.append(adj)
+        frames.append(
+            pd.DataFrame(
+                {"series_id": f"s{series}", "ts": np.arange(n), "label": label, "pred": pred}
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+
+    per = per_series_f1(df).toPandas().set_index("series_id")
+    assert len(per) == 8
+    for k, want in per_expected.items():
+        assert per.loc[k, "f1"] == pytest.approx(want, abs=1e-12), k
+
+    overall_want = _f1(np.concatenate(pooled_lab), np.concatenate(pooled_adj))
+    var_want = ref_metric.get_variance(
+        overall_want, [per_expected[f"s{i}"] for i in range(8)]
+    )
+    row = f1_variance(df).first()
+    assert row.n_series == 8
+    assert row.overall_f1 == pytest.approx(overall_want, abs=1e-12)
+    assert row.f1_variance == pytest.approx(var_want, abs=1e-12)
