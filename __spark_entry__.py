@@ -39,6 +39,7 @@ from anomalydetector_spark.operators.evaluate import (
     confusion_counts,
     f1_threshold_sweep,
     f1_variance,
+    gap_adjusted_detections,
     per_series_f1,
     segment_adjust_predictions,
 )
@@ -330,6 +331,48 @@ def q_f1_variance(spark, sf_dir):
     )
 
 
+def q_threshold_sweep_adjusted(spark, sf_dir):
+    """W18 (reference semantics) — SEGMENT-ADJUSTED F1 per threshold:
+    the actual protocol of srcnn/evalue.py:163-176 (get_range_proba runs
+    post-thresholding, per threshold), per-series on user_id. 20
+    thresholds × 0.05 via f1_threshold_sweep(adjust=True)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_SWEEP_LABEL).cast("int").alias("label"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    sweep = f1_threshold_sweep(
+        ev, n_thresholds=20, scale=0.05,
+        adjust=True, order_by=["ts", "event_id"], partition_by="user_id",
+        delay=7,
+    )
+    return sweep.select(
+        _r6("threshold").alias("threshold"), "tp", "fp", "fn",
+        _r6("f1").alias("f1"),
+    )
+
+
+def q_gap_adjusted(spark, sf_dir):
+    """W15 — gap-as-anomaly post-rule (srcnn/utils.py:302-311) over the
+    irregular events series: per user, points after a larger-than-minimum
+    gap are forced anomalous when a detection (original or forced) lies
+    < max_back indices back. Aggregated to per-user forced/adjusted
+    counts so the sequential rule is still SQL-oracle-checkable (DuckDB
+    recursive CTE walks the same gap chain)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("value") > 300.0).cast("int").alias("pred"),
+    )
+    adj = gap_adjusted_detections(
+        ev, series_col="user_id", ts_col="ts", det_col="pred",
+        score_col=None, order_by=["ts", "event_id"], max_back=5,
+    )
+    return adj.groupBy("user_id").agg(
+        F.sum(F.col("gap_forced").cast("int")).alias("n_forced"),
+        F.sum("pred").alias("n_det_adj"),
+    )
+
+
 def q_training_prep(spark, sf_dir):
     """Composed training-corpus prep: exact dedup → quality gate →
     token counts + fingerprints, one program
@@ -567,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_adjusted": q_segment_adjusted,
         "f1_by_series": q_f1_by_series,
         "f1_variance": q_f1_variance,
+        "threshold_sweep_adjusted": q_threshold_sweep_adjusted,
+        "gap_adjusted": q_gap_adjusted,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -940,6 +985,88 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((f1 - overall_f1) * (f1 - overall_f1)), 6) AS f1_variance
             FROM perf1 CROSS JOIN overall
             GROUP BY overall_f1
+        """,
+        "threshold_sweep_adjusted": f"""
+            WITH th AS (SELECT i / 20.0 AS threshold FROM range(1, 21) t(i)),
+            base AS (
+              SELECT th.threshold, user_id, ts, event_id,
+                     CASE WHEN {sweep_label} THEN 1 ELSE 0 END AS label,
+                     CASE WHEN value / 500.0 > th.threshold THEN 1 ELSE 0 END AS pred
+              FROM events CROSS JOIN th),
+            chg AS (
+              SELECT *, CASE WHEN lag(label) OVER w IS NULL
+                             OR label <> lag(label) OVER w THEN 1 ELSE 0 END AS is_chg
+              FROM base
+              WINDOW w AS (PARTITION BY threshold, user_id ORDER BY ts, event_id)),
+            seg AS (
+              SELECT *, sum(is_chg) OVER (PARTITION BY threshold, user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM chg),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY threshold, user_id, seg_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM seg),
+            det AS (
+              SELECT *, max(CASE WHEN rn <= 8 AND pred = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY threshold, user_id, seg_id) AS detected
+              FROM rn),
+            adj AS (
+              SELECT threshold,
+                     CASE WHEN label = 1 THEN detected ELSE pred END AS adj_pred, label
+              FROM det)
+            SELECT round(threshold, 6) AS threshold,
+                   sum(adj_pred * label)::BIGINT AS tp,
+                   sum(adj_pred * (1 - label))::BIGINT AS fp,
+                   sum((1 - adj_pred) * label)::BIGINT AS fn,
+                   round(2.0 * sum(adj_pred * label) /
+                         (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)), 6) AS f1
+            FROM adj GROUP BY threshold
+        """,
+        "gap_adjusted": """
+            WITH RECURSIVE base AS (
+              SELECT user_id, epoch_us(ts) AS tsu,
+                     CASE WHEN value > 300.0 THEN 1 ELSE 0 END AS det,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+              FROM events),
+            d AS (
+              SELECT *, tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY i) AS diff
+              FROM base),
+            iv AS (SELECT user_id, min(diff) AS iv FROM d WHERE diff IS NOT NULL GROUP BY user_id),
+            marked AS (
+              SELECT d.user_id, d.i, d.det,
+                     (d.diff IS NOT NULL AND d.diff > iv.iv) AS is_gap,
+                     coalesce(max(CASE WHEN d.det = 1 AND d.i > 0 THEN d.i END)
+                              OVER (PARTITION BY d.user_id ORDER BY d.i
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_orig_prev
+              FROM d JOIN iv ON d.user_id = iv.user_id),
+            gaps AS (
+              SELECT user_id, i, det, last_orig_prev,
+                     row_number() OVER (PARTITION BY user_id ORDER BY i) AS rn
+              FROM marked WHERE is_gap),
+            walk AS (
+              SELECT user_id, 0::BIGINT AS rn, -1::BIGINT AS last_forced,
+                     false AS fired, 0 AS det
+              FROM (SELECT DISTINCT user_id FROM gaps)
+              UNION ALL
+              SELECT g.user_id, g.rn,
+                     CASE WHEN (greatest(g.last_orig_prev, w.last_forced) >= 0
+                                AND g.i - greatest(g.last_orig_prev, w.last_forced) < 5)
+                               OR g.det = 1
+                          THEN g.i ELSE w.last_forced END,
+                     (greatest(g.last_orig_prev, w.last_forced) >= 0
+                      AND g.i - greatest(g.last_orig_prev, w.last_forced) < 5) AS fired,
+                     g.det
+              FROM walk w JOIN gaps g ON g.user_id = w.user_id AND g.rn = w.rn + 1),
+            forced AS (
+              SELECT user_id, count(*) AS n_forced
+              FROM walk WHERE rn > 0 AND fired AND det = 0
+              GROUP BY user_id)
+            SELECT b.user_id,
+                   coalesce(max(f.n_forced), 0)::BIGINT AS n_forced,
+                   (sum(b.det) + coalesce(max(f.n_forced), 0))::BIGINT AS n_det_adj
+            FROM base b LEFT JOIN forced f ON b.user_id = f.user_id
+            GROUP BY b.user_id
         """,
         "dedup_exact": """
             WITH hashed AS (

@@ -47,6 +47,7 @@ __all__ = [
     "deanomaly_entire",
     "calculate_expected_value",
     "sr_detect",
+    "apply_gap_rule",
 ]
 
 # Default detection constants (reference: msanomalydetector/util.py:39-43,
@@ -268,3 +269,59 @@ def sr_detect(
             pieces.append({k: v[off:] for k, v in full.items()})
 
     return {k: np.concatenate([piece[k] for piece in pieces]) for k in pieces[0]}
+
+
+def apply_gap_rule(
+    timestamps: np.ndarray,
+    detections: np.ndarray,
+    scores: np.ndarray | None = None,
+    max_back: int = 1000,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+    """W15 — gap-as-anomaly post-rule (reference srcnn/utils.py:302-311).
+
+    A point whose gap to its predecessor exceeds the series' minimum
+    inter-arrival interval is forced anomalous (detection=1, score=1.0)
+    when any detection — original or previously forced — occurred fewer
+    than ``max_back`` *indices* back.  Forced points themselves count as
+    detections for later gaps, exactly like the reference's running
+    ``last`` pointer.
+
+    The scan only iterates the gap indices (everything else is
+    vectorized): the last *original* detection before every position is a
+    ``maximum.accumulate`` and forced points are tracked with a single
+    monotone pointer, so cost is O(n + #gaps) per series.
+
+    Returns ``(detections, scores, forced_mask)``; inputs are not
+    modified.  ``scores`` is None iff the input scores were None.
+    """
+    ts = np.asarray(timestamps)
+    det = np.asarray(detections).astype(np.int64).copy()
+    sc = None if scores is None else np.asarray(scores, dtype=np.float64).copy()
+    n = len(ts)
+    forced = np.zeros(n, dtype=bool)
+    if n < 2:
+        return det, sc, forced
+
+    diffs = np.diff(ts)
+    interval = diffs.min()
+    idx = np.arange(n, dtype=np.int64)
+    # last original detection at or before each index; -1 = none yet.
+    # Index 0 is excluded on purpose: the reference scan starts at i=1,
+    # so a detection at position 0 never sets its ``last`` pointer.
+    last_orig = np.maximum.accumulate(np.where((det == 1) & (idx > 0), idx, -1))
+    gap_idx = np.flatnonzero(diffs > interval) + 1
+
+    last_forced = -1
+    for i in gap_idx:
+        last = max(last_orig[i - 1], last_forced)
+        if last >= 0 and i - last < max_back:
+            if det[i] == 0:
+                forced[i] = True
+            det[i] = 1
+            if sc is not None:
+                sc[i] = 1.0
+        # any detection at i (original or just forced) becomes the new
+        # ``last`` for subsequent gaps, as in the reference loop
+        if det[i] == 1:
+            last_forced = i
+    return det, sc, forced

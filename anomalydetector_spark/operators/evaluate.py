@@ -33,7 +33,7 @@ def segment_adjust_predictions(
     label_col: str = "label",
     pred_col: str = "pred",
     order_by: list[str] | None = None,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     delay: int = 7,
 ) -> DataFrame:
     """W16 — append ``adj_pred`` per competition_metric.py:9-34.
@@ -42,7 +42,12 @@ def segment_adjust_predictions(
     reference call); ``order_by`` fixes the time order within a series.
     """
     order_by = order_by or ["ts"]
-    part = [partition_by] if partition_by else []
+    if partition_by is None:
+        part = []
+    elif isinstance(partition_by, str):
+        part = [partition_by]
+    else:
+        part = list(partition_by)
     w = Window.partitionBy(*part).orderBy(*_order_cols(order_by))
 
     prev = F.lag(label_col).over(w)
@@ -164,16 +169,89 @@ def f1_variance(
     )
 
 
+def gap_adjusted_detections(
+    df: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    det_col: str = "pred",
+    score_col: str | None = "score",
+    order_by: list[str] | None = None,
+    max_back: int = 1000,
+) -> DataFrame:
+    """W15 — gap-as-anomaly post-rule as a distributed operator
+    (reference srcnn/utils.py:302-311): within each series, a point whose
+    inter-arrival gap exceeds the series' minimum interval is forced
+    anomalous when a detection (original or previously forced) occurred
+    fewer than ``max_back`` indices back.
+
+    The rule's running ``last`` pointer is inherently sequential per
+    series, so each series is one Arrow batch through ``applyInPandas``
+    (the same shape as SR scoring itself — one shuffle on ``series_col``,
+    group size = series length, never per-document).  Inside the batch the
+    kernel only loops over gap indices (kernel/sr.py apply_gap_rule).
+
+    Output = input columns with ``det_col``/``score_col`` adjusted, plus
+    ``gap_forced`` (true where the rule flipped a 0 to a 1).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from anomalydetector_spark.kernel.sr import apply_gap_rule
+
+    order_by = order_by or [ts_col]
+    # fresh StructType: StructType.add would mutate df's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("gap_forced", BooleanType())]
+    )
+
+    def adjust(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        ts = pdf[ts_col]
+        if str(ts.dtype).startswith("datetime"):
+            ts = ts.astype("int64")  # ns since epoch; gap compare is scale-free
+        det, sc, forced = apply_gap_rule(
+            ts.to_numpy(),
+            pdf[det_col].to_numpy(),
+            None if score_col is None else pdf[score_col].to_numpy(),
+            max_back=max_back,
+        )
+        out = pdf.copy()
+        out[det_col] = det.astype(pdf[det_col].dtype)
+        if score_col is not None:
+            out[score_col] = sc
+        out["gap_forced"] = forced
+        return out
+
+    return df.groupBy(series_col).applyInPandas(adjust, schema=out_schema)
+
+
 def f1_threshold_sweep(
     df: DataFrame,
     score_col: str = "score",
     label_col: str = "label",
     n_thresholds: int = 98,
     scale: float = 0.01,
+    adjust: bool = False,
+    order_by: list[str] | None = None,
+    partition_by: str | None = None,
+    delay: int = 7,
 ) -> DataFrame:
     """W18 — F1 at thresholds ``{scale, 2*scale, …}`` (evalue.py:163-176:
     98 thresholds × 0.01). One crossJoin with a 98-row literal frame (a
-    broadcast by size), one groupBy(threshold)."""
+    broadcast by size), one groupBy(threshold).
+
+    ``adjust=False`` computes point-wise F1 per threshold.  The reference
+    sweep actually evaluates SEGMENT-ADJUSTED F1 at every threshold
+    (evalue.py:163-176 → evaluate_for_all_series → get_range_proba), and
+    the adjustment must run post-thresholding, per threshold — it cannot
+    be composed in afterwards.  ``adjust=True`` reproduces that: the W16
+    window pass runs over the threshold-crossjoined frame partitioned by
+    (threshold, series), so each threshold is adjusted independently.
+    Cost: the windowed frame is ``n_thresholds ×`` the input — fine for
+    the stat-series frames this evaluates (windows × partitions, never
+    raw documents).
+    """
     spark = df.sparkSession
     th = spark.range(1, n_thresholds + 1).select(
         (F.col("id") * scale).alias("threshold")
@@ -181,11 +259,19 @@ def f1_threshold_sweep(
     scored = df.crossJoin(F.broadcast(th)).withColumn(
         "_pred", (F.col(score_col) > F.col("threshold")).cast("int")
     )
+    if adjust:
+        part = ["threshold"] + ([partition_by] if partition_by else [])
+        scored = segment_adjust_predictions(
+            scored, label_col, "_pred", order_by, part, delay
+        )
+        pred = F.col("adj_pred")
+    else:
+        pred = F.col("_pred")
     lab = F.col(label_col)
     agg = scored.groupBy("threshold").agg(
-        F.sum(F.col("_pred") * lab).alias("tp"),
-        F.sum(F.col("_pred") * (1 - lab)).alias("fp"),
-        F.sum((1 - F.col("_pred")) * lab).alias("fn"),
+        F.sum(pred * lab).alias("tp"),
+        F.sum(pred * (1 - lab)).alias("fp"),
+        F.sum((1 - pred) * lab).alias("fn"),
     )
     f1 = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
     return agg.select("threshold", "tp", "fp", "fn", f1.alias("f1"))
@@ -197,10 +283,15 @@ def best_threshold(
     label_col: str = "label",
     n_thresholds: int = 98,
     scale: float = 0.01,
+    **sweep_kwargs,
 ) -> DataFrame:
     """W18 top-1: argmax-F1 threshold (ties → lowest threshold, matching
-    the reference's strict ``>`` best-so-far scan in evalue.py:171-176)."""
-    sweep = f1_threshold_sweep(df, score_col, label_col, n_thresholds, scale)
+    the reference's strict ``>`` best-so-far scan in evalue.py:171-176).
+    Pass ``adjust=True`` (plus series/order columns) for the reference's
+    segment-adjusted sweep."""
+    sweep = f1_threshold_sweep(
+        df, score_col, label_col, n_thresholds, scale, **sweep_kwargs
+    )
     return sweep.orderBy(F.col("f1").desc_nulls_last(), "threshold").limit(1)
 
 

@@ -204,3 +204,68 @@ def test_per_series_f1_and_variance_match_reference(spark, ref_metric):
     assert row.n_series == 8
     assert row.overall_f1 == pytest.approx(overall_want, abs=1e-12)
     assert row.f1_variance == pytest.approx(var_want, abs=1e-12)
+
+
+def test_adjusted_threshold_sweep_matches_reference(spark, ref_metric):
+    """ADVICE round-1: the reference sweep (srcnn/evalue.py:163-176)
+    evaluates SEGMENT-ADJUSTED F1 per threshold — get_range_proba runs
+    after thresholding, per threshold. Check adjust=True against the
+    protocol recomputed with the verbatim reference function."""
+    from anomalydetector_spark.operators.evaluate import (
+        best_threshold,
+        f1_threshold_sweep,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for series in range(4):
+        n = int(rng.integers(30, 120))
+        label = (rng.random(n) < 0.2).astype(int)
+        score = np.clip(
+            rng.random(n) * 0.6 + label * rng.random(n) * 0.4, 0, 1
+        )
+        frames.append(
+            pd.DataFrame(
+                {"series": f"s{series}", "i": np.arange(n),
+                 "label": label, "score": score}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    n_th, scale, delay = 20, 0.05, 7
+    got = (
+        f1_threshold_sweep(
+            df, n_thresholds=n_th, scale=scale,
+            adjust=True, order_by=["i"], partition_by="series", delay=delay,
+        )
+        .toPandas()
+        .set_index("threshold")
+        .sort_index()
+    )
+    assert len(got) == n_th
+
+    best_want, best_f1 = None, -1.0
+    for k in range(1, n_th + 1):
+        t = k * scale
+        tp = fp = fn = 0
+        for s, grp in pdf.groupby("series"):
+            grp = grp.sort_values("i")
+            lab = grp["label"].to_numpy()
+            pred = (grp["score"].to_numpy() > t).astype(int)
+            adj = np.asarray(ref_metric.get_range_proba(pred, lab, delay))
+            tp += int((adj * lab).sum())
+            fp += int((adj * (1 - lab)).sum())
+            fn += int(((1 - adj) * lab).sum())
+        row = got.iloc[k - 1]
+        assert int(row["tp"]) == tp and int(row["fp"]) == fp and int(row["fn"]) == fn, t
+        f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+        assert row["f1"] == pytest.approx(f1, abs=1e-12, nan_ok=True)
+        if f1 > best_f1:
+            best_f1, best_want = f1, t
+
+    top = best_threshold(
+        df, n_thresholds=n_th, scale=scale,
+        adjust=True, order_by=["i"], partition_by="series", delay=delay,
+    ).first()
+    assert top.threshold == pytest.approx(best_want, abs=1e-9)
