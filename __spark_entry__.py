@@ -46,6 +46,7 @@ from anomalydetector_spark.operators.evaluate import (
 from anomalydetector_spark.operators.referential import check_referential
 from anomalydetector_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    embedding_near_duplicates,
     ivf_ann,
     lsh_bucket_ann,
 )
@@ -169,12 +170,15 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_lang_histogram(spark, sf_dir):
-    """Lang histogram + fractions (north-rule stat)."""
+    """Lang histogram + fractions (north-rule stat). ONE scan: the total
+    is a single-partition window over the already-aggregated (tiny,
+    n_langs-row) frame instead of a second count() action on the input."""
     docs = _t(spark, sf_dir, "documents")
-    total = docs.count()
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        _r6(F.count(F.lit(1)) / F.lit(float(total))).alias("frac"),
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "lang", "n_docs",
+        _r6(F.col("n_docs") / total.cast("double")).alias("frac"),
     )
 
 
@@ -410,11 +414,17 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup within a blocking key (SURVEY brief)."""
+    """n-gram Jaccard verification composed behind MinHash-LSH candidate
+    generation — the 100-TB pipeline shape (banded equi-join candidates,
+    exact Jaccard only on those pairs; never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
+    cands = minhash_lsh_candidates(
         docs, text_col="text", id_col="doc_id", k_shingle=3,
-        threshold=0.2, block_col="source",
+        n_hashes=16, bands=4,
+    )
+    return ngram_jaccard_pairs(
+        docs, pairs=cands, text_col="text", id_col="doc_id", k_shingle=3,
+        threshold=0.2,
     ).select("id_a", "id_b", _r6("jaccard_sim").alias("jaccard_sim"))
 
 
@@ -461,6 +471,19 @@ def q_embedding_near_dup(spark, sf_dir):
         .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", _r6("sim").alias("cosine_sim"))
     )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Scale twin of q_embedding_near_dup: cosine ≥ 0.4 pairs with
+    candidates confined to hyperplane-LSH buckets (bucket equi-join, no
+    theta self-join — the 100-TB path; seeded planes → rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = embedding_near_duplicates(
+        emb, threshold=0.4, n_planes=3, dim=64, seed=42, n_tables=8
+    )
+    return out.select("id_a", "id_b", _r6("cosine_sim").alias("cosine_sim"))
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
@@ -618,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "token_counts": q_token_counts,
@@ -1080,15 +1104,33 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed JOIN groups USING (text_hash)
         """,
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (
-              SELECT doc_id, source, {_DUCK_SHINGLES.format(toks=_DUCK_TOKS)} AS s
-              FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s)) /
-                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 6) AS jaccard_sim
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s)) /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.2
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            shingled AS (
+              SELECT doc_id, {shingles} AS sh FROM toks),
+            sigs AS (
+              SELECT doc_id,
+            {minhash_sig_cols}
+              FROM shingled),
+            sigs2 AS (
+              SELECT doc_id,
+            {band_exprs}
+              FROM sigs),
+            banded AS (
+              {band_union.replace('FROM sigs', 'FROM sigs2')}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(sa.sh, sb.sh)) /
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard_sim
+            FROM cand c
+            JOIN shingled sa ON sa.doc_id = c.id_a
+            JOIN shingled sb ON sb.doc_id = c.id_b
+            WHERE len(list_intersect(sa.sh, sb.sh)) /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.2
         """,
         "dedup_minhash_lsh": f"""
             WITH toks AS (

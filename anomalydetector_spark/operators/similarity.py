@@ -274,26 +274,57 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, candidates
-    confined to LSH buckets (self-join on ``bucket`` with ``a < b``)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    confined to LSH buckets (equi-join on ``(table, bucket)`` with
+    ``a < b`` — never a theta/cartesian join).
+
+    ``n_tables`` > 1 builds that many independently-seeded hash tables
+    and ORs their candidate sets (the standard recall lever: collision
+    prob per table is ``(1-θ/π)^n_planes``, over L tables
+    ``1-(1-p)^L``).  Candidates are distinct'd on the id pair BEFORE the
+    cosine is computed, so each survivor costs one dot product no matter
+    how many tables bucket it together; vectors are re-attached with two
+    hash joins on the id.
+    """
+    planes_per_table = [
+        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
     sig = corpus.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _signature(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _signature(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(planes_per_table)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "s.tbl", "s.bucket")
     a, b = sig.alias("a"), sig.alias("b")
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
