@@ -302,15 +302,21 @@ def dense_label_grid(
     partition_by: str | None = None,
 ) -> DataFrame:
     """W17 — reconstruct the dense min-interval grid per series
-    (competition_metric.py:37-52): spine = ``sequence(min, max,
-    min_interval)``, observed labels scattered on, gaps filled with 0.
-    Emits ``(partition, grid_ts, label)``."""
+    (competition_metric.py:37-52): grid slot = ``(ts - t0) //
+    min_interval`` — FLOOR division exactly as ``reconstruct_label``, so
+    an observation whose offset is not an exact interval multiple still
+    lands on its floored slot. (Two observations can never share a slot
+    — that would need a pair closer than the minimum interval — but the
+    aggregation is latest-by-timestamp for safety, matching numpy
+    fancy-index assignment.) Unobserved slots are 0.
+    Emits ``(partition, grid_ts, label)`` with ``grid_ts = t0 +
+    slot*interval``."""
     part = [partition_by] if partition_by else []
     w = Window.partitionBy(*part).orderBy(ts_col)
     with_prev = df.withColumn("_prev", F.lag(ts_col).over(w))
     bounds = with_prev.groupBy(*part).agg(
-        F.min(ts_col).alias("_t0"),
-        F.max(ts_col).alias("_t1"),
+        F.unix_timestamp(F.min(ts_col)).alias("_u0"),
+        F.unix_timestamp(F.max(ts_col)).alias("_u1"),
         F.min(
             F.when(
                 F.col("_prev").isNotNull(),
@@ -320,18 +326,32 @@ def dense_label_grid(
     )
     spine = bounds.select(
         *part,
+        "_u0",
+        "_iv",
         F.explode(
             F.sequence(
-                F.unix_timestamp("_t0"),
-                F.unix_timestamp("_t1"),
-                F.col("_iv"),
+                F.lit(0).cast("long"),
+                F.expr("(_u1 - _u0) div _iv"),
             )
-        ).alias("_gts"),
-    ).select(*part, F.col("_gts").cast("timestamp").alias("grid_ts"))
-    obs = df.select(
-        *part, F.col(ts_col).alias("grid_ts"), F.col(label_col).alias("_obs")
+        ).alias("_slot"),
+    ).select(
+        *part,
+        "_slot",
+        (F.col("_u0") + F.col("_slot") * F.col("_iv"))
+        .cast("timestamp")
+        .alias("grid_ts"),
     )
-    on = part + ["grid_ts"]
+    obs = (
+        df.join(bounds.select(*part, "_u0", "_iv"), part) if part
+        else df.crossJoin(bounds.select("_u0", "_iv"))
+    )
+    obs = obs.withColumn(
+        "_slot",
+        F.expr(f"(unix_timestamp({ts_col}) - _u0) div _iv"),
+    ).groupBy(*part, "_slot").agg(
+        F.max_by(label_col, F.col(ts_col)).alias("_obs")
+    )
+    on = part + ["_slot"]
     return spine.join(obs, on, "left").select(
-        *on, F.coalesce(F.col("_obs"), F.lit(0)).alias(label_col)
+        *part, "grid_ts", F.coalesce(F.col("_obs"), F.lit(0)).alias(label_col)
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SKETCH_SCHEMA = (
@@ -111,13 +111,28 @@ def resume_sketches(
     pending_rows = df.withColumn("partition_key", part).join(
         F.broadcast(done), "partition_key", "left_anti"
     )
-    fresh = partition_sketches(
-        pending_rows, key_col=key_col, partition_by="partition_key", lg_k=lg_k
-    )
-    new_rows = sketches_to_manifest_rows(fresh, snapshot_id, stat_name)
-    new_rows.write.mode("append").parquet(path)
-    return read_sketches(spark, path).filter(
+    # skip the append entirely when nothing is pending — a fully-resumed
+    # run must not rescan (with a physical partition column the pruned
+    # scan makes this emptiness probe read zero files)
+    if not pending_rows.isEmpty():
+        fresh = partition_sketches(
+            pending_rows, key_col=key_col, partition_by="partition_key", lg_k=lg_k
+        )
+        new_rows = sketches_to_manifest_rows(fresh, snapshot_id, stat_name)
+        new_rows.write.mode("append").parquet(path)
+    stored = read_sketches(spark, path).filter(
         (F.col("snapshot_id") == snapshot_id) & (F.col("stat_name") == stat_name)
+    )
+    # latest row per partition: a run that failed between write and read
+    # (or raced another writer) can leave duplicate sketch rows, which
+    # would double-count rows_scanned in the global rollups
+    latest = Window.partitionBy("partition_spec").orderBy(
+        F.col("completed_at").desc()
+    )
+    return (
+        stored.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -12,9 +12,11 @@ Design notes (scale-first):
 * Stage 2 keys state by (partition_key, stat_name) — cardinality is
   partitions × stats, NOT documents — and stores the whole finalized
   window series (one float per window: years of daily windows fit in a
-  few KB). Each micro-batch appends the newly finalized windows and
-  re-runs the reference SR kernel over the full series, emitting scores
-  for the new windows only (append semantics, safe for file sinks).
+  few KB) — or, with a positive ``batch_size``, only the last two SR
+  batches (bounded state + bounded per-micro-batch kernel work; see
+  ``sr_score_stream``). Each micro-batch merges the newly finalized
+  windows and emits scores for the new windows only (append semantics,
+  safe for file sinks).
 
 The two stages chain through storage (parquet dir or any table), which
 is also the natural resume/lineage boundary: stage 2 can be torn down
@@ -42,11 +44,15 @@ from anomalydetector_spark.kernel.sr import MIN_POINTS, SrParams, sr_detect
 
 DEFAULT_LANGS = ("en", "de", "fr", "zh", "es")
 
-# state: the series so far, as epoch-micros + values (append-only arrays)
+# state: the retained series, as epoch-micros + values, plus the global
+# index of the first retained point (0 in whole-series mode; a tumbling
+# batch boundary in incremental mode, where only the last two SR batches
+# are kept)
 STAT_STATE_SCHEMA = StructType(
     [
         StructField("ts_us", ArrayType(LongType())),
         StructField("vals", ArrayType(DoubleType())),
+        StructField("base_idx", LongType()),
     ]
 )
 
@@ -108,6 +114,9 @@ def streaming_window_stats(
 def _make_scorer(params: SrParams):
     import numpy as np
 
+    incremental = params.batch_size > 0
+    B = max(MIN_POINTS, params.batch_size) if incremental else 0
+
     def score(
         key: tuple,
         pdfs: Iterable[pd.DataFrame],
@@ -121,28 +130,61 @@ def _make_scorer(params: SrParams):
         new_vals = new["value"].astype(float).tolist()
 
         if state.exists:
-            ts_us, vals = state.get
+            ts_us, vals, base_idx = state.get
             ts_us, vals = list(ts_us), list(vals)
         else:
-            ts_us, vals = [], []
-        # windows may be re-emitted on replay; last-write-wins by ts
+            ts_us, vals, base_idx = [], [], 0
+        # windows may be re-emitted on replay; last-write-wins by ts.
+        # In incremental mode a point older than the retained history
+        # cannot be placed on the batch grid anymore and is dropped —
+        # stage 1's watermark already bounds such lateness.
+        if base_idx > 0 and ts_us:
+            floor_ts = ts_us[0]
+            pairs = [
+                (t, v) for t, v in zip(new_us, new_vals) if t >= floor_ts
+            ]
+            new_us = [t for t, _ in pairs]
+            new_vals = [v for _, v in pairs]
         merged = dict(zip(ts_us, vals))
         n_before_keys = set(merged)
         merged.update(zip(new_us, new_vals))
         items = sorted(merged.items())
         ts_all = [t for t, _ in items]
         vals_all = [v for _, v in items]
-        state.update((ts_all, vals_all))
 
         fresh = [t for t in new_us if t not in n_before_keys]
-        if not fresh or len(ts_all) < MIN_POINTS:
-            # not enough history yet — emit nothing; the series stays in
-            # state and scoring starts once MIN_POINTS windows finalize
-            # (reference contract: spectral_residual.py:49, constants.py:3)
-            return iter(())
+        n_global = base_idx + len(ts_all)
 
-        ts_arr = np.array(ts_all, dtype="datetime64[us]")
-        res = sr_detect(ts_arr, np.asarray(vals_all, dtype=float), params)
+        if not incremental:
+            state.update((ts_all, vals_all, 0))
+            if not fresh or len(ts_all) < MIN_POINTS:
+                # not enough history yet — emit nothing; the series stays
+                # in state and scoring starts once MIN_POINTS windows
+                # finalize (reference: spectral_residual.py:49)
+                return iter(())
+            score_ts, score_vals = ts_all, vals_all
+        else:
+            # score only from the batch grid point that covers the fresh
+            # windows (minus one full batch so a short trailing fragment
+            # can extend backward exactly as sr_detect does), then trim
+            # state to the last two batches. Emitted scores are identical
+            # to whole-series scoring because a point's SR batch is
+            # aligned to the global grid and self-contained.
+            if not fresh or n_global < MIN_POINTS:
+                _trim_and_store(state, ts_all, vals_all, base_idx, n_global)
+                return iter(())
+            first_fresh_global = base_idx + ts_all.index(fresh[0])
+            s0 = max(0, B * (first_fresh_global // B) - B)
+            # never reach before the retained history
+            s0 = max(s0, base_idx)
+            lo = s0 - base_idx
+            score_ts, score_vals = ts_all[lo:], vals_all[lo:]
+            _trim_and_store(state, ts_all, vals_all, base_idx, n_global)
+            if len(score_ts) < MIN_POINTS:
+                return iter(())
+
+        ts_arr = np.array(score_ts, dtype="datetime64[us]")
+        res = sr_detect(ts_arr, np.asarray(score_vals, dtype=float), params)
         out = pd.DataFrame(
             {
                 "partition_key": key[0],
@@ -163,6 +205,12 @@ def _make_scorer(params: SrParams):
         ]
         return iter((out,))
 
+    def _trim_and_store(state, ts_all, vals_all, base_idx, n_global):
+        cur_batch = max(0, (n_global - 1) // B)
+        new_base = max(0, (cur_batch - 1) * B)
+        lo = max(0, new_base - base_idx)
+        state.update((ts_all[lo:], vals_all[lo:], base_idx + lo))
+
     return score
 
 
@@ -171,11 +219,24 @@ def sr_score_stream(
 ) -> DataFrame:
     """SR-score a STREAM of finalized stat windows.
 
-    State per (partition_key, stat_name) is the full series so far; each
-    micro-batch appends its windows, re-scores the series with the
-    reference kernel, and appends scores for the new windows. No timeout:
-    a stat series lives as long as the table does (state size is
-    windows-count floats — decades of daily windows per key stay < 1 MB).
+    With ``params.batch_size == 0`` (whole-series mode) state per
+    (partition_key, stat_name) is the full series so far and every
+    micro-batch re-scores it — O(n) kernel work per batch, O(n²) over a
+    series' lifetime; acceptable for bounded stat series, not for
+    unbounded ones.
+
+    With ``params.batch_size > 0`` scoring is INCREMENTAL: a point's SR
+    batch is a tumbling window aligned to the global series grid and
+    self-contained (sr_detect scores each batch independently, extending
+    a short trailing fragment backward into the previous batch), so each
+    micro-batch only re-runs the kernel from the batch boundary covering
+    its fresh windows minus one batch, and state is trimmed to the last
+    two batches (≤ 2×batch_size points per key, forever). Emitted scores
+    are identical to whole-series mode at the emission instant. The one
+    trade: a window older than the retained two batches (far beyond the
+    stage-1 watermark) is dropped instead of scored.
+
+    No timeout: a stat series lives as long as the table does.
     """
     p = params or SrParams()
     return stat_series_stream.groupBy("partition_key", "stat_name").applyInPandasWithState(

@@ -121,6 +121,31 @@ def test_dense_label_grid_matches_reference(spark, ref_metric):
     np.testing.assert_array_equal(out["label"].to_numpy(), want)
 
 
+def test_dense_label_grid_floors_offgrid_timestamps(spark, ref_metric):
+    """ADVICE round-1: an observation whose offset is NOT an exact
+    multiple of the min interval lands on its floored slot in the
+    reference (reconstruct_label floor-divides) — it must not be
+    silently dropped."""
+    from anomalydetector_spark.operators.evaluate import dense_label_grid
+
+    base = 1_600_000_000
+    # min diff = 60 (between the first two); 130 and 250 are off-grid:
+    # slots (130-0)//60 = 2, (250-0)//60 = 4
+    offsets = np.array([0, 60, 130, 250, 360])
+    ts = base + offsets
+    label = np.array([0, 0, 1, 1, 0])
+    want = ref_metric.reconstruct_label(ts, label)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(ts, unit="s"), "label": label})
+    )
+    out = dense_label_grid(df).toPandas().sort_values("grid_ts")
+    assert len(out) == len(want)
+    np.testing.assert_array_equal(out["label"].to_numpy(), want)
+    # (note: two observations can never share a slot — that would need a
+    # pair closer than the minimum interval — so no collision case exists)
+
+
 def test_confusion_and_sweep(spark):
     from anomalydetector_spark.operators.evaluate import (
         best_threshold,

