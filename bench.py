@@ -64,7 +64,7 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name, fn):
         # min-of-reps: the sandbox host steals CPU in bursts, so a single
@@ -172,6 +172,11 @@ def main() -> None:
                 "pages_rows": pages_rows,
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "reps": reps,
+                # host-noise context: shared-tenancy steal makes single
+                # samples 2-4x off; loadavg lets a reader judge how
+                # contended this record was
+                "loadavg_1m": round(os.getloadavg()[0], 1),
             }
         )
     )
