@@ -266,6 +266,93 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
     print(f"prepared {n_out} docs → {args.output_path}")
 
 
+def cmd_evaluate(args, spark: SparkSession) -> None:
+    """Detection-quality evaluation over a scored table — the reference's
+    evaluation CLI re-expressed distributed (srcnn/evalue.py:163-176 sweep
+    + competition_metric.py evaluate_for_all_series / get_variance), one
+    row per (series, point).
+
+    ``--mode sweep``: segment-adjusted F1 at ``--n-thresholds`` levels
+    (98 × 0.01 by default, the reference grid), best row printed like the
+    reference's "best overall threshold" line.  ``--mode per-series``:
+    per-series confusion/F1 plus the pooled overall F1 and variance
+    (``get_variance``).  ``--gap-rule`` first applies the W15
+    gap-as-anomaly post-rule (srcnn/utils.py:302-311) to the thresholded
+    detections.
+    """
+    from anomalydetector_spark.operators.evaluate import (
+        f1_threshold_sweep,
+        gap_adjusted_detections,
+        per_series_f1,
+        variance_from_per_series,
+    )
+
+    df = _read_any(spark, args.input_path)
+    order_by = [args.timestamp_column]
+    out = args.output_path.rstrip("/")
+
+    if args.mode == "sweep":
+        sweep = f1_threshold_sweep(
+            df,
+            score_col=args.score_column,
+            label_col=args.label_column,
+            n_thresholds=args.n_thresholds,
+            scale=args.scale,
+            adjust=not args.no_adjust,
+            order_by=order_by,
+            partition_by=args.series_column,
+            delay=args.delay,
+        )
+        sweep.write.mode("overwrite").parquet(f"{out}/sweep")
+        best = (
+            spark.read.parquet(f"{out}/sweep")
+            .orderBy(F.col("f1").desc_nulls_last(), "threshold")
+            .first()
+        )
+        prec = best.tp / (best.tp + best.fp) if best.tp + best.fp else 0.0
+        rec = best.tp / (best.tp + best.fn) if best.tp + best.fn else 0.0
+        print(
+            f"best overall threshold : {best.threshold:g} "
+            f"best score : {best.f1:.6f} (precision {prec:.6f}, "
+            f"recall {rec:.6f}); sweep table under {out}/sweep"
+        )
+        return
+
+    scored = df
+    pred_col = args.pred_column
+    if pred_col is None:
+        scored = scored.withColumn(
+            "pred", (F.col(args.score_column) > args.threshold).cast("int")
+        )
+        pred_col = "pred"
+    if args.gap_rule:
+        scored = gap_adjusted_detections(
+            scored,
+            series_col=args.series_column,
+            ts_col=args.timestamp_column,
+            det_col=pred_col,
+            score_col=args.score_column if args.pred_column is None else None,
+            order_by=order_by,
+        )
+    per = per_series_f1(
+        scored,
+        series_col=args.series_column,
+        label_col=args.label_column,
+        pred_col=pred_col,
+        order_by=order_by,
+        delay=args.delay,
+        adjust=not args.no_adjust,
+    ).persist()
+    per.write.mode("overwrite").parquet(f"{out}/per_series")
+    summary = variance_from_per_series(per).first()
+    per.unpersist()
+    print(
+        f"overall F1 {summary.overall_f1:.6f} over {summary.n_series} "
+        f"series; per-series F1 variance {summary.f1_variance:.6f}; "
+        f"table under {out}/per_series"
+    )
+
+
 def cmd_stream_validate(args, spark: SparkSession) -> None:
     """Two chained streaming stages (streaming/drift_stream.py): stats →
     SR scoring, each with its own checkpoint under ``--checkpoint`` so
@@ -378,6 +465,34 @@ def main(argv=None):
                    help="drain what's there and stop (batch-like run)")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    e = sub.add_parser(
+        "evaluate",
+        help="detection-quality evaluation: threshold sweep or per-series "
+             "F1 + variance (reference competition metric)",
+    )
+    e.add_argument("--input-path", required=True,
+                   help="scored table: one row per (series, point) with "
+                        "label + score (or pred) columns")
+    e.add_argument("--output-path", required=True)
+    e.add_argument("--mode", choices=["sweep", "per-series"], default="sweep")
+    e.add_argument("--series-column", default="series_id")
+    e.add_argument("--timestamp-column", default="timestamp")
+    e.add_argument("--label-column", default="label")
+    e.add_argument("--score-column", default="score")
+    e.add_argument("--pred-column", default=None,
+                   help="per-series mode: use this 0/1 column instead of "
+                        "thresholding --score-column")
+    e.add_argument("--threshold", type=float, default=0.3,
+                   help="per-series mode: score > threshold → detection")
+    e.add_argument("--delay", type=int, default=7,
+                   help="segment detection delay k (reference default)")
+    e.add_argument("--n-thresholds", type=int, default=98)
+    e.add_argument("--scale", type=float, default=0.01)
+    e.add_argument("--no-adjust", action="store_true",
+                   help="point-wise F1 instead of segment-adjusted")
+    e.add_argument("--gap-rule", action="store_true",
+                   help="apply the gap-as-anomaly post-rule first")
+
     p = sub.add_parser(
         "prep-corpus",
         help="training-corpus prep: exact dedup + quality gate + features",
@@ -399,6 +514,8 @@ def main(argv=None):
             cmd_stream_validate(args, spark)
         elif args.cmd == "prep-corpus":
             cmd_prep_corpus(args, spark)
+        elif args.cmd == "evaluate":
+            cmd_evaluate(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:

@@ -152,6 +152,14 @@ def f1_variance(
     per = per_series_f1(
         df, series_col, label_col, pred_col, order_by, delay, adjust
     ).persist()
+    return variance_from_per_series(per)
+
+
+def variance_from_per_series(per: DataFrame) -> DataFrame:
+    """The ``get_variance`` math over an ALREADY-COMPUTED per-series
+    confusion frame (one row per series with ``tp/fp/fn/f1`` — the
+    output of :func:`per_series_f1`). Split out so callers that persist
+    or write the per-series frame don't recompute it for the summary."""
     overall = per.agg(
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
     )

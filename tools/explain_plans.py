@@ -160,6 +160,81 @@ def main() -> None:
         or "PushedFilters" in filt_plan and "lang" in filt_plan,
     )
 
+    # round-2 operators: the properties that decide whether they survive
+    # a 100-TB input.
+    from anomalydetector_spark.operators.evaluate import (
+        f1_threshold_sweep,
+        gap_adjusted_detections,
+        per_series_f1,
+    )
+    from anomalydetector_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    nd_plan = plan_of(
+        embedding_near_duplicates(
+            emb, threshold=0.4, n_planes=3, dim=64, seed=42, n_tables=8
+        )
+    )
+    ok &= check(
+        "embedding near-dup candidates are a bucket equi-join (no theta join)",
+        "CartesianProduct" not in nd_plan
+        and "BroadcastNestedLoopJoin" not in nd_plan,
+    )
+
+    series = pages.select(
+        F.col("domain").alias("series"),
+        F.col("warc_ts").alias("ts"),
+        "url",
+        (F.abs(F.xxhash64("url")) % 1000 / 1000.0).alias("score"),
+        (F.abs(F.xxhash64("url", F.lit(1))) % 10 == 0).cast("int").alias("label"),
+    )
+    sweep_plan = plan_of(
+        f1_threshold_sweep(
+            series, n_thresholds=20, scale=0.05,
+            adjust=True, order_by=["ts", "url"], partition_by="series",
+        )
+    )
+    ok &= check(
+        "adjusted threshold sweep broadcasts the threshold frame",
+        "Broadcast" in sweep_plan,
+    )
+    ok &= check(
+        "adjusted threshold sweep partial-aggregates before the final shuffle",
+        "partial" in sweep_plan.lower(),
+    )
+    ok &= check(
+        "adjusted threshold sweep reads the input once",
+        _executed_parquet_scans(sweep_plan) == 1,
+    )
+
+    psf_plan = plan_of(
+        per_series_f1(
+            series.withColumnRenamed("score", "pred_raw").withColumn(
+                "pred", (F.col("pred_raw") > 0.5).cast("int")
+            ),
+            series_col="series", order_by=["ts", "url"], delay=7,
+        )
+    )
+    ok &= check(
+        "per-series F1 partial-aggregates before shuffle",
+        "partial" in psf_plan.lower(),
+    )
+    gap_plan = plan_of(
+        gap_adjusted_detections(
+            series.withColumn("pred", (F.col("score") > 0.5).cast("int")),
+            series_col="series", ts_col="ts", det_col="pred",
+        )
+    )
+    ok &= check(
+        "gap-adjusted detections read the input once",
+        _executed_parquet_scans(gap_plan) == 1,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
