@@ -392,6 +392,34 @@ def q_training_prep(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash-threshold sampling
+    (operators/sampling.stratified_sample): retry-stable subset selection
+    by md5 threshold — zero shuffles, DuckDB reproduces the exact row
+    set."""
+    from anomalydetector_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 1.0, "fr": 0.5}, seed=11
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Weighted corpus mixture (operators/sampling.corpus_mix): per-lang
+    fractions computed from counts + target weights (binding stratum
+    keeps all rows), broadcast onto the scan, hash-threshold filter —
+    the corpus side never shuffles."""
+    from anomalydetector_spark.operators.sampling import corpus_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_mix(
+        docs, "lang", {"en": 1.0, "de": 1.0, "zh": 2.0}, seed=5
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Skew monitor: exact top-5 sources by doc count with their share
     (operators/frequency.heavy_hitters — the detection half of the north
@@ -628,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "heavy_hitters": q_heavy_hitters,
         "training_prep": q_training_prep,
+        "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
         "segment_adjusted": q_segment_adjusted,
@@ -847,6 +877,31 @@ def oracle_sql() -> dict[str, str]:
                          t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007 + 1000000007) % 1000000007)),
                      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
             FROM q WHERE quality >= 0.5
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+                              WHEN 'fr' THEN 0.5 ELSE 0.0 END
+        """,
+        "corpus_mix": """
+            WITH counts AS (
+              SELECT lang AS stratum, count(*) AS n FROM documents
+              WHERE lang IN ('de', 'en', 'zh') GROUP BY 1),
+            f AS (
+              SELECT stratum, n,
+                     CASE stratum WHEN 'en' THEN 1.0 WHEN 'de' THEN 1.0
+                                  WHEN 'zh' THEN 2.0 END AS w
+              FROM counts),
+            s AS (SELECT min(n / w) AS scale FROM f),
+            fr AS (
+              SELECT stratum, least(1.0, w * scale / n) AS fraction
+              FROM f, s)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN fr ON d.lang = fr.stratum
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':5'), 1, 15))::BIGINT
+                  / 1152921504606846976.0 < fr.fraction
         """,
         "heavy_hitters": """
             WITH counts AS (

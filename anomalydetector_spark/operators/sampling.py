@@ -1,0 +1,142 @@
+"""Deterministic sampling + corpus mixing for training-data pipelines.
+
+Pretraining pipelines don't want ``df.sample``/``sampleBy`` at 100 TB:
+those draw from ``rand()``, so a re-run — or a single TASK RETRY inside
+one run — selects a different subset, breaking exactly-once semantics and
+lineage reproducibility. Everything here samples by HASH THRESHOLD
+instead: a row is kept iff ``U(key, seed) < fraction`` where ``U`` is a
+uniform-[0,1) value derived from the md5 of the row key. That makes
+selection
+
+* deterministic (same key + seed → same verdict, on any executor, any
+  retry, any cluster size),
+* nested (the 10% sample is a strict subset of the 20% sample — grow a
+  corpus without re-shuffling what's already downstream), and
+* ANSI-SQL-reproducible (DuckDB computes the identical md5 threshold, so
+  the driver oracle checks the exact row set, not just counts).
+
+All operators are pure narrow projections/filters over the input scan —
+zero shuffles for sampling itself; ``corpus_mix`` adds one tiny
+aggregated-counts broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.functions import md5_long
+
+# md5_long takes the first 15 hex chars → a 60-bit integer
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_uniform(key: Column, seed: int = 0) -> Column:
+    """Uniform-[0,1) double from the md5 of ``key`` salted with ``seed``
+    — the deterministic stand-in for ``rand()``. Reproducible in ANSI SQL
+    as ``('0x' || substr(md5(key || ':' || seed), 1, 15))::BIGINT /
+    1152921504606846976.0``."""
+    salted = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    return md5_long(salted) / F.lit(_HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash threshold on
+    ``key_col``. Pure filter — no shuffle, retry-stable, and nested
+    across fractions for a fixed seed."""
+    return df.filter(hash_uniform(F.col(key_col), seed) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling: keep a row of stratum ``s``
+    iff ``U(key, seed) < fractions[s]`` (strata not listed get
+    ``default_fraction``).
+
+    The fraction lookup is a flat CASE chain, not a ``create_map``
+    literal — Catalyst re-materializes map literals per probe inside
+    generated code, and a chain of comparisons stays fully codegen'd.
+    Single scan, zero shuffles.
+    """
+    frac: Column = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(
+            frac
+        )
+    return df.filter(hash_uniform(F.col(key_col), seed) < frac)
+
+
+def proportional_mix_fractions(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Per-stratum sampling fractions that realize target mixture
+    ``weights`` by DOWN-sampling only (no stratum is upsampled): with
+    stratum sizes ``n_s``, the binding stratum is the one with smallest
+    ``n_s / w_s``; it keeps all rows and every other stratum keeps
+    ``w_s * scale / n_s`` where ``scale = min_s(n_s / w_s)``.
+
+    Returns a tiny frame ``(stratum, n, fraction)`` — one row per listed
+    stratum, computed with one partial-aggregated count; broadcast it
+    onto the corpus (``corpus_mix`` does).
+    """
+    keys = sorted(weights)
+    w: Column = F.lit(None).cast("double")
+    for value, wt in sorted(weights.items()):
+        w = F.when(F.col("stratum") == value, F.lit(float(wt))).otherwise(w)
+    counts = (
+        df.filter(F.col(strata_col).isin(keys))
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", w)
+    )
+    scale = counts.agg(F.min(F.col("n") / F.col("w")).alias("scale"))
+    return (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            "stratum",
+            "n",
+            F.least(
+                F.lit(1.0), F.col("w") * F.col("scale") / F.col("n")
+            ).alias("fraction"),
+        )
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted corpus mixture: down-sample each stratum so the output
+    composition matches ``weights`` (strata not listed are dropped),
+    selection by hash threshold so the mix is retry-stable and
+    reproducible.
+
+    Plan shape: one aggregated count per stratum (map-side partial, tiny
+    result) broadcast back onto the corpus scan, then a pure filter — the
+    10^12-row side never shuffles.
+    """
+    fractions = proportional_mix_fractions(df, strata_col, weights)
+    return (
+        df.join(
+            F.broadcast(fractions),
+            df[strata_col] == fractions["stratum"],
+        )
+        .filter(hash_uniform(F.col(key_col), seed) < F.col("fraction"))
+        .drop("stratum", "n", "fraction")
+    )

@@ -1,0 +1,94 @@
+"""Deterministic hash-threshold sampling + corpus mixing
+(operators/sampling) — determinism, nesting, composition, and the
+zero-shuffle plan shape that makes them retry-stable at 100 TB."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.sampling import (
+    corpus_mix,
+    deterministic_sample,
+    proportional_mix_fractions,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(3000):
+        lang = ("en", "en", "en", "de", "fr", "zh")[i % 6]
+        rows.append({"doc_id": i, "lang": lang, "text": f"doc {i}"})
+    return spark.createDataFrame(pd.DataFrame(rows)).persist()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sample_deterministic_and_unbiased(docs):
+    a = set(r.doc_id for r in deterministic_sample(docs, 0.3, seed=1).collect())
+    b = set(r.doc_id for r in deterministic_sample(docs, 0.3, seed=1).collect())
+    assert a == b  # retry/rerun-stable, unlike rand()-based sample()
+    assert 0.25 < len(a) / 3000 < 0.35
+    c = set(r.doc_id for r in deterministic_sample(docs, 0.3, seed=2).collect())
+    assert a != c  # seed actually changes the draw
+
+
+def test_sample_nested_across_fractions(docs):
+    small = set(r.doc_id for r in deterministic_sample(docs, 0.1, seed=4).collect())
+    big = set(r.doc_id for r in deterministic_sample(docs, 0.4, seed=4).collect())
+    assert small < big  # threshold sampling grows monotonically
+
+
+def test_sample_plan_has_no_shuffle(docs):
+    plan = _plan(deterministic_sample(docs, 0.2))
+    assert "Exchange" not in plan
+
+
+def test_stratified_fractions_and_default(docs):
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0}, seed=9
+    ).groupBy("lang").count()
+    got = {r.lang: r["count"] for r in out.collect()}
+    assert got["de"] == 500  # fraction 1.0 keeps every row
+    assert 0.4 * 1500 < got["en"] < 0.6 * 1500
+    assert set(got) == {"en", "de"}  # unlisted strata default to 0.0
+
+
+def test_mix_fractions_binding_stratum(docs):
+    fr = {
+        r.stratum: r.fraction
+        for r in proportional_mix_fractions(
+            docs, "lang", {"en": 1.0, "zh": 2.0}
+        ).collect()
+    }
+    # zh: 500 rows, weight 2 → n/w = 250 is binding → fraction 1.0;
+    # en: 1500 rows, weight 1 → target 250 → fraction 1/6
+    assert fr["zh"] == pytest.approx(1.0)
+    assert fr["en"] == pytest.approx(250 / 1500)
+
+
+def test_mix_composition_matches_weights(docs):
+    mix = corpus_mix(docs, "lang", {"en": 1.0, "zh": 1.0}, seed=3)
+    got = {r.lang: r["count"] for r in mix.groupBy("lang").count().collect()}
+    assert set(got) == {"en", "zh"}
+    assert got["zh"] == 500  # binding stratum keeps all rows
+    assert abs(got["en"] - 500) < 100  # hash-threshold variance only
+    # output schema is the input schema (join helper columns dropped)
+    assert set(mix.columns) == set(docs.columns)
+
+
+def test_mix_is_broadcast_no_corpus_shuffle(docs):
+    plan = _plan(corpus_mix(docs, "lang", {"en": 1.0, "de": 1.0}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
