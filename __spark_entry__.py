@@ -420,6 +420,28 @@ def q_corpus_mix(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (operators/packing.pack_sequences): documents
+    into 512-token training sequences via per-hash-bucket best-fit-
+    decreasing; emits the packing_stats quality summary. Rows-only (the
+    assignment depends on xxhash64 bucketing + a sequential heuristic —
+    invariants are pytest-guarded in tests/test_packing.py)."""
+    from anomalydetector_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from anomalydetector_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=512, seed=2)
+    return packing_stats(packed, budget=512).select(
+        "n_packs", "n_docs", _r6("mean_fill").alias("mean_fill"),
+        _r6("min_fill").alias("min_fill"), "n_oversize",
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Skew monitor: exact top-5 sources by doc count with their share
     (operators/frequency.heavy_hitters — the detection half of the north
@@ -658,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
+        "sequence_packing": q_sequence_packing,
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
         "segment_adjusted": q_segment_adjusted,
