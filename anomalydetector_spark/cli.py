@@ -246,13 +246,45 @@ def cmd_validate(args, spark: SparkSession) -> None:
     )
 
 
+def _parse_weights(spec: str) -> dict[str, float]:
+    """``"en=1.0,de=0.5"`` → {"en": 1.0, "de": 0.5}."""
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if not k or not v:
+            raise ValueError(f"bad weight spec {part!r} (want stratum=weight)")
+        out[k.strip()] = float(v)
+    return out
+
+
 def cmd_prep_corpus(args, spark: SparkSession) -> None:
-    """Training-corpus prep over a documents-shaped table
-    (operators/pipeline.prepare_training_corpus)."""
+    """Training-corpus prep over a documents-shaped table: optional
+    deterministic sampling/mixing of the raw input (operators/sampling —
+    retry-stable md5-threshold selection, applied FIRST so dedup and
+    quality scoring never touch dropped rows), then dedup → quality gate
+    → features (operators/pipeline.prepare_training_corpus), then
+    optional sequence packing of the surviving docs into fixed token
+    budgets (operators/packing)."""
     from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+    from anomalydetector_spark.operators.sampling import (
+        corpus_mix,
+        deterministic_sample,
+    )
     from anomalydetector_spark.sources.tables import read_table
 
     docs = read_table(spark, args.input_path)
+    if args.mix_weights:
+        docs = corpus_mix(
+            docs,
+            args.mix_column,
+            _parse_weights(args.mix_weights),
+            key_col=args.id_column,
+            seed=args.seed,
+        )
+    if args.sample_fraction is not None:
+        docs = deterministic_sample(
+            docs, args.sample_fraction, key_col=args.id_column, seed=args.seed
+        )
     out = prepare_training_corpus(
         docs,
         text_col=args.text_column,
@@ -262,8 +294,32 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
     out.write.mode("overwrite").parquet(args.output_path)
     # count from the written footers only — no extra scan of the input
     # just for a log line (at 10^12 docs that scan would double the job)
-    n_out = spark.read.parquet(args.output_path).count()
+    corpus = spark.read.parquet(args.output_path)
+    n_out = corpus.count()
     print(f"prepared {n_out} docs → {args.output_path}")
+    if args.pack_budget:
+        from anomalydetector_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        packs_path = args.output_path.rstrip("/") + "_packs"
+        packed = pack_sequences(
+            corpus,
+            budget=args.pack_budget,
+            token_col="n_tokens",
+            id_col=args.id_column,
+            seed=args.seed,
+        )
+        packed.write.mode("overwrite").parquet(packs_path)
+        st = packing_stats(
+            spark.read.parquet(packs_path), args.pack_budget
+        ).first()
+        print(
+            f"packed into {st.n_packs} sequences of ≤{args.pack_budget} "
+            f"tokens (mean fill {st.mean_fill:.3f}, "
+            f"{st.n_oversize} oversize) → {packs_path}"
+        )
 
 
 def cmd_evaluate(args, spark: SparkSession) -> None:
@@ -502,6 +558,17 @@ def main(argv=None):
     p.add_argument("--text-column", default="text")
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--sample-fraction", type=float, default=None,
+                   help="deterministic md5-threshold sample of the input "
+                        "(retry-stable; nested across fractions)")
+    p.add_argument("--mix-weights", default=None,
+                   help="target mixture, e.g. 'en=1.0,de=0.5' — strata "
+                        "down-sampled to these proportions")
+    p.add_argument("--mix-column", default="lang")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="also pack surviving docs into sequences of this "
+                        "many tokens → <output-path>_packs")
+    p.add_argument("--seed", type=int, default=0)
 
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark

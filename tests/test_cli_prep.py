@@ -1,0 +1,78 @@
+"""prep-corpus CLI with the sampling/mixing/packing stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark import cli
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_prep_corpus_basic(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    cli.main(["prep-corpus", "--input-path", DOCS, "--output-path", out])
+    corpus = spark.read.parquet(out)
+    assert corpus.count() > 0
+    assert {"doc_id", "n_tokens", "quality", "fingerprint"} <= set(
+        corpus.columns
+    )
+    assert "prepared" in capsys.readouterr().out
+
+
+def test_prep_corpus_mix_sample_pack(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    cli.main(
+        [
+            "prep-corpus",
+            "--input-path", DOCS,
+            "--output-path", out,
+            "--mix-weights", "en=1.0,de=1.0",
+            "--mix-column", "lang",
+            "--sample-fraction", "0.9",
+            "--pack-budget", "256",
+            "--seed", "3",
+        ]
+    )
+    corpus = spark.read.parquet(out)
+    n = corpus.count()
+    assert 0 < n < 500  # mixing + sampling actually dropped rows
+    packed = spark.read.parquet(out + "_packs")
+    assert packed.count() == n  # every surviving doc is packed
+    over = packed.groupBy("bucket", "pack").agg(
+        F.sum("n_tokens").alias("s"),
+        F.max(F.col("oversize").cast("int")).alias("ov"),
+    )
+    assert over.filter((F.col("ov") == 0) & (F.col("s") > 256)).count() == 0
+    msg = capsys.readouterr().out
+    assert "packed into" in msg and "mean fill" in msg
+    # determinism: a rerun reproduces the same corpus row set
+    out2 = str(tmp_path / "corpus2")
+    cli.main(
+        [
+            "prep-corpus",
+            "--input-path", DOCS,
+            "--output-path", out2,
+            "--mix-weights", "en=1.0,de=1.0",
+            "--mix-column", "lang",
+            "--sample-fraction", "0.9",
+            "--pack-budget", "256",
+            "--seed", "3",
+        ]
+    )
+    a = {r.doc_id for r in corpus.select("doc_id").collect()}
+    b = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert a == b
+
+
+def test_bad_weight_spec_raises(tmp_path):
+    with pytest.raises(ValueError, match="bad weight spec"):
+        cli.main(
+            [
+                "prep-corpus",
+                "--input-path", DOCS,
+                "--output-path", str(tmp_path / "x"),
+                "--mix-weights", "en:1.0",
+            ]
+        )
