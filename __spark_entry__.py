@@ -487,6 +487,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs resolved into transitive near-dup clusters
+    (operators/components.py: hash-min propagation + pointer doubling)
+    with one canonical per cluster; oracle closes the same md5-exact
+    pair set with a recursive CTE."""
+    from anomalydetector_spark.operators.components import near_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, text_col="text", id_col="doc_id", k_shingle=3,
+        n_hashes=16, bands=4,
+    )
+    return near_duplicate_clusters(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures (FNV-1a inside a pandas UDF → rows-only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -691,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1229,6 +1245,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            shingled AS (
+              SELECT doc_id, {shingles} AS sh FROM toks),
+            sigs AS (
+              SELECT doc_id,
+            {minhash_sig_cols}
+              FROM shingled),
+            sigs2 AS (
+              SELECT doc_id,
+            {band_exprs}
+              FROM sigs),
+            banded AS (
+              {band_union.replace('FROM sigs', 'FROM sigs2')}
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            comp AS (
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+            SELECT c.doc_id, c.cluster_id, s.cluster_size,
+                   (c.doc_id = c.cluster_id) AS is_canonical
+            FROM comp c JOIN sizes s USING (cluster_id)
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
