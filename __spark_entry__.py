@@ -392,6 +392,23 @@ def q_training_prep(spark, sf_dir):
     )
 
 
+def q_training_prep_neardup(spark, sf_dir):
+    """The full pipeline with the near-dup stage on: exact dedup →
+    LSH candidates → Jaccard verify (τ=0.05) → transitive cluster drop →
+    quality gate → features. The oracle reproduces every stage in one
+    recursive-CTE DuckDB query."""
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_training_corpus(
+        docs, min_quality=0.5, reproducible_fingerprint=True,
+        near_dup_jaccard=0.05,
+    )
+    return out.select(
+        "doc_id", "n_tokens", _r6("quality").alias("quality"), "fingerprint"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash-threshold sampling
     (operators/sampling.stratified_sample): retry-stable subset selection
@@ -693,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "heavy_hitters": q_heavy_hitters,
         "training_prep": q_training_prep,
+        "training_prep_neardup": q_training_prep_neardup,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
         "sequence_packing": q_sequence_packing,
@@ -895,6 +913,83 @@ def oracle_sql() -> dict[str, str]:
                      {_DUCK_TOKS} AS toks,
                      list_transform({_DUCK_TOKS}, x -> lower(x)) AS ltoks
               FROM canon),
+            q AS (
+              SELECT doc_id, toks,
+                     (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0
+                           ELSE least(len(toks) / 10.0, 1.0) END
+                      + least((len(list_filter(ltoks, x -> x IN
+                          ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'))) /
+                          greatest(len(ltoks), 1)::DOUBLE) * 5.0, 1.0)
+                      + (1.0 - least((length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) /
+                          greatest(length(text), 1)::DOUBLE) * 4.0, 1.0))
+                      + (1.0 - (1.0 - len(list_distinct(ltoks)) / greatest(len(ltoks), 1)::DOUBLE))
+                     ) / 4.0 AS quality
+              FROM feat)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(quality, 6) AS quality,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(toks,
+                         t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007 + 1000000007) % 1000000007)),
+                     (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+            FROM q WHERE quality >= 0.5
+        """,
+        "training_prep_neardup": f"""
+            WITH RECURSIVE canon AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY {_DUCK_MD5L.format(x='text')}) AS canonical_id
+                FROM documents)
+              WHERE doc_id = canonical_id),
+            toks AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM canon),
+            shingled AS (
+              SELECT doc_id, {shingles} AS sh FROM toks),
+            sigs AS (
+              SELECT doc_id,
+            {minhash_sig_cols}
+              FROM shingled),
+            sigs2 AS (
+              SELECT doc_id,
+            {band_exprs}
+              FROM sigs),
+            banded AS (
+              {band_union.replace('FROM sigs', 'FROM sigs2')}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            verified AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN shingled sa ON sa.doc_id = c.id_a
+              JOIN shingled sb ON sb.doc_id = c.id_b
+              WHERE len(list_intersect(sa.sh, sb.sh)) /
+                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.05
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM verified
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            losers AS (
+              SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)),
+            kept AS (
+              SELECT c.doc_id, c.text FROM canon c
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)),
+            feat AS (
+              SELECT doc_id, text,
+                     {_DUCK_TOKS} AS toks,
+                     list_transform({_DUCK_TOKS}, x -> lower(x)) AS ltoks
+              FROM kept),
             q AS (
               SELECT doc_id, toks,
                      (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0

@@ -290,6 +290,7 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         text_col=args.text_column,
         id_col=args.id_column,
         min_quality=args.min_quality,
+        near_dup_jaccard=args.near_dup_jaccard,
     )
     out.write.mode("overwrite").parquet(args.output_path)
     # count from the written footers only — no extra scan of the input
@@ -558,6 +559,10 @@ def main(argv=None):
     p.add_argument("--text-column", default="text")
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--near-dup-jaccard", type=float, default=None,
+                   help="also drop near-duplicates: MinHash-LSH candidates "
+                        "verified at this n-gram Jaccard threshold, "
+                        "transitively clustered, one survivor per cluster")
     p.add_argument("--sample-fraction", type=float, default=None,
                    help="deterministic md5-threshold sample of the input "
                         "(retry-stable; nested across fractions)")

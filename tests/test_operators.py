@@ -297,3 +297,31 @@ def test_prepare_training_corpus(spark):
     fp4 = out[out["doc_id"] == 4]["fingerprint"].iloc[0]
     fp1 = out[out["doc_id"] == 1]["fingerprint"].iloc[0]
     assert fp1 != fp4
+
+
+def test_prepare_training_corpus_near_dup(spark):
+    """With near_dup_jaccard set, the pipeline also collapses
+    near-duplicate (not byte-identical) docs transitively: doc 4 is a
+    near-dup of doc 1 (tiny tail edit) and doc 5 of doc 4, so all three
+    form one cluster and only the min id survives."""
+    import pandas as pd
+    from anomalydetector_spark.operators.pipeline import prepare_training_corpus
+
+    good = ("this is a reasonably long document with plenty of normal "
+            "words and the usual amount of structure in it for a test " * 4)
+    rows = [
+        (1, good),
+        (2, good),                        # exact duplicate of 1
+        (4, good + "unique tail here"),   # near-dup of 1
+        (5, good + "unique tail here as well"),  # near-dup of 4
+        (6, "completely different text " + "about other things entirely "
+            "with no shared shingles at all " * 6),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = prepare_training_corpus(
+        df, min_quality=0.0, near_dup_jaccard=0.5
+    ).toPandas()
+    assert sorted(out["doc_id"]) == [1, 6]
+    # without the stage, the near-dups survive
+    base = prepare_training_corpus(df, min_quality=0.0).toPandas()
+    assert sorted(base["doc_id"]) == [1, 4, 5, 6]
