@@ -423,6 +423,19 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-source cap: keep the 10 hash-smallest docs per source via the
+    skew-safe salted two-phase path (salts=8) — the oracle ranks with one
+    plain window, proving the salted physical plan selects the identical
+    set."""
+    from anomalydetector_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_key(docs, "source", 10, id_col="doc_id", seed=0, salts=8).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_corpus_mix(spark, sf_dir):
     """Weighted corpus mixture (operators/sampling.corpus_mix): per-lang
     fractions computed from counts + target weights (binding stratum
@@ -713,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep_neardup": q_training_prep_neardup,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
+        "domain_cap": q_domain_cap,
         "sequence_packing": q_sequence_packing,
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
@@ -1036,6 +1050,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN fr ON d.lang = fr.stratum
             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':5'), 1, 15))::BIGINT
                   / 1152921504606846976.0 < fr.fraction
+        """,
+        "domain_cap": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT
+                                / 1152921504606846976.0,
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10
         """,
         "heavy_hitters": """
             WITH counts AS (

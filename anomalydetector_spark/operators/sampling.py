@@ -22,7 +22,7 @@ aggregated-counts broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from anomalydetector_spark.functions import md5_long
@@ -139,4 +139,56 @@ def corpus_mix(
         )
         .filter(hash_uniform(F.col(key_col), seed) < F.col("fraction"))
         .drop("stratum", "n", "fraction")
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salts: int = 0,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``key_col`` (per-domain caps — the
+    standard guard against one host dominating a web corpus), chosen as
+    the ``k`` SMALLEST ``U(id, seed)`` values so selection is
+    deterministic, retry-stable, and nested in ``k`` (the cap-5 set is a
+    subset of the cap-10 set), with ``id_col`` as a total tie-break.
+
+    ``salts=0`` runs one ranking window partitioned by key — fine while
+    the hottest key fits a task. At web scale one host can hold 10^9
+    pages, so ``salts=S`` switches to the skew-safe two phases:
+
+    1. rank within ``(key, salt)`` where salt = a second id hash mod S,
+       keep ``rank <= k`` — every window partition shrinks ~S×, and the
+       survivors are at most ``k*S`` rows per key;
+    2. re-rank the survivors within ``key``, keep ``rank <= k``.
+
+    Phase 1 can never evict a global top-k row (a row beaten by k rows
+    in its salt bucket is beaten by k rows globally), so both paths
+    select the IDENTICAL set — ``salts`` is a physical knob only, which
+    the equivalence test asserts.
+    """
+    u = hash_uniform(F.col(id_col), seed)
+    w_key = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
+    if salts <= 1:
+        return (
+            df.withColumn("_rn", F.row_number().over(w_key))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    salt = (md5_long(F.concat(F.col(id_col).cast("string"), F.lit("#salt"))) % salts)
+    w_salted = Window.partitionBy(F.col(key_col), salt).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        df.withColumn("_rn", F.row_number().over(w_salted))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w_key))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -92,3 +92,37 @@ def test_mix_is_broadcast_no_corpus_shuffle(docs):
     plan = _plan(corpus_mix(docs, "lang", {"en": 1.0, "de": 1.0}))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def _cap_ids(df):
+    return sorted(r.doc_id for r in df.collect())
+
+
+def test_cap_per_key_basic(docs):
+    from anomalydetector_spark.operators.sampling import cap_per_key
+
+    capped = cap_per_key(docs, "lang", 100)
+    counts = {r.lang: r["count"] for r in capped.groupBy("lang").count().collect()}
+    # en has 1500 rows → capped; de/fr/zh have 500 each → capped too
+    assert all(c == 100 for c in counts.values())
+    # deterministic: second run picks the identical set
+    assert _cap_ids(capped) == _cap_ids(cap_per_key(docs, "lang", 100))
+
+
+def test_cap_per_key_nested_and_undersized(docs, spark):
+    from anomalydetector_spark.operators.sampling import cap_per_key
+
+    small = set(_cap_ids(cap_per_key(docs, "lang", 50)))
+    large = set(_cap_ids(cap_per_key(docs, "lang", 200)))
+    assert small < large
+    # a key with fewer rows than k keeps everything
+    tiny = docs.filter("doc_id < 10")
+    assert cap_per_key(tiny, "lang", 100).count() == 10
+
+
+def test_cap_per_key_salted_identical(docs):
+    from anomalydetector_spark.operators.sampling import cap_per_key
+
+    plain = _cap_ids(cap_per_key(docs, "lang", 100))
+    for s in (2, 7, 32):
+        assert _cap_ids(cap_per_key(docs, "lang", 100, salts=s)) == plain
