@@ -235,6 +235,30 @@ def main() -> None:
         _executed_parquet_scans(gap_plan) == 1,
     )
 
+    from anomalydetector_spark.operators.components import connected_components
+    from anomalydetector_spark.operators.sampling import cap_per_key
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap_plan = plan_of(cap_per_key(docs, "source", 5, salts=8))
+    ok &= check(
+        "salted domain cap: two ranking windows over one input scan",
+        cap_plan.count("Window") >= 2 and _executed_parquet_scans(cap_plan) == 1,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc_plan = plan_of(connected_components(pairs, checkpoint=False, max_rounds=5))
+    ok &= check(
+        "component propagation partial-aggregates min before shuffle",
+        "partial_min" in cc_plan or "partial" in cc_plan.lower(),
+    )
+    ok &= check(
+        "component loop joins are equi-joins (no cartesian/nested-loop)",
+        "CartesianProduct" not in cc_plan
+        and "BroadcastNestedLoopJoin" not in cc_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
