@@ -296,7 +296,8 @@ def q_segment_adjusted(spark, sf_dir):
         F.sum(F.expr("adj_pred * (1 - label)")).alias("fp"),
         F.sum(F.expr("(1 - adj_pred) * label")).alias("fn"),
     )
-    f1 = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    f1 = F.when(denom > 0, 2 * F.col("tp") / denom).otherwise(F.lit(0.0))
     return out.select("tp", "fp", "fn", _r6(f1).alias("f1"))
 
 
@@ -1085,8 +1086,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(pred * label)::BIGINT AS tp,
                    sum(pred * (1 - label))::BIGINT AS fp,
                    sum((1 - pred) * label)::BIGINT AS fn,
-                   round(2.0 * sum(pred * label) /
-                         (2.0 * sum(pred * label) + sum(pred * (1 - label)) + sum((1 - pred) * label)), 6) AS f1
+                   round(CASE WHEN 2.0 * sum(pred * label) + sum(pred * (1 - label)) + sum((1 - pred) * label) > 0
+                              THEN 2.0 * sum(pred * label) /
+                         (2.0 * sum(pred * label) + sum(pred * (1 - label)) + sum((1 - pred) * label)) ELSE 0.0 END, 6) AS f1
             FROM scored GROUP BY threshold
         """,
         "confusion_matrix": f"""
@@ -1133,8 +1135,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT sum(adj_pred * label)::BIGINT AS tp,
                    sum(adj_pred * (1 - label))::BIGINT AS fp,
                    sum((1 - adj_pred) * label)::BIGINT AS fn,
-                   round(2.0 * sum(adj_pred * label) /
-                         (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)), 6) AS f1
+                   round(CASE WHEN 2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label) > 0
+                              THEN 2.0 * sum(adj_pred * label) /
+                         (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)) ELSE 0.0 END, 6) AS f1
             FROM adj
         """,
         "f1_by_series": """
@@ -1257,8 +1260,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(adj_pred * label)::BIGINT AS tp,
                    sum(adj_pred * (1 - label))::BIGINT AS fp,
                    sum((1 - adj_pred) * label)::BIGINT AS fn,
-                   round(2.0 * sum(adj_pred * label) /
-                         (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)), 6) AS f1
+                   round(CASE WHEN 2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label) > 0
+                              THEN 2.0 * sum(adj_pred * label) /
+                         (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)) ELSE 0.0 END, 6) AS f1
             FROM adj GROUP BY threshold
         """,
         "gap_adjusted": """

@@ -344,6 +344,14 @@ def cmd_evaluate(args, spark: SparkSession) -> None:
         variance_from_per_series,
     )
 
+    if args.mode == "sweep" and args.gap_rule:
+        raise SystemExit(
+            "evaluate: --gap-rule applies to binary detections and is "
+            "not part of the reference sweep protocol (the sweep "
+            "re-thresholds per level); use --mode per-series, or "
+            "threshold first and pass --pred-column"
+        )
+
     df = _read_any(spark, args.input_path)
     order_by = [args.timestamp_column]
     out = args.output_path.rstrip("/")

@@ -61,10 +61,11 @@ def connected_components(
     spark = pairs.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    half = pairs.select(
-        F.col(id_a).cast("long").alias("src"),
-        F.col(id_b).cast("long").alias("dst"),
-    )
+    # ids flow through at their native type (long, string, binary, …):
+    # min/least and the equi-joins are type-generic, and a strict cast
+    # would throw under ANSI mode for non-numeric ids (string min =
+    # lexicographic canonical — still total and deterministic)
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(n_parts, "dst")
@@ -159,7 +160,7 @@ def assign_components(
     component. Adds ``component``."""
     return docs.join(
         comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
-    ).withColumn("component", F.coalesce("component", F.col(id_col).cast("long")))
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
 
 
 def drop_near_duplicates(

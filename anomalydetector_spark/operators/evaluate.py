@@ -78,12 +78,17 @@ def confusion_counts(
         F.sum((1 - pred) * lab).alias("fn"),
         F.sum((1 - pred) * (1 - lab)).alias("tn"),
     )
-    p = F.col("tp") / (F.col("tp") + F.col("fp"))
-    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    # zero denominators score 0.0, matching sklearn's zero_division
+    # default used by the reference (and avoiding ANSI DIVIDE_BY_ZERO)
+    def _safe(num, den):
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    p = _safe(F.col("tp"), F.col("tp") + F.col("fp"))
+    r = _safe(F.col("tp"), F.col("tp") + F.col("fn"))
     return agg.select(
         "tp", "fp", "fn", "tn",
         p.alias("precision"), r.alias("recall"),
-        (2 * p * r / (p + r)).alias("f1"),
+        _safe(2 * p * r, p + r).alias("f1"),
     )
 
 
@@ -152,7 +157,15 @@ def f1_variance(
     per = per_series_f1(
         df, series_col, label_col, pred_col, order_by, delay, adjust
     ).persist()
-    return variance_from_per_series(per)
+    try:
+        # materialize the 1-row summary eagerly so the per-series cache
+        # can be released before returning (a lazily-returned plan would
+        # pin the cache for the session lifetime)
+        summary = variance_from_per_series(per)
+        rows = summary.collect()
+        return per.sparkSession.createDataFrame(rows, summary.schema)
+    finally:
+        per.unpersist()
 
 
 def variance_from_per_series(per: DataFrame) -> DataFrame:
@@ -281,7 +294,10 @@ def f1_threshold_sweep(
         F.sum(pred * (1 - lab)).alias("fp"),
         F.sum((1 - pred) * lab).alias("fn"),
     )
-    f1 = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    # guard like variance_from_per_series: tp=fp=fn=0 (no positives and
+    # no predictions at a threshold) is F1=0, not an ANSI DIVIDE_BY_ZERO
+    f1 = F.when(denom > 0, 2 * F.col("tp") / denom).otherwise(F.lit(0.0))
     return agg.select("threshold", "tp", "fp", "fn", f1.alias("f1"))
 
 

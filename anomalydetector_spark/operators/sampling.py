@@ -102,15 +102,22 @@ def proportional_mix_fractions(
         .agg(F.count("*").alias("n"))
         .withColumn("w", w)
     )
-    scale = counts.agg(F.min(F.col("n") / F.col("w")).alias("scale"))
+    # weight 0 = "drop this stratum": fraction 0, and it must not join
+    # the binding-min (n/0 would raise under ANSI mode)
+    scale = counts.filter(F.col("w") > 0).agg(
+        F.min(F.col("n") / F.col("w")).alias("scale")
+    )
     return (
         counts.crossJoin(F.broadcast(scale))
         .select(
             "stratum",
             "n",
-            F.least(
-                F.lit(1.0), F.col("w") * F.col("scale") / F.col("n")
-            ).alias("fraction"),
+            F.when(
+                F.col("w") > 0,
+                F.least(F.lit(1.0), F.col("w") * F.col("scale") / F.col("n")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fraction"),
         )
     )
 

@@ -159,10 +159,15 @@ def train_ivf_centroids(
     if sample_mod is None:
         n = corpus.count()
         sample_mod = max(1, -(-n // max_train_sample))  # ceil division
+    # hard cap even under hash skew — as a deterministic hash-ordered
+    # top-k (TakeOrderedAndProject), not a bare limit(): an unordered
+    # limit takes whichever partitions answer first, so retries/reruns
+    # would train on different subsets and break centroid reproducibility
     sample = (
         corpus.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
-        .select(vec_col)
-        .limit(2 * max_train_sample)  # hard cap even under hash skew
+        .select(vec_col, F.col(id_col), F.xxhash64(id_col, F.lit(1)).alias("_ord"))
+        .orderBy("_ord", id_col)
+        .limit(2 * max_train_sample)
         .toPandas()[vec_col]
     )
     x = np.stack(sample.to_numpy())

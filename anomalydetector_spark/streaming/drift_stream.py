@@ -47,7 +47,13 @@ DEFAULT_LANGS = ("en", "de", "fr", "zh", "es")
 # state: the retained series, as epoch-micros + values, plus the global
 # index of the first retained point (0 in whole-series mode; a tumbling
 # batch boundary in incremental mode, where only the last two SR batches
-# are kept)
+# are kept).
+# STATE SCHEMA v2 (base_idx added with the bounded-state scorer):
+# applyInPandasWithState validates the stored schema on restart, so a
+# checkpoint written by the v1 two-field schema cannot be resumed — a
+# stream upgraded across that change must start from a fresh checkpoint
+# (the upstream parquet is the source of truth; re-reading it rebuilds
+# identical scores since batches are grid-aligned).
 STAT_STATE_SCHEMA = StructType(
     [
         StructField("ts_us", ArrayType(LongType())),

@@ -96,3 +96,19 @@ def test_nonconvergence_raises(spark):
     pairs = [(i, i + 1) for i in range(1, 40)]
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(_pairs_df(spark, pairs), max_rounds=1)
+
+
+def test_string_ids_supported(spark):
+    # web corpora key on url/string hashes — no numeric cast anywhere
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-a", "doc-b"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "x": "x", "y": "x"}
+    docs = spark.createDataFrame([("doc-a",), ("doc-c",), ("solo",)], "doc_id string")
+    comp = connected_components(pairs)
+    labeled = {r["doc_id"]: r["component"]
+               for r in assign_components(docs, comp).collect()}
+    assert labeled == {"doc-a": "doc-a", "doc-c": "doc-a", "solo": "solo"}

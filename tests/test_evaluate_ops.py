@@ -294,3 +294,28 @@ def test_adjusted_threshold_sweep_matches_reference(spark, ref_metric):
         adjust=True, order_by=["i"], partition_by="series", delay=delay,
     ).first()
     assert top.threshold == pytest.approx(best_want, abs=1e-9)
+
+
+def test_sweep_and_confusion_zero_denominators(spark):
+    """No positives and no predictions anywhere: every metric is 0.0
+    (sklearn zero_division parity), not an ANSI DIVIDE_BY_ZERO."""
+    import pandas as pd
+    from anomalydetector_spark.operators.evaluate import (
+        confusion_counts,
+        f1_threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "ts": range(20),
+            "score": [0.0] * 20,
+            "label": [0] * 20,
+            "pred": [0] * 20,
+        })
+    )
+    sweep = f1_threshold_sweep(
+        df, n_thresholds=5, scale=0.1, adjust=False, order_by=["ts"]
+    ).toPandas()
+    assert (sweep["f1"] == 0.0).all()
+    row = confusion_counts(df).first()
+    assert row.precision == 0.0 and row.recall == 0.0 and row.f1 == 0.0

@@ -126,3 +126,18 @@ def test_cap_per_key_salted_identical(docs):
     plain = _cap_ids(cap_per_key(docs, "lang", 100))
     for s in (2, 7, 32):
         assert _cap_ids(cap_per_key(docs, "lang", 100, salts=s)) == plain
+
+
+def test_zero_weight_drops_stratum(docs):
+    # weight 0 = drop: no ANSI divide-by-zero, stratum excluded from the
+    # binding min and emitted with fraction 0
+    fr = {
+        r.stratum: r.fraction
+        for r in proportional_mix_fractions(
+            docs, "lang", {"en": 1.0, "de": 0.0}
+        ).collect()
+    }
+    assert fr["de"] == 0.0 and fr["en"] == 1.0
+    mix = corpus_mix(docs, "lang", {"en": 1.0, "de": 0.0})
+    got = {r.lang for r in mix.select("lang").distinct().collect()}
+    assert got == {"en"}

@@ -31,7 +31,7 @@ TABLES = [
 
 
 def norm_cell(v):
-    if v is None or v is np.nan and not isinstance(v, float):
+    if v is None:
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v)).lower()
