@@ -626,6 +626,21 @@ def q_lang_id_agreement(spark, sf_dir):
     )
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style within-doc repetition: top/dup n-gram char-mass
+    fractions for n=2 and n=5, computed shuffle-free from run lengths of
+    the sorted in-row gram array (operators/text.repetition_profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.repetition_profile(docs, ns=(2, 5))
+    return out.select(
+        "doc_id",
+        _r6("top_2gram_frac").alias("top_2gram_frac"),
+        _r6("dup_2gram_frac").alias("dup_2gram_frac"),
+        _r6("top_5gram_frac").alias("top_5gram_frac"),
+        _r6("dup_5gram_frac").alias("dup_5gram_frac"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -750,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_profile": q_quality_profile,
         "lang_id_agreement": q_lang_id_agreement,
         "fingerprint": q_fingerprint,
+        "repetition_profile": q_repetition_profile,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -1432,6 +1448,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": f"""
             SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+        """,
+        "repetition_profile": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                           i -> array_to_string(toks[i:i+1], ' '))) AS gram
+              FROM t),
+            c2 AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS cnt, length(gram)::BIGINT AS m
+              FROM g2 GROUP BY 1, 2),
+            a2 AS (
+              SELECT doc_id, max(cnt * m) AS top,
+                     sum(CASE WHEN cnt >= 2 THEN cnt * m ELSE 0 END)::BIGINT AS dup,
+                     sum(cnt * m)::BIGINT AS tot
+              FROM c2 GROUP BY 1),
+            g5 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                                           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+              FROM t),
+            c5 AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS cnt, length(gram)::BIGINT AS m
+              FROM g5 GROUP BY 1, 2),
+            a5 AS (
+              SELECT doc_id, max(cnt * m) AS top,
+                     sum(CASE WHEN cnt >= 2 THEN cnt * m ELSE 0 END)::BIGINT AS dup,
+                     sum(cnt * m)::BIGINT AS tot
+              FROM c5 GROUP BY 1)
+            SELECT d.doc_id,
+                   round(COALESCE(a2.top / a2.tot, 0.0), 6) AS top_2gram_frac,
+                   round(COALESCE(a2.dup / a2.tot, 0.0), 6) AS dup_2gram_frac,
+                   round(COALESCE(a5.top / a5.tot, 0.0), 6) AS top_5gram_frac,
+                   round(COALESCE(a5.dup / a5.tot, 0.0), 6) AS dup_5gram_frac
+            FROM documents d
+            LEFT JOIN a2 ON d.doc_id = a2.doc_id
+            LEFT JOIN a5 ON d.doc_id = a5.doc_id
         """,
         "quality_profile": f"""
             WITH t AS (

@@ -33,7 +33,12 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     toks = tokens(col)
     n = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        # guarded: sequence(1, 0) DESCENDS ([1, 0]) feeding slice() an
+        # invalid 0 start, and sequence(1, 0, 1) throws — texts shorter
+        # than k tokens get an explicit empty index list
+        F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        ),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(grams)

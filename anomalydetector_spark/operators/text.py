@@ -172,3 +172,92 @@ def text_profile(
         )
         .drop("_lt")
     )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 5),
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1): for each n in ``ns`` add
+
+    * ``top_{n}gram_frac`` — char mass of the dominant n-gram
+      (occurrences × chars) over the total n-gram char mass,
+    * ``dup_{n}gram_frac`` — char mass of all n-grams occurring ≥ 2
+      times over the total.
+
+    Implementation is the 100-TB shape: the n-gram array stays inside
+    the row and counts come from RUN LENGTHS of the sorted array
+    (``array_sort`` → boundary indices → ``zip_with`` run/char-mass
+    pairs) — pure JVM higher-order functions, ZERO shuffle and zero
+    Python, embarrassingly parallel over the scan. Each intermediate
+    array is materialized once per projection stage (CollapseProject
+    keeps multi-referenced non-cheap expressions staged, so nothing is
+    inlined twice).
+    """
+    out = df
+    for n in ns:
+        gc, sc, pc = f"_g{n}", f"_s{n}", f"_p{n}"
+        toks = tokens(F.lower(F.col(text_col)))
+        # guarded: sequence(1, 0) DESCENDS and sequence(1, 0, 1) throws,
+        # so docs shorter than n tokens get an explicit empty gram list
+        grams = F.transform(
+            F.when(
+                F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+            ).otherwise(F.array().cast("array<int>")),
+            # NOTE: must stay a ONE-parameter lambda — pyspark binds a
+            # second parameter to the array index (a `k=n` default arg
+            # silently becomes the index); n is safe to close over
+            # because transform() consumes the lambda immediately
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        out = out.withColumn(gc, F.array_sort(grams))
+        g = F.col(gc)
+        empty_ints = F.array().cast("array<int>")
+        out = out.withColumn(
+            sc,
+            F.when(
+                F.size(g) > 0,
+                F.filter(
+                    F.sequence(F.lit(0), F.size(g) - 1),
+                    lambda i: (i == F.lit(0)) | (F.get(g, i) != F.get(g, i - 1)),
+                ),
+            ).otherwise(empty_ints),
+        )
+        s = F.col(sc)
+        ends = F.concat(
+            F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+            F.when(F.size(g) > 0, F.array(F.size(g))).otherwise(empty_ints),
+        )
+        out = out.withColumn(
+            pc,
+            F.zip_with(
+                s,
+                ends,
+                lambda st, en: F.struct(
+                    (en - st).alias("c"), F.length(F.get(g, st)).alias("m")
+                ),
+            ),
+        )
+        p = F.col(pc)
+        total = F.aggregate(p, F.lit(0), lambda a, x: a + x["c"] * x["m"])
+        top = F.array_max(F.transform(p, lambda x: x["c"] * x["m"]))
+        dup = F.aggregate(
+            p,
+            F.lit(0),
+            lambda a, x: a + F.when(x["c"] >= 2, x["c"] * x["m"]).otherwise(F.lit(0)),
+        )
+        out = (
+            out.withColumn(
+                f"top_{n}gram_frac",
+                F.when(total > 0, top / total).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                f"dup_{n}gram_frac",
+                F.when(total > 0, dup / total).otherwise(F.lit(0.0)),
+            )
+            .drop(gc, sc, pc)
+        )
+    return out

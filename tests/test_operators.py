@@ -325,3 +325,58 @@ def test_prepare_training_corpus_near_dup(spark):
     # without the stage, the near-dups survive
     base = prepare_training_corpus(df, min_quality=0.0).toPandas()
     assert sorted(base["doc_id"]) == [1, 4, 5, 6]
+
+
+def test_repetition_profile_matches_counter_oracle(spark):
+    """Gopher-style run-length metrics vs a per-doc Counter oracle,
+    including short/empty docs (the sequence(1,0) descent hazard) and
+    fully-repeated docs."""
+    from collections import Counter
+
+    import pandas as pd
+    from anomalydetector_spark.operators.text import repetition_profile
+
+    def py_metrics(text, n):
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return (0.0, 0.0)
+        c = Counter(grams)
+        mass = {g: cnt * len(g) for g, cnt in c.items()}
+        tot = sum(mass.values())
+        return (
+            max(mass.values()) / tot,
+            sum(v for g, v in mass.items() if c[g] >= 2) / tot,
+        )
+
+    rows = [
+        (1, "a b a b a b c"),
+        (2, "x y z w"),
+        (3, "one"),
+        (4, ""),
+        (5, "spam spam spam spam spam spam"),
+        (6, "mixed text with mixed text with some mixed text inside"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = repetition_profile(df, ns=(2, 3)).toPandas().set_index("doc_id")
+    for i, t in rows:
+        for n in (2, 3):
+            et, ed = py_metrics(t, n)
+            assert out.loc[i, f"top_{n}gram_frac"] == pytest.approx(et, abs=1e-12)
+            assert out.loc[i, f"dup_{n}gram_frac"] == pytest.approx(ed, abs=1e-12)
+
+
+def test_word_shingles_short_text(spark):
+    """Texts shorter than k tokens shingle to [] instead of throwing
+    (sequence(1, 0) DESCENDS in Spark; regression for the guard)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from anomalydetector_spark.functions import word_shingles
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "one"), (2, "one two"), (3, ""), (4, "a b c d")],
+                     columns=["doc_id", "text"])
+    )
+    got = {r.doc_id: len(r.sh) for r in
+           df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 2}

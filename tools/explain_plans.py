@@ -245,6 +245,14 @@ def main() -> None:
         cap_plan.count("Window") >= 2 and _executed_parquet_scans(cap_plan) == 1,
     )
 
+    from anomalydetector_spark.operators.text import repetition_profile
+
+    rep_plan = plan_of(repetition_profile(docs, ns=(2, 5)))
+    ok &= check(
+        "repetition profile is shuffle-free (run lengths stay in-row)",
+        "Exchange" not in rep_plan and _executed_parquet_scans(rep_plan) == 1,
+    )
+
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
