@@ -533,6 +533,23 @@ def q_dedup_clusters(spark, sf_dir):
     return near_duplicate_clusters(pairs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination flags: docs with doc_id % 100 == 0 act
+    as the eval set; every other doc is flagged iff it shares a 3-gram
+    (operators/decontam — broadcast eval dictionary, semi-join)."""
+    from anomalydetector_spark.operators.decontam import (
+        contamination_flags,
+        eval_ngram_set,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    return contamination_flags(
+        train, eval_ngram_set(ev, k_shingle=3), k_shingle=3
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures (FNV-1a inside a pandas UDF → rows-only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -755,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1424,6 +1442,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.cluster_id, s.cluster_size,
                    (c.doc_id = c.cluster_id) AS is_canonical
             FROM comp c JOIN sizes s USING (cluster_id)
+        """,
+        "decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            d AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t),
+            evg AS (
+              SELECT DISTINCT unnest(sh) AS gram FROM d WHERE doc_id % 100 = 0),
+            trg AS (
+              SELECT doc_id, unnest(sh) AS gram FROM d WHERE doc_id % 100 <> 0),
+            hit AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (gram))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 100 <> 0
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
