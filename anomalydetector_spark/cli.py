@@ -285,6 +285,16 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         docs = deterministic_sample(
             docs, args.sample_fraction, key_col=args.id_column, seed=args.seed
         )
+    if args.decontam_path:
+        from anomalydetector_spark.operators.decontam import decontaminate
+
+        docs = decontaminate(
+            docs,
+            read_table(spark, args.decontam_path),
+            text_col=args.text_column,
+            id_col=args.id_column,
+            k_shingle=args.decontam_ngram,
+        )
     out = prepare_training_corpus(
         docs,
         text_col=args.text_column,
@@ -567,6 +577,11 @@ def main(argv=None):
     p.add_argument("--text-column", default="text")
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--decontam-path", default=None,
+                   help="eval-set table (same text column); training docs "
+                        "sharing any --decontam-ngram n-gram with it are "
+                        "dropped before dedup")
+    p.add_argument("--decontam-ngram", type=int, default=8)
     p.add_argument("--near-dup-jaccard", type=float, default=None,
                    help="also drop near-duplicates: MinHash-LSH candidates "
                         "verified at this n-gram Jaccard threshold, "

@@ -76,3 +76,32 @@ def test_bad_weight_spec_raises(tmp_path):
                 "--mix-weights", "en:1.0",
             ]
         )
+
+
+def test_prep_corpus_decontam(spark, tmp_path, capsys):
+    """--decontam-path drops training docs overlapping the eval table
+    before dedup/gating."""
+    import pandas as pd
+    from anomalydetector_spark.cli import main
+
+    good = ("this is a reasonably long document with plenty of normal "
+            "words and the usual amount of structure in it for a test " * 2)
+    poisoned = good + " secret eval question about unicorns etc"
+    train = spark.createDataFrame(pd.DataFrame(
+        [(1, good), (2, poisoned)], columns=["doc_id", "text"]))
+    ev = spark.createDataFrame(pd.DataFrame(
+        [(9, "the secret eval question about unicorns is here")],
+        columns=["doc_id", "text"]))
+    train.write.mode("overwrite").parquet(str(tmp_path / "train"))
+    ev.write.mode("overwrite").parquet(str(tmp_path / "eval"))
+
+    main([
+        "prep-corpus",
+        "--input-path", str(tmp_path / "train"),
+        "--output-path", str(tmp_path / "out"),
+        "--decontam-path", str(tmp_path / "eval"),
+        "--decontam-ngram", "4",
+        "--min-quality", "0.0",
+    ])
+    kept = spark.read.parquet(str(tmp_path / "out"))
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
