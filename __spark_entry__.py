@@ -645,10 +645,13 @@ def q_lang_id_agreement(spark, sf_dir):
 
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style within-doc repetition: top/dup n-gram char-mass
-    fractions for n=2 and n=5, computed shuffle-free from run lengths of
-    the sorted in-row gram array (operators/text.repetition_profile)."""
+    fractions for n=2 and n=5. Runs the SCALE path (token-hash arrays →
+    vectorized numpy run-length counting in one Arrow pass,
+    operators/text.repetition_profile_arrow) so the oracle gate verifies
+    the implementation that would run at 100 TB; the string-exact HOF
+    twin is pinned equal by tests."""
     docs = _t(spark, sf_dir, "documents")
-    out = T.repetition_profile(docs, ns=(2, 5))
+    out = T.repetition_profile_arrow(docs, ns=(2, 5))
     return out.select(
         "doc_id",
         _r6("top_2gram_frac").alias("top_2gram_frac"),

@@ -380,3 +380,34 @@ def test_word_shingles_short_text(spark):
     got = {r.doc_id: len(r.sh) for r in
            df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 2}
+
+
+def test_repetition_arrow_equals_hof(spark):
+    """The Arrow/numpy scale path emits values identical to the
+    string-exact HOF twin, including null/empty/short texts."""
+    import pandas as pd
+    from anomalydetector_spark.operators.text import (
+        repetition_profile,
+        repetition_profile_arrow,
+    )
+
+    rows = [
+        (1, "a b a b a b c"),
+        (2, "x y z w"),
+        (3, "one"),
+        (4, ""),
+        (5, None),
+        (6, "spam spam spam spam spam spam"),
+        (7, "mixed text with mixed text with some mixed text inside"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "top_2gram_frac", "dup_2gram_frac",
+            "top_3gram_frac", "dup_3gram_frac"]
+    a = (repetition_profile(df, ns=(2, 3)).select(*cols)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    b = (repetition_profile_arrow(df, ns=(2, 3)).select(*cols)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-12)
