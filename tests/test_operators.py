@@ -411,3 +411,47 @@ def test_repetition_arrow_equals_hof(spark):
     b = (repetition_profile_arrow(df, ns=(2, 3)).select(*cols)
          .toPandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-12)
+
+
+def test_repetition_randomized_three_way(spark):
+    """60 seeded random docs from a tiny vocabulary (high repetition):
+    HOF path == Arrow path == per-doc Counter ground truth."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+    from anomalydetector_spark.operators.text import (
+        repetition_profile,
+        repetition_profile_arrow,
+    )
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "ccc", "d", "eeee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cols = ["doc_id", "top_2gram_frac", "dup_2gram_frac",
+            "top_4gram_frac", "dup_4gram_frac"]
+    a = (repetition_profile(df, ns=(2, 4)).select(*cols)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    b = (repetition_profile_arrow(df, ns=(2, 4)).select(*cols)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-12)
+
+    def truth(text, n):
+        toks = text.split()
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        mass = {g: k * len(g) for g, k in c.items()}
+        tot = sum(mass.values())
+        return max(mass.values()) / tot, sum(
+            v for g, v in mass.items() if c[g] >= 2) / tot
+    for i, text in rows:
+        for n in (2, 4):
+            et, ed = truth(text, n)
+            assert a.loc[i, f"top_{n}gram_frac"] == pytest.approx(et, abs=1e-12)
+            assert a.loc[i, f"dup_{n}gram_frac"] == pytest.approx(ed, abs=1e-12)
