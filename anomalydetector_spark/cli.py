@@ -282,8 +282,12 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
             seed=args.seed,
         )
     if args.sample_fraction is not None:
+        # distinct seed per threshold stage: with the SAME seed the mix
+        # and the sample share U(key), so the composition keeps rows with
+        # U < min(f_mix, f_sample) — the sample cancels/distorts the mix
+        # instead of thinning every stratum by f_sample
         docs = deterministic_sample(
-            docs, args.sample_fraction, key_col=args.id_column, seed=args.seed
+            docs, args.sample_fraction, key_col=args.id_column, seed=args.seed + 1
         )
     if args.decontam_path:
         from anomalydetector_spark.operators.decontam import decontaminate
@@ -326,9 +330,13 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         st = packing_stats(
             spark.read.parquet(packs_path), args.pack_budget
         ).first()
+        # mean_fill aggregates only non-oversize packs → NULL when every
+        # pack is oversize (or the corpus is empty); don't crash the CLI
+        # after the packs were already written successfully
+        fill = "n/a" if st.mean_fill is None else f"{st.mean_fill:.3f}"
         print(
             f"packed into {st.n_packs} sequences of ≤{args.pack_budget} "
-            f"tokens (mean fill {st.mean_fill:.3f}, "
+            f"tokens (mean fill {fill}, "
             f"{st.n_oversize} oversize) → {packs_path}"
         )
 

@@ -36,6 +36,28 @@ def eval_ngram_set(
     )
 
 
+def contaminated_ids(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 8,
+) -> DataFrame:
+    """Distinct ``id_col`` of every corpus doc sharing at least one
+    k-gram with the eval dictionary. The exploded corpus grams semi-join
+    the broadcast eval set, so matching stops at the first hit per
+    (doc, gram) and only ids travel."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k_shingle)).alias("gram"),
+    )
+    return (
+        grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     eval_grams: DataFrame,
@@ -44,19 +66,13 @@ def contamination_flags(
     k_shingle: int = 8,
 ) -> DataFrame:
     """``(id_col, contaminated)`` for every corpus doc: True iff the doc
-    shares at least one k-gram with the eval set. The exploded corpus
-    grams semi-join the broadcast eval set, so matching stops at the
-    first hit per (doc, gram) and only ids travel."""
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), k_shingle)).alias("gram"),
-    )
-    hits = (
-        grams.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .select(id_col)
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
+    shares at least one k-gram with the eval set. This is the per-doc
+    boolean surface (one extra corpus-id join to scatter the flag); when
+    all you need is the drop, :func:`decontaminate` anti-joins the hit
+    ids directly without it."""
+    hits = contaminated_ids(
+        docs, eval_grams, text_col=text_col, id_col=id_col, k_shingle=k_shingle
+    ).withColumn("contaminated", F.lit(True))
     return docs.select(id_col).join(hits, id_col, "left").select(
         id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
     )
@@ -70,10 +86,11 @@ def decontaminate(
     k_shingle: int = 8,
 ) -> DataFrame:
     """Corpus minus every doc sharing a k-gram with ``eval_docs`` —
-    the composed protocol (eval dictionary → flags → anti-join)."""
+    the composed protocol (eval dictionary → hit ids → anti-join).
+    The hit-id frame anti-joins the corpus directly; the full-corpus
+    boolean frame (:func:`contamination_flags`) is not materialized."""
     grams = eval_ngram_set(eval_docs, text_col=text_col, k_shingle=k_shingle)
-    flags = contamination_flags(
+    dirty = contaminated_ids(
         docs, grams, text_col=text_col, id_col=id_col, k_shingle=k_shingle
     )
-    dirty = flags.filter(F.col("contaminated")).select(id_col)
     return docs.join(dirty, id_col, "left_anti")

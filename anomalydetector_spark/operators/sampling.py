@@ -15,6 +15,13 @@ selection
 * ANSI-SQL-reproducible (DuckDB computes the identical md5 threshold, so
   the driver oracle checks the exact row set, not just counts).
 
+Nesting is a property of a SHARED seed — which also means two threshold
+stages composed over the same key column must use DISTINCT seeds: with
+the same seed they share ``U(key)``, so ``stage2(stage1(df))`` keeps rows
+with ``U < min(f1, f2)`` rather than thinning by ``f1 * f2`` (e.g. a
+0.5 sample after a mix whose fractions are all < 0.5 is a no-op for the
+mix and the output is just the plain 0.5 sample of the raw input).
+
 All operators are pure narrow projections/filters over the input scan —
 zero shuffles for sampling itself; ``corpus_mix`` adds one tiny
 aggregated-counts broadcast.

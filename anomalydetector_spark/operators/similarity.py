@@ -162,12 +162,14 @@ def train_ivf_centroids(
     # hard cap even under hash skew — as a deterministic hash-ordered
     # top-k (TakeOrderedAndProject), not a bare limit(): an unordered
     # limit takes whichever partitions answer first, so retries/reruns
-    # would train on different subsets and break centroid reproducibility
+    # would train on different subsets and break centroid reproducibility.
+    # The cap is exactly max_train_sample so the documented driver-memory
+    # bound holds even when the hash-mod filter over-selects.
     sample = (
         corpus.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
         .select(vec_col, F.col(id_col), F.xxhash64(id_col, F.lit(1)).alias("_ord"))
         .orderBy("_ord", id_col)
-        .limit(2 * max_train_sample)
+        .limit(max_train_sample)
         .toPandas()[vec_col]
     )
     x = np.stack(sample.to_numpy())

@@ -177,7 +177,6 @@ def text_profile(
 def repetition_profile(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 5),
 ) -> DataFrame:
     """Gopher-style within-document repetition metrics (Rae et al. 2021
@@ -187,6 +186,10 @@ def repetition_profile(
       (occurrences × chars) over the total n-gram char mass,
     * ``dup_{n}gram_frac`` — char mass of all n-grams occurring ≥ 2
       times over the total.
+
+    Returns the INPUT FRAME plus the metric columns (row-wise projection,
+    no id needed); the scale twin :func:`repetition_profile_arrow`
+    instead returns a metrics frame keyed by id — see its docstring.
 
     This is the EXACT / SQL-twin implementation: the n-gram array stays
     inside the row and counts come from RUN LENGTHS of the sorted array
@@ -280,6 +283,13 @@ def repetition_profile_arrow(
     67k docs/s at 1M pages on local[32] — 11× the in-row HOF variant
     (Catalyst interprets HOF lambdas per element) and 15× an exploded
     groupBy(doc, gram) variant (per-gram shuffle).
+
+    Column contract differs from the HOF twin: this returns ONLY
+    ``(id_col, top/dup_ngram_frac...)`` — a metrics frame to join back
+    on ``id_col`` when other columns are needed. That is deliberate:
+    only token hashes and lengths cross the Arrow boundary, never the
+    text or any other column, so the batch pass stays small and the
+    metrics remain a pure projection of the scan.
 
     The JVM side does ONE cheap pass per token (xxhash64 + length into
     two long/int arrays) and a single Arrow batch pass does everything

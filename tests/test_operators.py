@@ -212,8 +212,9 @@ def test_ivf_training_sample_is_capped(spark, monkeypatch):
     cent = similarity.train_ivf_centroids(
         df, n_cells=4, seed=5, max_train_sample=64
     )
-    # sample_mod = ceil(500/64) = 8 → ~62 rows expected, never the corpus
-    assert collected["n"] <= 128
+    # sample_mod = ceil(500/64) = 8 → ~62 rows expected, never the corpus;
+    # the hash-ordered top-k hard-caps at exactly max_train_sample
+    assert collected["n"] <= 64
     assert cent.shape == (4, 8)
     assert np.isfinite(cent).all()
 

@@ -141,3 +141,40 @@ def test_zero_weight_drops_stratum(docs):
     mix = corpus_mix(docs, "lang", {"en": 1.0, "de": 0.0})
     got = {r.lang for r in mix.select("lang").distinct().collect()}
     assert got == {"en"}
+
+
+def test_composed_mix_then_sample_needs_distinct_seeds(docs):
+    """Two threshold stages over the same key compose correctly only with
+    DISTINCT seeds: mix(seed) then sample(seed+1) keeps exactly
+    {U(id,seed) < f_mix(lang)} ∩ {U(id,seed+1) < f_sample} (verified
+    against a pure-Python md5 recomputation), and thins every stratum —
+    with a SHARED seed the composition would collapse to
+    U < min(f_mix, f_sample), leaving sub-threshold strata untouched."""
+    import hashlib
+
+    def u(key, seed):
+        h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    weights = {"en": 1.0, "de": 1.0}
+    fr = {
+        r.stratum: r.fraction
+        for r in proportional_mix_fractions(docs, "lang", weights).collect()
+    }
+    # en is 3x de here, so f_en < 0.5 < f_de = 1.0 — the regime where the
+    # shared-seed bug makes the sample a no-op for the en stratum
+    assert fr["en"] < 0.5 < fr["de"]
+    mixed = corpus_mix(docs, "lang", weights, seed=7)
+    out = deterministic_sample(mixed, 0.5, seed=8)
+    got = {(r.doc_id, r.lang) for r in out.select("doc_id", "lang").collect()}
+    expect = {
+        (r.doc_id, r.lang)
+        for r in docs.select("doc_id", "lang").collect()
+        if r.lang in fr and u(r.doc_id, 7) < fr[r.lang] and u(r.doc_id, 8) < 0.5
+    }
+    assert got == expect
+    # the sample visibly thinned BOTH strata of the mixed corpus
+    mixed_n = {r.lang: r.n for r in mixed.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    out_n = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang in ("en", "de"):
+        assert out_n.get(lang, 0) < mixed_n[lang]
