@@ -668,6 +668,79 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+#: injects a line break after every 5th word — the synthetic documents
+#: table has single-line texts, so both engines derive identical
+#: multi-line pages from it for the CCNet line-dedup queries
+_LINEBREAK_PAT = r"((?:\S+ ){4}\S+) "
+
+
+def _docs_with_lines(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), _LINEBREAK_PAT, "$1\n")
+    )
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate dictionary: every trimmed non-blank line
+    occurring in >= 3 distinct docs with its doc count
+    (operators/scrub.boilerplate_line_set — md5-hash-grouped distinct
+    count, map-side partial aggregation)."""
+    from anomalydetector_spark.operators.scrub import boilerplate_line_set
+
+    docs = _docs_with_lines(spark, sf_dir)
+    return boilerplate_line_set(docs, min_docs=3).select(
+        "line", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def q_scrub_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (the CCNet paragraph-dedup
+    protocol): drop every line of the dictionary above from every doc
+    and reconstruct the text in original line order
+    (operators/scrub.drop_boilerplate_lines). Pure-banner docs drop."""
+    from anomalydetector_spark.operators.scrub import drop_boilerplate_lines
+
+    docs = _docs_with_lines(spark, sf_dir)
+    return drop_boilerplate_lines(docs, min_docs=3)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing: deterministic emails/phones/IPs are injected into
+    every 7th doc (so the redaction has real work), then
+    operators/scrub.redact_pii replaces them with <KIND> tokens and the
+    pre-redaction match counts ride along — one codegen projection,
+    zero shuffles, byte-exact vs the DuckDB regex twin."""
+    from anomalydetector_spark.operators.scrub import PII_PATTERNS, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{k}")
+        for k, (pat, _) in PII_PATTERNS.items()
+    ]
+    return redact_pii(injected, out_col="clean").select(
+        "doc_id", F.col("clean").alias("text"), *counts
+    )
+
+
 def _drift_on_events(spark, sf_dir, with_scores: bool):
     """North-rule flagship shape on the events table: per-(event_type,
     day) stats → long series → SR scores → verdicts."""
@@ -787,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_agreement": q_lang_id_agreement,
         "fingerprint": q_fingerprint,
         "repetition_profile": q_repetition_profile,
+        "boilerplate_lines": q_boilerplate_lines,
+        "scrub_boilerplate": q_scrub_boilerplate,
+        "pii_redaction": q_pii_redaction,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -1567,6 +1643,62 @@ def oracle_sql() -> dict[str, str]:
                      END AS lang_pred
               FROM hits)
             SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY 1, 2
+        """,
+        "boilerplate_lines": r"""
+            WITH withnl AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents),
+            split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM withnl),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM split)
+            SELECT trim(line) AS line, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM lines WHERE trim(line) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        """,
+        "scrub_boilerplate": r"""
+            WITH withnl AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents),
+            split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM withnl),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM split),
+            bp AS (
+              SELECT trim(line) AS tl FROM lines WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM lines WHERE trim(line) NOT IN (SELECT tl FROM bp)
+            GROUP BY doc_id
+        """,
+        "pii_redaction": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact u' || doc_id ||
+                            '@example.com or +1 (555) 010-' ||
+                            lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                            ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                       ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d[\d() -]{6,}\d', '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\+\d[\d() -]{6,}\d'))::BIGINT AS n_phone
+            FROM inj
         """,
         "fingerprint": f"""
             SELECT doc_id,

@@ -1,0 +1,121 @@
+"""Line-level boilerplate removal (CCNet protocol) + PII redaction."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.scrub import (
+    PII_PATTERNS,
+    boilerplate_line_set,
+    doc_lines,
+    drop_boilerplate_lines,
+    pii_profile,
+    redact_pii,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        (1, "cookie banner\nreal content one\n\nmore text"),
+        (2, "  cookie banner \nreal content two"),  # whitespace variant
+        (3, "cookie banner"),  # pure boilerplate
+        (4, None),  # null text
+        (5, "self dup\nself dup\nunique"),  # within-doc repeat only
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).persist()
+
+
+def test_boilerplate_set_counts_distinct_docs(pages):
+    bp = {(r.line, r.n_docs) for r in boilerplate_line_set(pages, min_docs=2).collect()}
+    # 'cookie banner' appears (modulo whitespace) in docs 1, 2, 3;
+    # 'self dup' repeats only within doc 5 -> NOT boilerplate
+    assert bp == {("cookie banner", 3)}
+
+
+def test_drop_boilerplate_semantics(pages):
+    out = {r.doc_id: r.text for r in drop_boilerplate_lines(pages, min_docs=2).collect()}
+    assert out == {
+        1: "real content one\n\nmore text",  # blank line preserved
+        2: "real content two",
+        5: "self dup\nself dup\nunique",  # within-doc repeats kept
+        # doc 3 (pure boilerplate) and doc 4 (null text) drop entirely
+    }
+
+
+def test_doc_lines_positions(pages):
+    got = sorted(
+        (r.pos, r.line)
+        for r in doc_lines(pages).filter(F.col("doc_id") == 1).collect()
+    )
+    assert got == [(0, "cookie banner"), (1, "real content one"), (2, ""), (3, "more text")]
+
+
+def test_min_docs_threshold(pages):
+    # raising the threshold above the banner's doc count keeps everything
+    assert boilerplate_line_set(pages, min_docs=4).count() == 0
+    out = {r.doc_id: r.text for r in drop_boilerplate_lines(pages, min_docs=4).collect()}
+    assert out[3] == "cookie banner"
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "mail bob.x@ex-a.org end 10.1.2.3 tel +44 (020) 1234-5678 ok"),
+             (2, "clean text, no pii at all"),
+             (3, None)],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert out[1] == "mail <EMAIL> end <IP> tel <PHONE> ok"
+    assert out[2] == "clean text, no pii at all"
+    assert out[3] is None
+    prof = {r.doc_id: r for r in pii_profile(df).collect()}
+    assert (prof[1].n_email, prof[1].n_ipv4, prof[1].n_phone) == (1, 1, 1)
+    assert (prof[2].n_email, prof[2].n_ipv4, prof[2].n_phone) == (0, 0, 0)
+    # post-redaction profile is all zero (the redaction is complete)
+    post = pii_profile(redact_pii(df)).filter(F.col("doc_id") == 1).first()
+    assert (post.n_email, post.n_ipv4, post.n_phone) == (0, 0, 0)
+
+
+def test_redact_pii_out_col_keeps_original(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "a@b.co")], columns=["doc_id", "text"])
+    )
+    row = redact_pii(df, out_col="clean").first()
+    assert row.text == "a@b.co" and row.clean == "<EMAIL>"
+
+
+def test_pii_plans_have_no_shuffle_or_python(spark):
+    """Redaction and profiling are pure codegen projections."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "x")], columns=["doc_id", "text"])
+    )
+    for frame in (redact_pii(df), pii_profile(df)):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frame.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kind_subset_and_order_independence(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "a@b.co 10.1.2.3")], columns=["doc_id", "text"])
+    )
+    only_ip = redact_pii(df, kinds=("ipv4",)).first().text
+    assert only_ip == "a@b.co <IP>"
+    # kinds order does not change the applied order (PII_PATTERNS order)
+    a = redact_pii(df, kinds=("phone", "ipv4", "email")).first().text
+    b = redact_pii(df, kinds=("email", "ipv4", "phone")).first().text
+    assert a == b == "<EMAIL> <IP>"
+    assert set(PII_PATTERNS) == {"email", "ipv4", "phone"}

@@ -253,6 +253,27 @@ def main() -> None:
         "Exchange" not in rep_plan and _executed_parquet_scans(rep_plan) == 1,
     )
 
+    from anomalydetector_spark.operators.scrub import (
+        drop_boilerplate_lines,
+        redact_pii,
+    )
+
+    scrub_plan = plan_of(drop_boilerplate_lines(docs, min_docs=3))
+    ok &= check(
+        "boilerplate scrub: distinct-count partial-aggregates map-side, "
+        "anti-join is an equi-join",
+        "partial" in scrub_plan.lower()
+        and "CartesianProduct" not in scrub_plan
+        and "BroadcastNestedLoopJoin" not in scrub_plan,
+    )
+    pii_plan = plan_of(redact_pii(docs))
+    ok &= check(
+        "PII redaction is a pure codegen projection (no shuffle, no Python)",
+        "Exchange" not in pii_plan
+        and "EvalPython" not in pii_plan
+        and _executed_parquet_scans(pii_plan) == 1,
+    )
+
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
