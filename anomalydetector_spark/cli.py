@@ -261,7 +261,10 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
     """Training-corpus prep over a documents-shaped table: optional
     deterministic sampling/mixing of the raw input (operators/sampling —
     retry-stable md5-threshold selection, applied FIRST so dedup and
-    quality scoring never touch dropped rows), then dedup → quality gate
+    quality scoring never touch dropped rows), optional benchmark
+    decontamination, optional line-level boilerplate scrub + PII
+    redaction (operators/scrub — before dedup so banners and PII never
+    reach content hashes or fingerprints), then dedup → quality gate
     → features (operators/pipeline.prepare_training_corpus), then
     optional sequence packing of the surviving docs into fixed token
     budgets (operators/packing)."""
@@ -299,6 +302,22 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
             id_col=args.id_column,
             k_shingle=args.decontam_ngram,
         )
+    if args.scrub_min_docs:
+        from anomalydetector_spark.operators.scrub import drop_boilerplate_lines
+
+        # scrubbed frame is (id, text) only — rejoin the other columns;
+        # pure-boilerplate docs drop here by design (inner join)
+        scrubbed = drop_boilerplate_lines(
+            docs,
+            min_docs=args.scrub_min_docs,
+            text_col=args.text_column,
+            id_col=args.id_column,
+        )
+        docs = docs.drop(args.text_column).join(scrubbed, args.id_column)
+    if args.redact_pii:
+        from anomalydetector_spark.operators.scrub import redact_pii
+
+        docs = redact_pii(docs, text_col=args.text_column)
     out = prepare_training_corpus(
         docs,
         text_col=args.text_column,
@@ -590,6 +609,15 @@ def main(argv=None):
                         "sharing any --decontam-ngram n-gram with it are "
                         "dropped before dedup")
     p.add_argument("--decontam-ngram", type=int, default=8)
+    p.add_argument("--scrub-min-docs", type=int, default=None,
+                   help="CCNet line-level boilerplate removal: drop every "
+                        "line occurring in at least this many distinct docs "
+                        "(applied before dedup so banners never vote in "
+                        "content hashes); pure-boilerplate docs drop")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="replace emails/IPv4s/phone numbers with <KIND> "
+                        "tokens before dedup/quality so PII never reaches "
+                        "fingerprints or the packed corpus")
     p.add_argument("--near-dup-jaccard", type=float, default=None,
                    help="also drop near-duplicates: MinHash-LSH candidates "
                         "verified at this n-gram Jaccard threshold, "

@@ -105,3 +105,43 @@ def test_prep_corpus_decontam(spark, tmp_path, capsys):
     ])
     kept = spark.read.parquet(str(tmp_path / "out"))
     assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
+
+
+def test_prep_corpus_scrub_and_redact(spark, tmp_path, capsys):
+    """--scrub-min-docs drops cross-doc boilerplate lines before dedup
+    (changing content hashes), --redact-pii scrubs PII before features."""
+    import pandas as pd
+
+    banner = "subscribe to our newsletter now"
+    body = ("a reasonably long and ordinary document body with enough "
+            "distinct words to pass the quality gate easily " * 2)
+    rows = [
+        (1, f"{banner}\n{body}alpha mail me at a@b.co"),
+        (2, f"{banner}\n{body}beta"),
+        (3, f"{banner}\n{body}gamma"),
+        (4, banner),  # pure boilerplate -> dropped entirely
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    cli.main([
+        "prep-corpus", "--input-path", src, "--output-path", out,
+        "--scrub-min-docs", "3", "--redact-pii", "--min-quality", "0.0",
+    ])
+    kept = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [1, 2, 3]
+
+    # the banner is gone from the scrubbed text and the email is tokenized:
+    # rerun with scrub only and check fingerprints differ from a no-scrub run
+    out2 = str(tmp_path / "noscrub")
+    cli.main([
+        "prep-corpus", "--input-path", src, "--output-path", out2,
+        "--min-quality", "0.0",
+    ])
+    fp_scrub = {r.doc_id: r.fingerprint for r in kept.collect()}
+    fp_raw = {r.doc_id: r.fingerprint
+              for r in spark.read.parquet(out2).collect()}
+    assert fp_scrub[2] != fp_raw[2]  # scrubbing changed the hashed content
