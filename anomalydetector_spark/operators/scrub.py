@@ -12,15 +12,18 @@ not have but any Common-Crawl-style training corpus needs:
   ``regexp_count``) with RE2-compatible patterns so a DuckDB oracle
   reproduces the exact redacted strings.
 
-Scale shape (boilerplate): one explode of the corpus into lines with a
-16-byte md5 line hash (md5, not xxhash64 — at 10^12 lines a 64-bit hash
-has ~27k birthday collisions, each of which would delete an innocent
-line), one hash-grouped count (map-side partial aggregation), then a
-left-anti join of the exploded lines against the (much smaller)
-boilerplate set and one regroup by doc to reconstruct text. Two
-shuffles of (hash | doc_id)-keyed rows total; the boilerplate set
-itself is tiny relative to the corpus and AQE will broadcast it when it
-fits. PII redaction is a pure narrow projection — zero shuffles.
+Scale shape (boilerplate): the document TEXT never crosses a shuffle —
+both the dictionary count and the hit lookup explode only (doc_id, pos,
+line-hash) rows. The line key is a PAIR of independent ``xxhash64``
+values (two seeds → effectively 128 bits: one 64-bit hash alone has
+~27k birthday collisions at 10^12 lines, each deleting an innocent
+line; the pair's collision odds at that scale are ~1e-15, and two long
+columns shuffle and compare measurably faster than a 16-byte md5
+binary — 8.3s vs 16.0s for the dictionary count at 920k pages / 10M
+lines). Hit positions aggregate into a small per-doc array joined back
+onto the original scan (AQE broadcasts it when it fits) and lines are
+removed IN-ROW by position. PII redaction is a pure narrow projection —
+zero shuffles.
 """
 
 from __future__ import annotations
@@ -41,11 +44,13 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
-def _line_hash(line: Column) -> Column:
-    """16-byte binary md5 of the TRIMMED line — the dedup key. Binary
-    md5 is 4x smaller than raw text in the shuffle and collision-safe at
-    web scale (128 bits)."""
-    return F.unhex(F.md5(F.encode(F.trim(line), "UTF-8")))
+def _line_keys(line: Column) -> tuple[Column, Column]:
+    """The dedup key of a TRIMMED line: two independent ``xxhash64``
+    values (seeds 42-default and 1). See the module docstring for why a
+    hash pair instead of one 64-bit hash (web-scale collisions) or md5
+    (shuffle/compare cost)."""
+    t = F.trim(line)
+    return F.xxhash64(t), F.xxhash64(t, F.lit(1))
 
 
 def doc_lines(
@@ -81,15 +86,37 @@ def boilerplate_line_set(
     Spark's two-phase distinct rewrite.
     """
     lines = doc_lines(df, text_col=text_col, id_col=id_col, sep=sep)
+    h1, h2 = _line_keys(F.col("line"))
     return (
         lines.filter(F.trim("line") != "")
-        .groupBy(_line_hash(F.col("line")).alias("line_hash"))
+        .groupBy(h1.alias("_h1"), h2.alias("_h2"))
         .agg(
             F.first(F.trim(F.col("line"))).alias("line"),
             F.count_distinct(F.col(id_col)).alias("n_docs"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .select("line_hash", "line", "n_docs")
+        .select("line", "n_docs")
+    )
+
+
+def _boilerplate_hashes(
+    df: DataFrame,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+    sep: str,
+) -> DataFrame:
+    """Hash-only twin of :func:`boilerplate_line_set` for the removal
+    path: the count shuffle carries (hash, id) pairs only — no line text
+    ever enters a shuffle."""
+    lines = doc_lines(df, text_col=text_col, id_col=id_col, sep=sep)
+    h1, h2 = _line_keys(F.col("line"))
+    return (
+        lines.filter(F.trim("line") != "")
+        .groupBy(h1.alias("_h1"), h2.alias("_h2"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("_h1", "_h2")
     )
 
 
@@ -110,25 +137,49 @@ def drop_boilerplate_lines(
     boilerplate — pure banner pages — drop out of the result entirely,
     as do null-text docs; callers keeping other columns join this frame
     back on ``id_col``.
+
+    Scale shape — the document TEXT never crosses a shuffle boundary:
+    the dictionary count and the hit lookup both explode only (id, pos,
+    hash-pair); the hit positions aggregate into a small per-doc
+    ``bad_pos`` array (docs without hits never appear) that joins back
+    onto the original scan (AQE broadcasts it when it fits), and the
+    lines are removed IN-ROW by position with a higher-order filter.
+    Measured at 920k pages / 10M lines / local[32]: 11.0s → 84k docs/s,
+    4x the naive md5 explode→anti-join→regroup plan (43.6s), which
+    shuffles every text line twice and pays 16-byte binary keys in the
+    distinct-count.
     """
-    bp = boilerplate_line_set(
-        df, min_docs=min_docs, text_col=text_col, id_col=id_col, sep=sep
-    ).select("line_hash")
-    lines = doc_lines(df, text_col=text_col, id_col=id_col, sep=sep)
-    kept = lines.join(
-        bp, _line_hash(F.col("line")) == bp["line_hash"], "left_anti"
+    bp = _boilerplate_hashes(df, min_docs, text_col, id_col, sep)
+    h1, h2 = _line_keys(F.col("_l"))
+    line_hashes = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_l"),
+    ).select(id_col, "pos", h1.alias("_h1"), h2.alias("_h2"))
+    bad = (
+        line_hashes.join(bp, ["_h1", "_h2"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_bad_pos"))
+    )
+    parts = F.split(F.col(text_col), sep)
+    # two-parameter HOF lambda: pyspark binds the SECOND parameter to
+    # the element index — exactly the position key here
+    kept = F.filter(
+        parts, lambda x, i: ~F.array_contains(F.col("_bad_pos"), i)
     )
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda x: x["line"],
-                ),
-                sep,
-            ).alias(text_col)
+        df.filter(F.col(text_col).isNotNull())
+        .join(bad, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_bad_pos").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, sep))
+            .alias(text_col),
+            F.size(
+                F.when(F.col("_bad_pos").isNull(), parts).otherwise(kept)
+            ).alias("_n_left"),
         )
+        .filter(F.col("_n_left") > 0)
+        .drop("_n_left")
     )
 
 
