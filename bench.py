@@ -155,6 +155,21 @@ def main() -> None:
         ),
     )
 
+    from anomalydetector_spark.operators.scrub import drop_boilerplate_lines
+
+    # CCNet line-level boilerplate scrub over the pages table with line
+    # breaks injected every 5 words (~10 lines/page at sf0.1)
+    pages_nl = pages.select(
+        F.col("url").alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n").alias(
+            "text"
+        ),
+    )
+    timed(
+        "scrub_boilerplate_pages",
+        lambda: materialize(drop_boilerplate_lines(pages_nl, min_docs=5)),
+    )
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = (
         round(pages_rows / timings["pages_validate"], 1)
