@@ -119,3 +119,49 @@ def test_kind_subset_and_order_independence(spark):
     b = redact_pii(df, kinds=("email", "ipv4", "phone")).first().text
     assert a == b == "<EMAIL> <IP>"
     assert set(PII_PATTERNS) == {"email", "ipv4", "phone"}
+
+
+def test_scrub_matches_pandas_recomputation_on_random_docs(spark):
+    """60 seeded random multi-line docs (shared banner pool + unique
+    lines, blank lines, whitespace variants): the Spark scrub equals a
+    pure-Python recomputation of the CCNet rule."""
+    import random
+
+    rng = random.Random(20260817)
+    banners = [f"banner {i} text" for i in range(6)]
+    rows = []
+    for d in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 12)):
+            r = rng.random()
+            if r < 0.35:
+                b = rng.choice(banners)
+                # whitespace variant half the time
+                lines.append(f"  {b} " if rng.random() < 0.5 else b)
+            elif r < 0.45:
+                lines.append("")  # blank
+            else:
+                lines.append(f"unique {d} {rng.randint(0, 10**9)}")
+        rows.append((d, "\n".join(lines)))
+
+    # pure-Python ground truth
+    from collections import defaultdict
+
+    doc_sets = defaultdict(set)
+    for d, text in rows:
+        for ln in text.split("\n"):
+            if ln.strip():
+                doc_sets[ln.strip()].add(d)
+    bp = {ln for ln, ds in doc_sets.items() if len(ds) >= 3}
+    expect = {}
+    for d, text in rows:
+        kept = [ln for ln in text.split("\n") if ln.strip() not in bp or not ln.strip()]
+        if kept:
+            expect[d] = "\n".join(kept)
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r.doc_id: r.text for r in drop_boilerplate_lines(df, min_docs=3).collect()}
+    assert got == expect
+    # and the dictionary matches the ground-truth banner set
+    got_bp = {r.line for r in boilerplate_line_set(df, min_docs=3).collect()}
+    assert got_bp == bp
