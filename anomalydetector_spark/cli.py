@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -472,10 +473,19 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     pages = reader.parquet(args.input_path)
+    dedup = getattr(args, "dedup_url", False)
+    if dedup:
+        from anomalydetector_spark.streaming import dedup_ingest_stream
+
+        pages = dedup_ingest_stream(
+            pages, key_cols=("url",), watermark_delay=args.watermark
+        )
     stats = streaming_window_stats(
         pages,
         window_duration=args.window,
-        watermark_delay=args.watermark,
+        # the dedup stage already set the watermark; Spark disallows
+        # redefining it within one query
+        watermark_delay=None if dedup else args.watermark,
         partition_by=args.partition_by,
     )
     w1 = (
@@ -489,6 +499,11 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
         "partition_key string, stat_name string, "
         "window_start timestamp, value double"
     )
+    # the stage-2 file source requires its input path to EXIST at
+    # construction time (schema is supplied, but Spark still validates
+    # the path) — on a fresh output dir stage 1 hasn't created it yet
+    if "://" not in out:
+        os.makedirs(f"{out}/stat_series", exist_ok=True)
     scored = sr_score_stream(
         spark.readStream.schema(stat_schema).parquet(f"{out}/stat_series")
     )
@@ -566,6 +581,11 @@ def main(argv=None):
     s.add_argument("--available-now", action="store_true",
                    help="drain what's there and stop (batch-like run)")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--dedup-url", action="store_true",
+                   help="drop re-delivered urls at ingest "
+                        "(dropDuplicatesWithinWatermark keyed on url; "
+                        "state bounded by the watermark) so duplicates "
+                        "never reach the window stats")
 
     e = sub.add_parser(
         "evaluate",

@@ -20,3 +20,6 @@ from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
     sr_score_stream,
     streaming_window_stats,
 )
+from anomalydetector_spark.streaming.ingest import (  # noqa: F401
+    dedup_ingest_stream,
+)

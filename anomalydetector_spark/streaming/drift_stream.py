@@ -71,7 +71,7 @@ SCORED_SCHEMA = (
 def streaming_window_stats(
     pages_stream: DataFrame,
     window_duration: str = "1 day",
-    watermark_delay: str = "2 days",
+    watermark_delay: str | None = "2 days",
     partition_by: str | None = None,
     langs: tuple[str, ...] = DEFAULT_LANGS,
     ts_col: str = "warc_ts",
@@ -82,6 +82,11 @@ def streaming_window_stats(
     In ``append`` output mode a window's row is emitted exactly once,
     when the watermark passes its end — i.e. each emitted row is a
     FINALIZED window, the streaming analog of the batch cube rollup.
+
+    ``watermark_delay=None`` skips the ``withWatermark`` call — required
+    when chaining after another stateful stage that already set it
+    (e.g. :func:`~anomalydetector_spark.streaming.dedup_ingest_stream`;
+    Spark disallows redefining the watermark inside one query).
     """
     part = (
         F.lit("global")
@@ -99,7 +104,11 @@ def streaming_window_stats(
             F.avg((F.col("lang") == lang).cast("double")).alias(f"lang_frac_{lang}")
         )
     wide = (
-        pages_stream.withWatermark(ts_col, watermark_delay)
+        (
+            pages_stream.withWatermark(ts_col, watermark_delay)
+            if watermark_delay is not None
+            else pages_stream
+        )
         .withColumn("partition_key", part)
         .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "partition_key")
         .agg(*aggs)
