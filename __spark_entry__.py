@@ -741,6 +741,65 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup: four messy variants of the same logical
+    page — scheme/host case, www., default :443 port, fragment, userinfo,
+    duplicate + trailing slashes, tracking params, param order — must
+    merge to ONE canonical group (operators/urls.canonicalize_url +
+    canonical_url_duplicates; the two-phase exact-dedup plan keyed on the
+    canonical form). documents has no url column, so messy URLs are
+    synthesized deterministically from doc_id; the oracle reproduces both
+    the synthesis and the full canonicalization rule set in SQL."""
+    from anomalydetector_spark.operators.urls import canonical_url_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 199  # 199 coprime to 4: variants mix per group
+    host = F.concat(
+        F.lit("site-"), (p % 7).cast("string"), F.lit(".example.com")
+    )
+    page = F.concat(F.lit("/page/"), p.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, page, F.lit("?a=1&b=2")))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443"), page,
+                F.lit("?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("https://"), host, page, F.lit("/?a=1&gclid=zz&b=2")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://crawler@"), host, F.lit("/"), page,
+                F.lit("?utm_source=t&b=2&a=1"),
+            )
+        )
+    )
+    return canonical_url_duplicates(docs.select("doc_id", url.alias("url")))
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-rule quality gate (Rae et al. 2021 MassiveText A.1.1) over
+    documents: every published rule as an audited boolean flag plus the
+    final keep verdict (operators/quality.gopher_quality_flags) — one
+    fully-codegen projection, value-exact vs the DuckDB twin."""
+    from anomalydetector_spark.operators.quality import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "keep",
+    )
+
+
 def _drift_on_events(spark, sf_dir, with_scores: bool):
     """North-rule flagship shape on the events table: per-(event_type,
     day) stats → long series → SR scores → verdicts."""
@@ -863,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "scrub_boilerplate": q_scrub_boilerplate,
         "pii_redaction": q_pii_redaction,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "gopher_filter": q_gopher_filter,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -1699,6 +1760,127 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\+\d[\d() -]{6,}\d'))::BIGINT AS n_phone
             FROM inj
+        """,
+        "url_canonical_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://site-' || ((doc_id % 199) % 7) ||
+                    '.example.com/page/' || (doc_id % 199) || '?a=1&b=2'
+                  WHEN 1 THEN 'HTTPS://WWW.' ||
+                    upper('site-' || ((doc_id % 199) % 7) || '.example.com') ||
+                    ':443/page/' || (doc_id % 199) || '?b=2&a=1#frag'
+                  WHEN 2 THEN 'https://site-' || ((doc_id % 199) % 7) ||
+                    '.example.com/page/' || (doc_id % 199) || '/?a=1&gclid=zz&b=2'
+                  ELSE 'https://crawler@site-' || ((doc_id % 199) % 7) ||
+                    '.example.com//page/' || (doc_id % 199) || '?utm_source=t&b=2&a=1'
+                END AS url
+              FROM documents),
+            nofrag AS (
+              SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) AS rest
+              FROM nofrag),
+            hp AS (
+              SELECT doc_id, scheme, rest,
+                lower(regexp_replace(hostport, '^[^@]*@', '')) AS h0
+              FROM parts),
+            hport AS (
+              SELECT doc_id, scheme, rest,
+                CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+                       THEN substr(h0, 1, length(h0) - 3)
+                     WHEN scheme = 'https' AND h0 LIKE '%:443'
+                       THEN substr(h0, 1, length(h0) - 4)
+                     ELSE h0 END AS h1
+              FROM hp),
+            hh AS (
+              SELECT doc_id, scheme, rest,
+                regexp_replace(h1, '^www\.', '') AS host
+              FROM hport),
+            pq AS (
+              SELECT doc_id, scheme, host,
+                regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                               '/{2,}', '/', 'g') AS p0,
+                regexp_extract(rest, '\?(.*)$', 1) AS q0
+              FROM hh),
+            ptrail AS (
+              SELECT doc_id, scheme, host, q0,
+                CASE WHEN p1 = '' THEN '/'
+                     WHEN length(p1) > 1 AND p1 LIKE '%/'
+                       THEN substr(p1, 1, length(p1) - 1)
+                     ELSE p1 END AS path
+              FROM (SELECT *, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p1 FROM pq)),
+            qn AS (
+              SELECT doc_id, scheme, host, path,
+                array_to_string(list_sort(list_filter(string_split(q0, '&'),
+                  p -> p <> ''
+                       AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                       AND split_part(p, '=', 1) NOT IN
+                         ('gclid','fbclid','msclkid','mc_cid','mc_eid','igshid'))),
+                  '&') AS q
+              FROM ptrail),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://' || host || path ||
+                  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+              FROM qn),
+            groups AS (
+              SELECT canonical_url, min(doc_id) AS canonical_id,
+                     count(*)::BIGINT AS group_size
+              FROM canon GROUP BY 1)
+            SELECT doc_id, canonical_url, canonical_id, group_size,
+                   doc_id = canonical_id AS is_canonical
+            FROM canon JOIN groups USING (canonical_url)
+        """,
+        "gopher_filter": r"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t <> '') AS toks,
+                string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                len(toks)::BIGINT AS n_words,
+                list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                  / greatest(len(toks), 1) AS mean_wl,
+                ((length(text) - length(replace(text, '#', '')))
+                 + len(regexp_extract_all(text, '\.{3}'))
+                 + len(regexp_extract_all(text, '…')))::DOUBLE AS symbols,
+                len(list_filter(lines,
+                  l -> split_part(trim(l) || ' ', ' ', 1)
+                         IN ('-','*','•','‣','◦')
+                       OR starts_with(trim(l), '•')))::DOUBLE AS bullet_lines,
+                len(list_filter(lines,
+                  l -> ends_with(trim(l), '...')
+                       OR ends_with(trim(l), '…')))::DOUBLE AS ellipsis_lines,
+                len(list_filter(toks,
+                  t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+                len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(toks, s))) AS stop_hits,
+                greatest(len(lines), 1)::DOUBLE AS n_lines,
+                greatest(len(toks), 1)::DOUBLE AS nw1
+              FROM tok)
+            SELECT doc_id, n_words,
+              n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+              mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+              symbols / nw1 <= 0.1 AS ok_symbol_ratio,
+              bullet_lines / n_lines < 0.9 AS ok_bullet_lines,
+              ellipsis_lines / n_lines < 0.3 AS ok_ellipsis_lines,
+              alpha_words / nw1 >= 0.8 AS ok_alpha_words,
+              stop_hits >= 2 AS ok_stopwords,
+              (n_words >= 50 AND n_words <= 100000)
+                AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                AND (symbols / nw1 <= 0.1)
+                AND (bullet_lines / n_lines < 0.9)
+                AND (ellipsis_lines / n_lines < 0.3)
+                AND (alpha_words / nw1 >= 0.8)
+                AND (stop_hits >= 2) AS keep
+            FROM m
         """,
         "fingerprint": f"""
             SELECT doc_id,
