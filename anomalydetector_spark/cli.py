@@ -260,15 +260,19 @@ def _parse_weights(spec: str) -> dict[str, float]:
 
 def cmd_prep_corpus(args, spark: SparkSession) -> None:
     """Training-corpus prep over a documents-shaped table: optional
+    crawl-frontier URL dedup (operators/urls — one survivor per
+    canonical URL, applied before any content stage), optional
     deterministic sampling/mixing of the raw input (operators/sampling —
-    retry-stable md5-threshold selection, applied FIRST so dedup and
+    retry-stable md5-threshold selection, applied next so dedup and
     quality scoring never touch dropped rows), optional benchmark
     decontamination, optional line-level boilerplate scrub + PII
     redaction (operators/scrub — before dedup so banners and PII never
-    reach content hashes or fingerprints), then dedup → quality gate
-    → features (operators/pipeline.prepare_training_corpus), then
-    optional sequence packing of the surviving docs into fixed token
-    budgets (operators/packing)."""
+    reach content hashes or fingerprints), optional Gopher hard quality
+    gate (operators/quality — on the scrubbed text, before dedup), then
+    dedup → quality gate → features
+    (operators/pipeline.prepare_training_corpus), then optional sequence
+    packing of the surviving docs into fixed token budgets
+    (operators/packing)."""
     from anomalydetector_spark.operators.pipeline import prepare_training_corpus
     from anomalydetector_spark.operators.sampling import (
         corpus_mix,
@@ -277,6 +281,16 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
     from anomalydetector_spark.sources.tables import read_table
 
     docs = read_table(spark, args.input_path)
+    if args.url_column:
+        from anomalydetector_spark.operators.urls import canonical_url_duplicates
+
+        # crawl-frontier dedup runs FIRST: one survivor per canonical URL
+        # (min id — retry-stable), so re-crawls and tracking-param
+        # variants never reach content hashing or quality scoring
+        keep_ids = canonical_url_duplicates(
+            docs, url_col=args.url_column, id_col=args.id_column
+        ).filter(F.col("is_canonical")).select(args.id_column)
+        docs = docs.join(keep_ids, args.id_column, "left_semi")
     if args.mix_weights:
         docs = corpus_mix(
             docs,
@@ -319,6 +333,13 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         from anomalydetector_spark.operators.scrub import redact_pii
 
         docs = redact_pii(docs, text_col=args.text_column)
+    if args.gopher_filter:
+        from anomalydetector_spark.operators.quality import gopher_filter
+
+        # the published hard gate runs on the scrubbed/redacted text,
+        # before dedup (the Gopher/MassiveText stage order): a pure
+        # codegen filter, so it fuses into the preceding projection
+        docs = gopher_filter(docs, text_col=args.text_column)
     out = prepare_training_corpus(
         docs,
         text_col=args.text_column,
@@ -638,6 +659,16 @@ def main(argv=None):
                    help="replace emails/IPv4s/phone numbers with <KIND> "
                         "tokens before dedup/quality so PII never reaches "
                         "fingerprints or the packed corpus")
+    p.add_argument("--url-column", default=None,
+                   help="crawl-frontier dedup: canonicalize this URL "
+                        "column (case/www/default-port/fragment/tracking-"
+                        "param normalization) and keep one doc per "
+                        "canonical URL, before any content stage")
+    p.add_argument("--gopher-filter", action="store_true",
+                   help="apply the published Gopher hard quality rules "
+                        "(word count, mean word length, symbol/bullet/"
+                        "ellipsis ratios, alpha words, stopwords) after "
+                        "scrub/redaction, before dedup")
     p.add_argument("--near-dup-jaccard", type=float, default=None,
                    help="also drop near-duplicates: MinHash-LSH candidates "
                         "verified at this n-gram Jaccard threshold, "

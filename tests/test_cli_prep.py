@@ -107,6 +107,44 @@ def test_prep_corpus_decontam(spark, tmp_path, capsys):
     assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
 
 
+def test_prep_corpus_url_dedup_and_gopher(spark, tmp_path, capsys):
+    """--url-column keeps one doc per canonical URL before any content
+    stage; --gopher-filter hard-gates on the published rules."""
+    import pandas as pd
+
+    passing = (
+        "the quick brown fox jumps over that lazy dog and runs with great "
+        "speed to catch all of the shiny red apples lying under the old "
+        "oak tree while birds have been singing sweet songs from every "
+        "branch and the warm wind carries leaves across wide open fields "
+        "toward distant hills where children play games until sunset"
+    )
+    rows = [
+        # docs 1-3: same logical page, messy URL variants; min id survives
+        (1, "http://www.dup.com:80/a/?utm_source=x&b=2&a=1", passing + " one"),
+        (2, "HTTP://dup.com/a?a=1&b=2#frag", passing + " two"),
+        (3, "http://dup.com/a/?b=2&a=1&gclid=z", passing + " three"),
+        # doc 4: unique URL but fails the Gopher word-count rule
+        (4, "http://other.com/b", "short junk doc"),
+        # doc 5: unique URL, passes everything
+        (5, "http://other.com/c", passing + " five"),
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    cli.main([
+        "prep-corpus", "--input-path", src, "--output-path", out,
+        "--url-column", "url", "--gopher-filter", "--min-quality", "0.0",
+    ])
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept == [1, 5]  # URL dedup dropped 2,3; Gopher dropped 4
+
+
 def test_prep_corpus_scrub_and_redact(spark, tmp_path, capsys):
     """--scrub-min-docs drops cross-doc boilerplate lines before dedup
     (changing content hashes), --redact-pii scrubs PII before features."""
