@@ -800,6 +800,31 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each click event joined
+    to the user's latest purchase at-or-before it — the one-shuffle
+    union+window plan, never a range join. Oracled against DuckDB's
+    NATIVE ASOF LEFT JOIN, so the semantics (backward, inclusive ties,
+    left rows without a match kept with nulls) are pinned to the
+    industry-standard definition."""
+    from anomalydetector_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts", prefix="last_purchase_"
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("last_purchase_ts"),
+        F.col("last_purchase_purchase_value").alias("last_purchase_value"),
+    )
+
+
 def _drift_on_events(spark, sf_dir, with_scores: bool):
     """North-rule flagship shape on the events table: per-(event_type,
     day) stats → long series → SR scores → verdicts."""
@@ -923,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_boilerplate": q_scrub_boilerplate,
         "pii_redaction": q_pii_redaction,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "asof_join_events": q_asof_join_events,
         "gopher_filter": q_gopher_filter,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
@@ -1760,6 +1786,17 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\+\d[\d() -]{6,}\d'))::BIGINT AS n_phone
             FROM inj
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS last_purchase_ts,
+                   r.value AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "url_canonical_dedup": r"""
             WITH raw AS (

@@ -1,0 +1,123 @@
+"""As-of join: exact parity with pandas merge_asof (the de-facto
+reference semantics) on handcrafted and randomized inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.temporal import asof_join
+
+
+def _spark_asof(spark, lpdf, rpdf, **kw):
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    return (
+        asof_join(left, right, "k", "ts", **kw)
+        .orderBy("k", "ts", "lid")
+        .toPandas()
+    )
+
+
+LEFT = pd.DataFrame(
+    {"k": [1, 1, 1, 2, 2, 3], "ts": [5, 10, 15, 3, 9, 7],
+     "lid": [0, 1, 2, 3, 4, 5]}
+)
+RIGHT = pd.DataFrame(
+    {"k": [1, 1, 2, 4], "ts": [4, 10, 6, 1], "v": [40.0, 100.0, 60.0, 10.0]}
+)
+
+
+def test_backward_basic_with_ties_and_misses(spark):
+    out = _spark_asof(spark, LEFT, RIGHT)
+    # k=1: ts5→(4,40), ts10→(10,100) tie matches, ts15→(10,100)
+    # k=2: ts3→no match, ts9→(6,60); k=3: never matches
+    assert out["asof_ts"].tolist()[:3] == [4, 10, 10]
+    assert out["asof_v"].tolist()[:3] == [40.0, 100.0, 100.0]
+    assert pd.isna(out["asof_ts"][3]) and out["asof_ts"][4] == 6
+    assert pd.isna(out["asof_ts"][5])
+
+
+def test_forward_direction(spark):
+    out = _spark_asof(spark, LEFT, RIGHT, direction="forward")
+    # k=1: ts5→(10), ts10→(10) tie, ts15→none; k=2: ts3→(6), ts9→none
+    assert out["asof_ts"].tolist()[:2] == [10, 10]
+    assert pd.isna(out["asof_ts"][2])
+    assert out["asof_ts"][3] == 6 and pd.isna(out["asof_ts"][4])
+
+
+def test_tolerance_nulls_far_matches(spark):
+    out = _spark_asof(spark, LEFT, RIGHT, tolerance=F.lit(2))
+    # k=1 ts5: match at 4 (dist 1, kept); ts15: match at 10 (dist 5, nulled)
+    assert out["asof_ts"][0] == 4
+    assert pd.isna(out["asof_ts"][2])
+
+
+def test_left_columns_preserved_and_row_count(spark):
+    out = _spark_asof(spark, LEFT, RIGHT)
+    assert len(out) == len(LEFT)
+    assert {"k", "ts", "lid", "asof_ts", "asof_v"} == set(out.columns)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_random_parity_vs_pandas_merge_asof(spark, direction):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_l),
+            "ts": rng.integers(0, 1000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpdf = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 14, n_r),
+                "ts": rng.integers(0, 1000, n_r),
+                "v": rng.normal(size=n_r).round(6),
+            }
+        )
+        # as-of contract: unique (k, ts) on the right
+        .drop_duplicates(["k", "ts"])
+    )
+    got = _spark_asof(spark, lpdf, rpdf, direction=direction)
+
+    exp = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]).reset_index(drop=True),
+        rpdf.sort_values("ts").rename(columns={"ts": "asof_ts", "v": "asof_v"}),
+        left_on="ts",
+        right_on="asof_ts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=True,
+    ).sort_values(["k", "ts", "lid"]).reset_index(drop=True)
+
+    assert got["lid"].tolist() == exp["lid"].tolist()
+    pd.testing.assert_series_equal(
+        got["asof_ts"].astype("float64"),
+        exp["asof_ts"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["asof_v"].astype("float64"),
+        exp["asof_v"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_timestamp_type_and_interval_tolerance(spark):
+    lpdf = pd.DataFrame(
+        {"k": [1, 1], "ts": pd.to_datetime(["2024-01-05", "2024-01-20"]),
+         "lid": [0, 1]}
+    )
+    rpdf = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime(["2024-01-03"]), "v": [1.5]}
+    )
+    out = _spark_asof(
+        spark, lpdf, rpdf, tolerance=F.expr("INTERVAL 7 DAYS")
+    )
+    assert out["asof_v"][0] == 1.5  # 2 days away: kept
+    assert pd.isna(out["asof_v"][1])  # 17 days away: nulled

@@ -288,6 +288,43 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in cc_plan,
     )
 
+    from anomalydetector_spark.operators.quality import gopher_quality_flags
+    from anomalydetector_spark.operators.temporal import asof_join
+    from anomalydetector_spark.operators.urls import url_components
+
+    url_plan = plan_of(url_components(pages.select("url")))
+    ok &= check(
+        "URL canonicalization is a pure codegen projection (no shuffle/Python)",
+        "Exchange" not in url_plan
+        and "EvalPython" not in url_plan
+        and _executed_parquet_scans(url_plan) == 1,
+    )
+    gq_plan = plan_of(gopher_quality_flags(docs))
+    ok &= check(
+        "Gopher quality gate is a pure codegen projection (no shuffle/Python)",
+        "Exchange" not in gq_plan
+        and "EvalPython" not in gq_plan
+        and _executed_parquet_scans(gq_plan) == 1,
+    )
+    clicks = pages.select("url", "warc_ts", F.col("domain"))
+    snaps = pages.select(
+        F.col("domain"), F.col("warc_ts"), F.col("lang").alias("snap_lang")
+    )
+    asof_plan = plan_of(
+        asof_join(clicks, snaps, "domain", "warc_ts", prefix="snap_")
+    )
+    ok &= check(
+        "as-of join is union + ONE keyed window (no range/theta join, "
+        "one shuffle per input)",
+        "CartesianProduct" not in asof_plan
+        and "BroadcastNestedLoopJoin" not in asof_plan
+        and "SortMergeJoin" not in asof_plan
+        # formatted plans print each node twice (tree + detail section):
+        # one windowspecdefinition and one hashpartitioning exchange
+        and asof_plan.count("windowspecdefinition") == 1
+        and asof_plan.count("hashpartitioning") == 1,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
