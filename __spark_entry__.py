@@ -825,6 +825,37 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Exact cross-snapshot churn (operators/snapshot.snapshot_diff):
+    snapshot B is a deterministic perturbation of documents (every 17th
+    doc removed, every 13th edited, every 23rd re-added under a new id)
+    and each key gets its added/removed/changed/unchanged verdict. The
+    engine compares 16-byte md5 digests of the (lang, text) tuple — the
+    oracle compares the RAW VALUES via a FULL OUTER JOIN, independently
+    proving the length-prefixed digest encoding is faithful."""
+    from anomalydetector_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "lang")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" edited v2")),
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
 def _drift_on_events(spark, sf_dir, with_scores: bool):
     """North-rule flagship shape on the events table: per-(event_type,
     day) stats → long series → SR scores → verdicts."""
@@ -949,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "url_canonical_dedup": q_url_canonical_dedup,
         "asof_join_events": q_asof_join_events,
+        "snapshot_diff": q_snapshot_diff,
         "gopher_filter": q_gopher_filter,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
@@ -1786,6 +1818,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\+\d[\d() -]{6,}\d'))::BIGINT AS n_phone
             FROM inj
+        """,
+        "snapshot_diff": """
+            WITH old AS (SELECT doc_id, text, lang FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' edited v2'
+                          ELSE text END AS text,
+                     lang
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 100000, text, lang
+              FROM documents WHERE doc_id % 23 = 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text AND o.lang = n.lang
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "asof_join_events": """
             SELECT l.event_id, l.user_id, l.ts,

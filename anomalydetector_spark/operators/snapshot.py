@@ -1,0 +1,113 @@
+"""Exact cross-snapshot diff for table-version validation.
+
+The engine's Theta-sketch store (plans/sketches.py) estimates snapshot
+churn without rescans — the right tool for the per-window drift series.
+This operator is its EXACT complement: given two materialized snapshots
+of a keyed table (two Iceberg snapshot reads), classify every key as
+
+* ``added``     — key only in the new snapshot,
+* ``removed``   — key only in the old snapshot,
+* ``changed``   — key in both, compared content differs,
+* ``unchanged`` — key in both, compared content identical,
+
+the verdict a validation run needs before trusting an incremental
+re-validation plan ("only re-check added ∪ changed").
+
+Scale shape: each side is projected down to (key, 16-byte md5 of the
+compared columns) BEFORE the shuffle — the full-outer join moves ~50
+bytes/row regardless of row width, and Catalyst prunes everything else
+from the scans. Content equality uses md5 (128-bit), not xxhash64: at
+10^12 keys a 64-bit content hash silently mislabels ~27k genuinely
+changed rows as unchanged (birthday bound), which is exactly the verdict
+this operator exists to get right. The reference's analogue is its
+timestamp-keyed series compare (per-url byte-identity invariant,
+msanomalydetector/spectral_residual.py unique-key contract); this is the
+same contract lifted to table versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keyed_digest(df: DataFrame, key_col: str, compare_cols: list[str]) -> DataFrame:
+    # concat_ws skips nulls, which would make ("a", null) == ("a", "");
+    # wrap each column with an explicit null sentinel + length prefix so
+    # the digest is injective over the tuple
+    parts = [
+        F.concat(
+            F.lit(str(len(c)) + ":"),
+            F.coalesce(
+                F.concat(
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                ),
+                F.lit("<NULL>"),
+            ),
+        )
+        for c in compare_cols
+    ]
+    return df.select(
+        F.col(key_col).alias("key"), F.md5(F.concat(*parts)).alias("digest")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key churn verdict between two snapshots → (key, status).
+
+    ``compare_cols`` defaults to every shared non-key column. Duplicate
+    keys within a snapshot violate the uniqueness contract this engine
+    checks separately (operators/uniqueness); here the LAST-writer digest
+    per key is taken deterministically (max digest) so the diff stays
+    well-defined on dirty inputs instead of exploding the join.
+    """
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - {key_col}
+        )
+    o = _keyed_digest(old, key_col, compare_cols).groupBy("key").agg(
+        F.max("digest").alias("old_digest")
+    )
+    n = _keyed_digest(new, key_col, compare_cols).groupBy("key").agg(
+        F.max("digest").alias("new_digest")
+    )
+    joined = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("key").alias(key_col), status.alias("status"))
+
+
+def snapshot_churn_stats(diff: DataFrame) -> DataFrame:
+    """One-row churn summary with rates over the NEW snapshot size —
+    the scalars a validation manifest records per (snapshot, partition)
+    and the drift engine scores as a series across snapshots."""
+    agg = diff.agg(
+        F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("status") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("status") == "unchanged").cast("long")).alias("n_unchanged"),
+    )
+    new_size = (
+        F.col("n_added") + F.col("n_changed") + F.col("n_unchanged")
+    ).cast("double")
+    return agg.select(
+        "n_added", "n_removed", "n_changed", "n_unchanged",
+        (F.col("n_added") / new_size).alias("added_rate"),
+        (F.col("n_changed") / new_size).alias("changed_rate"),
+    )
+
+
+def revalidation_keys(diff: DataFrame, key_col: str = "url") -> DataFrame:
+    """Keys an incremental run must re-validate: added ∪ changed."""
+    return diff.filter(F.col("status").isin("added", "changed")).select(key_col)

@@ -1,0 +1,109 @@
+"""Exact snapshot diff: churn verdicts, digest injectivity, dirty keys."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.snapshot import (
+    revalidation_keys,
+    snapshot_churn_stats,
+    snapshot_diff,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+def test_statuses(spark):
+    old = _df(spark, [("a", "t1", "en"), ("b", "t2", "en"), ("c", "t3", "de")])
+    new = _df(spark, [("a", "t1", "en"), ("b", "t2-edit", "en"), ("d", "t4", "fr")])
+    got = {
+        r["url"]: r["status"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "a": "unchanged", "b": "changed", "c": "removed", "d": "added"
+    }
+
+
+def test_null_vs_empty_and_column_boundaries_are_changed(spark):
+    # null != '' and ("ab","c") != ("a","bc"): the length-prefixed null
+    # sentinel keeps the digest injective over the column tuple
+    old = _df(spark, [("a", None, "en"), ("b", "ab", "c")])
+    new = _df(spark, [("a", "", "en"), ("b", "a", "bc")])
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "changed", "b": "changed"}
+
+
+def test_compare_cols_subset(spark):
+    old = _df(spark, [("a", "t", "en")])
+    new = _df(spark, [("a", "t", "de")])
+    only_text = snapshot_diff(old, new, compare_cols=["text"]).first()
+    assert only_text["status"] == "unchanged"
+    full = snapshot_diff(old, new).first()
+    assert full["status"] == "changed"
+
+
+def test_duplicate_keys_stay_single_row(spark):
+    old = _df(spark, [("a", "t1", "en"), ("a", "t1", "en")])
+    new = _df(spark, [("a", "t1", "en")])
+    out = snapshot_diff(old, new).collect()
+    assert len(out) == 1 and out[0]["status"] == "unchanged"
+
+
+def test_churn_stats_and_revalidation(spark):
+    old = _df(spark, [("a", "1", "x"), ("b", "2", "x"), ("c", "3", "x"),
+                      ("d", "4", "x")])
+    new = _df(spark, [("a", "1", "x"), ("b", "2!", "x"), ("d", "4", "x"),
+                      ("e", "5", "x")])
+    diff = snapshot_diff(old, new)
+    s = snapshot_churn_stats(diff).first()
+    assert (s["n_added"], s["n_removed"], s["n_changed"], s["n_unchanged"]) == (
+        1, 1, 1, 2
+    )
+    assert s["added_rate"] == 0.25 and s["changed_rate"] == 0.25
+    keys = sorted(r["url"] for r in revalidation_keys(diff).collect())
+    assert keys == ["b", "e"]
+
+
+def test_diff_parity_on_testdata(spark):
+    """The driver-query shape at sf0.001: deterministic perturbation of
+    documents, statuses cross-checked against a pandas recomputation."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.select("doc_id", "text", "lang")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    got = (
+        snapshot_diff(old, new, key_col="doc_id")
+        .toPandas()
+        .set_index("doc_id")["status"]
+        .sort_index()
+    )
+    pdf = docs.select("doc_id").toPandas()
+    exp = {}
+    for i in pdf["doc_id"]:
+        if i % 17 == 0:
+            exp[i] = "removed"
+        elif i % 13 == 0:
+            exp[i] = "changed"
+        else:
+            exp[i] = "unchanged"
+        if i % 23 == 0:
+            exp[i + 100000] = "added"
+    exp = pd.Series(exp).sort_index()
+    assert got.equals(exp)

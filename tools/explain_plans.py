@@ -325,6 +325,28 @@ def main() -> None:
         and asof_plan.count("hashpartitioning") == 1,
     )
 
+    from anomalydetector_spark.operators.snapshot import snapshot_diff
+
+    snap_plan = plan_of(
+        snapshot_diff(
+            pages.select("url", "text"),
+            pages.select("url", "text"),
+            key_col="url",
+        )
+    )
+    import re as _re
+
+    exchange_inputs = _re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", snap_plan
+    )
+    ok &= check(
+        "snapshot diff digests before the shuffle (text never crosses) "
+        "and partial-aggregates the per-key max",
+        "partial" in snap_plan.lower()
+        and len(exchange_inputs) > 0
+        and all("text#" not in inp for inp in exchange_inputs),
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
