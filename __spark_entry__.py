@@ -856,6 +856,29 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, key_col="doc_id")
 
 
+def q_lang_divergence(spark, sf_dir):
+    """Distribution-SHAPE drift (operators/divergence): per-day
+    Jensen-Shannon divergence + total variation of the event_type
+    distribution vs the previous day — the categorical complement of the
+    scalar per-stat SR series (a shape shift can hide from every
+    per-category count). Collapses to (window, category) counts first,
+    so everything downstream is O(windows × categories)."""
+    from anomalydetector_spark.operators.divergence import (
+        categorical_window_divergence,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = categorical_window_divergence(
+        ev, ts_col="ts", cat_col="event_type", window="1 day"
+    )
+    return out.select(
+        "window_start",
+        _r6("js_divergence").alias("js_divergence"),
+        _r6("tvd").alias("tvd"),
+        "n_categories",
+    )
+
+
 def _drift_on_events(spark, sf_dir, with_scores: bool):
     """North-rule flagship shape on the events table: per-(event_type,
     day) stats → long series → SR scores → verdicts."""
@@ -981,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "asof_join_events": q_asof_join_events,
         "snapshot_diff": q_snapshot_diff,
+        "lang_divergence": q_lang_divergence,
         "gopher_filter": q_gopher_filter,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
@@ -1818,6 +1842,39 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\+\d[\d() -]{6,}\d'))::BIGINT AS n_phone
             FROM inj
+        """,
+        "lang_divergence": """
+            WITH counts AS (
+              SELECT date_trunc('day', ts) AS d, event_type AS cat,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            probs AS (
+              SELECT d, cat,
+                     n::DOUBLE / sum(n) OVER (PARTITION BY d) AS p
+              FROM counts),
+            pairs AS (
+              SELECT coalesce(c.d, p.d + INTERVAL 1 DAY) AS d,
+                     coalesce(c.p, 0.0) AS p,
+                     coalesce(p.p, 0.0) AS q,
+                     c.p IS NOT NULL AS in_cur
+              FROM probs c FULL OUTER JOIN probs p
+                ON c.d = p.d + INTERVAL 1 DAY AND c.cat = p.cat),
+            filt AS (
+              SELECT * FROM pairs x
+              WHERE EXISTS (SELECT 1 FROM probs pc WHERE pc.d = x.d)
+                AND EXISTS (SELECT 1 FROM probs pp
+                            WHERE pp.d = x.d - INTERVAL 1 DAY))
+            SELECT d AS window_start,
+                   round(sum(CASE WHEN p > 0
+                               THEN p * log2(p / ((p + q) / 2))
+                               ELSE 0 END) / 2
+                       + sum(CASE WHEN q > 0
+                               THEN q * log2(q / ((p + q) / 2))
+                               ELSE 0 END) / 2, 6) AS js_divergence,
+                   round(sum(abs(p - q)) / 2, 6) AS tvd,
+                   sum(CASE WHEN in_cur THEN 1 ELSE 0 END)::BIGINT
+                     AS n_categories
+            FROM filt GROUP BY 1
         """,
         "snapshot_diff": """
             WITH old AS (SELECT doc_id, text, lang FROM documents),
