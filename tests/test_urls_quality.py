@@ -100,6 +100,60 @@ def test_canonical_url_duplicates_groups(spark):
     assert out[0]["canonical_url"] == "http://dup.com/a?a=1&b=2"
 
 
+def _random_url_and_variant(rng):
+    """One random messy URL plus a differently-messy variant of the SAME
+    logical URL (param order shuffled, case/www/default-port/fragment/
+    trailing-slash toggled independently)."""
+    host_core = ".".join(
+        "lbl%d" % rng.integers(0, 50) for _ in range(rng.integers(1, 4))
+    ) + rng.choice([".com", ".org", ".co.uk"])
+    scheme = rng.choice(["http", "https"])
+    path = "/" + "/".join(
+        "seg%d" % rng.integers(0, 30) for _ in range(rng.integers(0, 4))
+    ).rstrip("/")
+    real = ["%s=%d" % (k, rng.integers(0, 9)) for k in
+            rng.choice(["a", "b", "zz", "q"], size=rng.integers(0, 3),
+                       replace=False)]
+    tracking = ["utm_src=x", "gclid=1"][: rng.integers(0, 3)]
+
+    def mess():
+        h = host_core.upper() if rng.random() < 0.5 else host_core
+        if rng.random() < 0.5:
+            h = "WWW." + h if rng.random() < 0.5 else "www." + h
+        if rng.random() < 0.3:
+            h += ":443" if scheme == "https" else ":80"
+        p = path.replace("/", "//", 1) if (rng.random() < 0.3 and len(path) > 1) else path
+        if rng.random() < 0.3 and len(p) > 1:
+            p += "/"
+        params = real + tracking
+        rng.shuffle(params)
+        q = ("?" + "&".join(params)) if params else ""
+        frag = "#x%d" % rng.integers(0, 9) if rng.random() < 0.4 else ""
+        s = scheme.upper() if rng.random() < 0.3 else scheme
+        return f"{s}://{h}{p}{q}{frag}"
+
+    return mess(), mess()
+
+
+def test_canonicalize_idempotent_and_variant_invariant(spark):
+    """300 seeded random messy URLs: canonicalization is idempotent, and
+    two differently-messy variants of the same logical URL canonicalize
+    to the same form."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pairs = [_random_url_and_variant(rng) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "u1 string, u2 string")
+    out = df.select(
+        canonicalize_url(F.col("u1")).alias("c1"),
+        canonicalize_url(F.col("u2")).alias("c2"),
+        canonicalize_url(canonicalize_url(F.col("u1"))).alias("c1c"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+        assert r["c1"] == r["c1c"], (r["c1"], r["c1c"])
+
+
 GOOD = (
     "the quick brown fox jumps over that lazy dog and runs with great "
     "speed to catch all of the shiny red apples lying under the old oak "
