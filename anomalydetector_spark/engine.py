@@ -47,6 +47,11 @@ class ValidationConfig:
     # full ``text`` bytes (north-rule byte-identity invariant). Off by
     # default so the standard suite never scans html.
     verify_text_extraction: bool = False
+    # shape drift: per-window Jensen-Shannon divergence of the lang
+    # distribution vs the previous window, derived from the counts cube
+    # (zero extra input scans) and SR-scored like every scalar stat — a
+    # shape shift can hide from each per-category fraction series
+    shape_drift: bool = True
 
 
 @dataclass
@@ -191,11 +196,37 @@ def run_validation(
             )
         )
 
-    stat_series = (
-        fused.stats_from_cube(cube, langs=cfg.langs)
-        .unionByName(fused.distinct_series_from_profile(profile))
-        .persist()
+    stat_series = fused.stats_from_cube(cube, langs=cfg.langs).unionByName(
+        fused.distinct_series_from_profile(profile)
     )
+    if cfg.shape_drift:
+        from anomalydetector_spark.operators.divergence import (
+            divergence_from_window_counts,
+        )
+
+        lang_counts = (
+            cube.filter(F.col("window_start").isNotNull())
+            .groupBy(
+                "partition_key",
+                F.col("window_start").alias("w_start"),
+                F.coalesce("lang", F.lit("<null>")).alias("cat"),
+            )
+            .agg(F.sum("_n").alias("n"))
+            .withColumn(
+                "w_end",
+                F.col("w_start") + F.expr(f"INTERVAL {cfg.window_duration}"),
+            )
+        )
+        shape_series = divergence_from_window_counts(
+            lang_counts, part_cols=["partition_key"]
+        ).select(
+            "partition_key",
+            F.lit("lang_js_divergence").alias("stat_name"),
+            "window_start",
+            F.col("js_divergence").alias("value"),
+        )
+        stat_series = stat_series.unionByName(shape_series)
+    stat_series = stat_series.persist()
     scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)
 

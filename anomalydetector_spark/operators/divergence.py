@@ -27,33 +27,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def categorical_window_divergence(
-    df: DataFrame,
-    ts_col: str = "ts",
-    cat_col: str = "lang",
-    window: str = "1 day",
+def divergence_from_window_counts(
+    counts: DataFrame, part_cols: list[str] | tuple[str, ...] = ()
 ) -> DataFrame:
-    """Per-window JS divergence + TVD of ``cat_col``'s distribution vs
-    the PREVIOUS window. Output: (window_start, js_divergence, tvd,
-    n_categories) — the first window has no predecessor and is omitted
-    (a divergence against nothing is undefined, not zero)."""
-    counts = (
-        df.groupBy(
-            F.window(ts_col, window).alias("w"), F.col(cat_col).alias("cat")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "cat", "n")
-    )
-    tot = Window.partitionBy("w_start")
+    """Divergence series from a pre-aggregated counts frame
+    ``(*part_cols, w_start, w_end, cat, n)`` — the entry point for
+    callers that already hold per-window category counts (the engine's
+    counts cube), so shape drift costs ZERO extra input scans.
+
+    Output: (*part_cols, window_start, js_divergence, tvd,
+    n_categories). The first window of each partition has no predecessor
+    and is omitted (a divergence against nothing is undefined, not
+    zero); likewise a window whose predecessor slot is empty (data gap).
+    """
+    part = list(part_cols)
+    tot = Window.partitionBy(*part, "w_start")
     probs = counts.withColumn("p", F.col("n") / F.sum("n").over(tot))
 
-    cur = probs.select("w_start", "w_end", "cat", F.col("p").alias("p_cur"))
+    cur = probs.select(*part, "w_start", "cat", F.col("p").alias("p_cur"))
     prev = probs.select(
         # a window's successor starts at its end (tumbling windows), so
         # aligning prev.w_end == cur.w_start is a pure equi-join
-        F.col("w_end").alias("w_start"), "cat", F.col("p").alias("p_prev")
+        *part, F.col("w_end").alias("w_start"), "cat", F.col("p").alias("p_prev")
     )
-    pairs = cur.join(prev, ["w_start", "cat"], "full_outer").select(
+    pairs = cur.join(prev, [*part, "w_start", "cat"], "full_outer").select(
+        *part,
         "w_start",
         "cat",
         F.coalesce("p_cur", F.lit(0.0)).alias("p"),
@@ -64,7 +62,7 @@ def categorical_window_divergence(
     # and any window after the last) surface as rows with p_cur all-null;
     # those synthetic "next" windows are dropped — only real current
     # windows with a real predecessor emit a score
-    has_prev = Window.partitionBy("w_start")
+    has_prev = Window.partitionBy(*part, "w_start")
     pairs = pairs.withColumn(
         "w_has_cur", F.max(F.col("in_cur").cast("int")).over(has_prev)
     ).withColumn(
@@ -76,7 +74,7 @@ def categorical_window_divergence(
     # through the other side's term
     term = lambda x: F.when(x > 0, x * F.log2(x / m)).otherwise(F.lit(0.0))  # noqa: E731
     return (
-        pairs.groupBy("w_start")
+        pairs.groupBy(*part, "w_start")
         .agg(
             (
                 F.sum(term(F.col("p"))) / 2.0 + F.sum(term(F.col("q"))) / 2.0
@@ -86,3 +84,27 @@ def categorical_window_divergence(
         )
         .withColumnRenamed("w_start", "window_start")
     )
+
+
+def categorical_window_divergence(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cat_col: str = "lang",
+    window: str = "1 day",
+) -> DataFrame:
+    """Per-window JS divergence + TVD of ``cat_col``'s distribution vs
+    the PREVIOUS window, from raw rows. Output: (window_start,
+    js_divergence, tvd, n_categories)."""
+    counts = (
+        df.groupBy(
+            F.window(ts_col, window).alias("w"), F.col(cat_col).alias("cat")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "cat",
+            "n",
+        )
+    )
+    return divergence_from_window_counts(counts)

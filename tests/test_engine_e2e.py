@@ -183,3 +183,55 @@ def test_drift_margin_mode_spark(spark):
         assert scored[c].notna().all()
     assert (scored["lower_boundary"] <= scored["upper_boundary"]).all()
     assert (scored["unit"] >= 1.0).all()  # reference clips units to >= 1
+
+
+def test_shape_drift_series_and_verdict(spark, pages):
+    """The engine's cube-derived lang_js_divergence series equals the
+    standalone raw-row operator, and SR flags the injected lang-shift
+    window (or its revert — the distribution also jumps back)."""
+    from anomalydetector_spark.operators.divergence import (
+        categorical_window_divergence,
+    )
+
+    res = run_validation(pages, None, ValidationConfig())
+    got = {
+        r.window_start: r.value
+        for r in res.stat_series.filter(
+            "stat_name = 'lang_js_divergence'"
+        ).collect()
+    }
+    assert got, "shape-drift series missing"
+
+    raw = categorical_window_divergence(
+        pages.filter(F.col("warc_ts").isNotNull()).withColumn(
+            "lang", F.coalesce("lang", F.lit("<null>"))
+        ),
+        ts_col="warc_ts",
+        cat_col="lang",
+    )
+    exp = {r.window_start: r.js_divergence for r in raw.collect()}
+    assert set(got) == set(exp)
+    for w, v in exp.items():
+        assert abs(got[w] - v) < 1e-12, (w, got[w], v)
+
+    truth = datagen.truth()
+    dv = {r.stat_name: r for r in res.drift_verdicts.collect()}
+    shape = dv["lang_js_divergence"]
+    assert shape.verdict == "fail"
+    assert shape.last_anomalous_window in (
+        _win_start(truth["lang_window"]),
+        _win_start(truth["lang_window"] + 1),
+    )
+
+    # opt-out removes the series entirely
+    res_off = run_validation(
+        pages, None, ValidationConfig(shape_drift=False)
+    )
+    assert (
+        res_off.stat_series.filter(
+            "stat_name = 'lang_js_divergence'"
+        ).count()
+        == 0
+    )
+    res.unpersist()
+    res_off.unpersist()
