@@ -382,6 +382,44 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         )
 
 
+def cmd_snapshot_diff(args, spark: SparkSession) -> None:
+    """Exact churn between two snapshot reads of a keyed table
+    (operators/snapshot): per-key added/removed/changed/unchanged
+    verdicts, the one-row churn summary a manifest records, and the
+    added ∪ changed key set an incremental re-validation run consumes.
+    Only (key, 16-byte digest) pairs ever shuffle."""
+    from anomalydetector_spark.operators.snapshot import (
+        revalidation_keys,
+        snapshot_churn_stats,
+        snapshot_diff,
+    )
+
+    old = _read_any(spark, args.old_path)
+    new = _read_any(spark, args.new_path)
+    compare = (
+        [c.strip() for c in args.compare_columns.split(",") if c.strip()]
+        if args.compare_columns
+        else None
+    )
+    out = args.output_path.rstrip("/")
+    diff = snapshot_diff(
+        old, new, key_col=args.key_column, compare_cols=compare
+    ).persist()
+    diff.write.mode("overwrite").parquet(f"{out}/diff")
+    snapshot_churn_stats(diff).write.mode("overwrite").parquet(f"{out}/churn")
+    revalidation_keys(diff, key_col=args.key_column).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/revalidate")
+    s = spark.read.parquet(f"{out}/churn").first()
+    diff.unpersist()
+    print(
+        f"snapshot diff: +{s['n_added']} added, -{s['n_removed']} removed, "
+        f"~{s['n_changed']} changed, {s['n_unchanged']} unchanged "
+        f"(added_rate={s['added_rate']:.4f}, "
+        f"changed_rate={s['changed_rate']:.4f}) → {out}/"
+    )
+
+
 def cmd_evaluate(args, spark: SparkSession) -> None:
     """Detection-quality evaluation over a scored table — the reference's
     evaluation CLI re-expressed distributed (srcnn/evalue.py:163-176 sweep
@@ -636,6 +674,20 @@ def main(argv=None):
     e.add_argument("--gap-rule", action="store_true",
                    help="apply the gap-as-anomaly post-rule first")
 
+    sd = sub.add_parser(
+        "snapshot-diff",
+        help="exact per-key churn between two table snapshots: "
+             "added/removed/changed/unchanged verdicts + churn rates + "
+             "the re-validation key set",
+    )
+    sd.add_argument("--old-path", required=True)
+    sd.add_argument("--new-path", required=True)
+    sd.add_argument("--output-path", required=True)
+    sd.add_argument("--key-column", default="url")
+    sd.add_argument("--compare-columns", default=None,
+                    help="comma-separated content columns to compare "
+                         "(default: every shared non-key column)")
+
     p = sub.add_parser(
         "prep-corpus",
         help="training-corpus prep: exact dedup + quality gate + features",
@@ -696,6 +748,8 @@ def main(argv=None):
             cmd_stream_validate(args, spark)
         elif args.cmd == "prep-corpus":
             cmd_prep_corpus(args, spark)
+        elif args.cmd == "snapshot-diff":
+            cmd_snapshot_diff(args, spark)
         elif args.cmd == "evaluate":
             cmd_evaluate(args, spark)
         else:

@@ -107,3 +107,30 @@ def test_diff_parity_on_testdata(spark):
             exp[i + 100000] = "added"
     exp = pd.Series(exp).sort_index()
     assert got.equals(exp)
+
+
+def test_snapshot_diff_cli(spark, tmp_path, capsys):
+    from anomalydetector_spark import cli
+
+    old = _df(spark, [("a", "1", "x"), ("b", "2", "x"), ("c", "3", "x")])
+    new = _df(spark, [("a", "1", "x"), ("b", "2!", "x"), ("d", "4", "x")])
+    old.write.mode("overwrite").parquet(str(tmp_path / "old"))
+    new.write.mode("overwrite").parquet(str(tmp_path / "new"))
+    out = str(tmp_path / "out")
+    cli.main([
+        "snapshot-diff", "--old-path", str(tmp_path / "old"),
+        "--new-path", str(tmp_path / "new"),
+        "--output-path", out, "--key-column", "url",
+    ])
+    msg = capsys.readouterr().out
+    assert "+1 added, -1 removed, ~1 changed, 1 unchanged" in msg
+    got = {
+        r["url"]: r["status"]
+        for r in spark.read.parquet(out + "/diff").collect()
+    }
+    assert got == {"a": "unchanged", "b": "changed", "c": "removed",
+                   "d": "added"}
+    reval = sorted(
+        r["url"] for r in spark.read.parquet(out + "/revalidate").collect()
+    )
+    assert reval == ["b", "d"]
