@@ -12,6 +12,11 @@ chaining inside one query):
    ``applyInPandasWithState``: per (partition, stat) the state carries the
    full window series seen so far, and each new finalized window is
    scored against that history with the reference SR kernel.
+
+Plus :func:`dedup_ingest_stream` (exactly-once url dedup at ingest) and
+:func:`js_divergence_stream` (shape drift: per-window lang-distribution
+JS divergence vs the previous window, constant-size reorder-buffer
+state, batch-identical values).
 """
 
 from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
@@ -22,4 +27,9 @@ from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
 )
 from anomalydetector_spark.streaming.ingest import (  # noqa: F401
     dedup_ingest_stream,
+)
+from anomalydetector_spark.streaming.shape_stream import (  # noqa: F401
+    DIV_SCHEMA,
+    DIV_STATE_SCHEMA,
+    js_divergence_stream,
 )

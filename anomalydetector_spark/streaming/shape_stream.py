@@ -1,0 +1,183 @@
+"""Streaming shape drift: JS divergence of the per-window lang
+distribution vs the previous window, over a STREAM of finalized stat
+windows (the stage-1 output of ``streaming_window_stats``).
+
+Ordering: stage 1 FINALIZES windows in event-time order, but its commit
+writes several unordered part files and the stage-2 file source replays
+them in discovery order — so windows arrive NEAR-sorted, not sorted.
+State per partition is therefore a small reorder BUFFER (the last
+``buffer_windows`` window vectors, each len(langs)+1 floats, plus an
+emitted flag): a window's divergence is emitted in whatever micro-batch
+first sees BOTH the window and its predecessor, exactly once. The buffer
+is bounded and constant-size per partition — a window whose predecessor
+never arrives inside the buffer horizon is skipped, the same
+omit-after-gap semantics as the batch operator (operators/divergence.py).
+
+Granularity note: the streaming distribution is BUCKETED to the
+configured ``langs`` plus an ``other`` residual mass (1 − Σ fracs,
+clipped at 0), because stage 1 only emits fractions for the configured
+list — a shift between two unlisted languages is invisible here (it
+lands inside ``other``). The batch operator sees every observed
+category; when all traffic is within the configured list the two produce
+identical values (pinned by test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_LANGS = ("en", "de", "fr", "zh", "es")
+
+_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+# reorder buffer: window timestamps, their probability vectors (flattened
+# row-major, n_windows × n_cats), and 0/1 emitted flags
+DIV_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("probs_flat", ArrayType(DoubleType())),
+        StructField("emitted", ArrayType(LongType())),
+    ]
+)
+
+DIV_SCHEMA = (
+    "partition_key string, window_start timestamp, "
+    "js_divergence double, tvd double"
+)
+
+
+def _duration_us(duration: str) -> int:
+    n, unit = duration.strip().split()
+    return int(n) * _UNIT_US[unit.rstrip("s").lower()]
+
+
+def _make_div_fn(
+    langs: tuple[str, ...], duration_us: int, buffer_windows: int
+):
+    import numpy as np
+
+    frac_cols = [f"lang_frac_{l}" for l in langs]
+    n_cats = len(langs) + 1
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["stat_name"].isin(frac_cols)]
+        out = []
+        if not pdf.empty:
+            wide = (
+                pdf.pivot_table(
+                    index="window_start",
+                    columns="stat_name",
+                    values="value",
+                    aggfunc="last",
+                )
+                .reindex(columns=frac_cols)
+                .sort_index()
+            )
+            # stage 1 unpivots one wide row per window, so a window's
+            # fracs always land in one micro-batch — a missing column
+            # would mean corrupt input; fail loud rather than renormalize
+            if wide.isna().any().any():
+                raise ValueError(
+                    f"incomplete lang_frac window rows for key {key}"
+                )
+            probs = wide.to_numpy(dtype="float64")
+            other = np.clip(1.0 - probs.sum(axis=1), 0.0, None)
+            probs = np.column_stack([probs, other])
+            ts_us = (
+                wide.index.astype("datetime64[us]").astype("int64").to_numpy()
+            )
+
+            buf: dict[int, list] = {}
+            if state.exists:
+                s_ts, s_flat, s_em = state.get
+                vecs = np.asarray(s_flat, dtype="float64").reshape(
+                    len(s_ts), n_cats
+                )
+                buf = {
+                    int(t): [vecs[i], bool(s_em[i])]
+                    for i, t in enumerate(s_ts)
+                }
+            for i, t in enumerate(ts_us):
+                buf[int(t)] = [probs[i], False]
+
+            for t in sorted(buf):
+                vec, emitted = buf[t]
+                prev = buf.get(t - duration_us)
+                if emitted or prev is None:
+                    continue
+                p, q = vec, prev[0]
+                m = (p + q) / 2.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    js = 0.5 * np.where(
+                        p > 0, p * np.log2(np.divide(p, m, where=m > 0)), 0.0
+                    ).sum() + 0.5 * np.where(
+                        q > 0, q * np.log2(np.divide(q, m, where=m > 0)), 0.0
+                    ).sum()
+                out.append(
+                    (
+                        key[0],
+                        pd.Timestamp(t, unit="us"),
+                        float(js),
+                        float(np.abs(p - q).sum() / 2.0),
+                    )
+                )
+                buf[t][1] = True
+
+            kept = sorted(buf)[-buffer_windows:]
+            state.update(
+                (
+                    [int(t) for t in kept],
+                    [float(x) for t in kept for x in buf[t][0]],
+                    [int(buf[t][1]) for t in kept],
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["partition_key", "window_start", "js_divergence", "tvd"],
+        )
+
+    return fn
+
+
+def js_divergence_stream(
+    stat_series_stream: DataFrame,
+    window_duration: str = "1 day",
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    buffer_windows: int = 64,
+) -> DataFrame:
+    """Shape-drift scores from a stream of finalized stat windows (the
+    long-format output of :func:`streaming_window_stats`): one row per
+    contiguous (previous, current) window pair per partition, emitted
+    exactly once when both windows have arrived."""
+    return stat_series_stream.groupBy("partition_key").applyInPandasWithState(
+        _make_div_fn(
+            tuple(langs), _duration_us(window_duration), buffer_windows
+        ),
+        outputStructType=DIV_SCHEMA,
+        stateStructType=DIV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -327,3 +327,68 @@ def test_incremental_matches_full_state_batch_mode():
     np.testing.assert_allclose(
         inc_mode["score"].to_numpy(), want["score"].to_numpy(), rtol=0, atol=0
     )
+
+
+def test_streaming_shape_drift_matches_batch(spark, stream_dirs):
+    """js_divergence_stream over the stage-1 stat stream must equal the
+    batch divergence operator on the lang-bucketed raw rows, accumulating
+    the previous-window state across micro-batches."""
+    from anomalydetector_spark.operators.divergence import (
+        categorical_window_divergence,
+    )
+    from anomalydetector_spark.streaming import js_divergence_stream
+
+    root, pages = stream_dirs["root"], stream_dirs["pages"]
+    stats_dir = f"{root}/stats_out"
+    if not os.path.isdir(stats_dir):
+        pytest.skip("stage-1 output missing (run order)")
+
+    schema = (
+        "partition_key string, stat_name string, "
+        "window_start timestamp, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stats_dir)
+    )
+    div = js_divergence_stream(stream, window_duration="1 day")
+    out_dir = f"{root}/shape_out"
+    q = (
+        div.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/shape_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_to_completion(q)
+    got = {
+        r["window_start"]: (r["js_divergence"], r["tvd"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) >= 20  # state crossed micro-batch boundaries
+
+    # batch comparator on the same rows, bucketed exactly like stage 1:
+    # configured langs keep their identity, everything else (incl. null)
+    # is 'other'
+    from anomalydetector_spark.streaming.drift_stream import DEFAULT_LANGS
+
+    bucketed = pages.filter(F.col("warc_ts").isNotNull()).withColumn(
+        "lang_b",
+        F.when(F.col("lang").isin(*DEFAULT_LANGS), F.col("lang")).otherwise(
+            F.lit("other")
+        ),
+    )
+    exp = {
+        r["window_start"]: (r["js_divergence"], r["tvd"])
+        for r in categorical_window_divergence(
+            bucketed, ts_col="warc_ts", cat_col="lang_b"
+        ).collect()
+    }
+    # streaming only emits windows finalized before the watermark closed;
+    # every emitted window must match the batch value
+    for w, (js, tvd) in got.items():
+        assert w in exp, w
+        assert abs(js - exp[w][0]) < 1e-9, (w, js, exp[w][0])
+        assert abs(tvd - exp[w][1]) < 1e-9, (w, tvd, exp[w][1])
