@@ -573,10 +573,28 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
         .outputMode("append")
     )
 
+    w3 = None
+    if args.shape_drift:
+        from anomalydetector_spark.streaming import js_divergence_stream
+
+        shape = js_divergence_stream(
+            spark.readStream.schema(stat_schema).parquet(f"{out}/stat_series"),
+            window_duration=args.window,
+        )
+        w3 = (
+            shape.writeStream.format("parquet")
+            .option("path", f"{out}/shape_drift")
+            .option("checkpointLocation", f"{ckpt}/shape")
+            .outputMode("append")
+        )
+
     if args.available_now:
         q1 = w1.trigger(availableNow=True).start()
         q1.awaitTermination()
         q2 = w2.trigger(availableNow=True).start()
+        if w3 is not None:
+            q3 = w3.trigger(availableNow=True).start()
+            q3.awaitTermination()
         q2.awaitTermination()
         try:
             n = spark.read.parquet(f"{out}/drift_scores").count()
@@ -586,6 +604,8 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
     else:
         w1.start()
         w2.start()
+        if w3 is not None:
+            w3.start()
         print(f"streaming validation running; outputs under {out}/")
         spark.streams.awaitAnyTermination()
 
@@ -640,6 +660,10 @@ def main(argv=None):
     s.add_argument("--available-now", action="store_true",
                    help="drain what's there and stop (batch-like run)")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--shape-drift", action="store_true",
+                   help="also emit per-window lang-distribution JS "
+                        "divergence vs the previous window "
+                        "(<output>/shape_drift)")
     s.add_argument("--dedup-url", action="store_true",
                    help="drop re-delivered urls at ingest "
                         "(dropDuplicatesWithinWatermark keyed on url; "

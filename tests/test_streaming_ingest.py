@@ -157,3 +157,48 @@ def test_stream_validate_cli_fresh_dir_with_dedup(spark, tmp_path):
     )
     for ws, v in got.items():
         assert v == batch[ws]
+
+
+def test_stream_validate_cli_shape_drift(spark, tmp_path):
+    """--shape-drift adds the third stage: shape_drift/ holds per-window
+    JS divergence rows matching the batch operator on bucketed langs."""
+    from anomalydetector_spark import cli
+    from anomalydetector_spark.operators.divergence import (
+        categorical_window_divergence,
+    )
+    from anomalydetector_spark.streaming.shape_stream import DEFAULT_LANGS
+
+    # unique-url base + --dedup-url: the harness re-delivers rows (the
+    # at-least-once failure mode) and ingest dedup drops them, so the
+    # stream sees exactly the batch rows
+    pages = (
+        datagen.generate_pages(spark, N_ROWS).dropDuplicates(["url"]).cache()
+    )
+    pages.count()
+    in_dir = _write_chunks(spark, tmp_path, pages)
+    out = str(tmp_path / "out")
+    cli.main([
+        "stream-validate", "--input-path", in_dir, "--output-path", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--available-now",
+        "--shape-drift", "--dedup-url", "--max-files-per-trigger", "1",
+    ])
+    got = {
+        r["window_start"]: r["js_divergence"]
+        for r in spark.read.parquet(f"{out}/shape_drift").collect()
+    }
+    assert len(got) > 0
+    bucketed = pages.filter(F.col("warc_ts").isNotNull()).withColumn(
+        "lang_b",
+        F.when(F.col("lang").isin(*DEFAULT_LANGS), F.col("lang")).otherwise(
+            F.lit("other")
+        ),
+    )
+    exp = {
+        r["window_start"]: r["js_divergence"]
+        for r in categorical_window_divergence(
+            bucketed, ts_col="warc_ts", cat_col="lang_b"
+        ).collect()
+    }
+    for w, js in got.items():
+        assert abs(js - exp[w]) < 1e-9, (w, js, exp[w])
+    pages.unpersist()
