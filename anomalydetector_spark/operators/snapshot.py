@@ -34,15 +34,29 @@ from pyspark.sql import functions as F
 def _keyed_digest(df: DataFrame, key_col: str, compare_cols: list[str]) -> DataFrame:
     # concat_ws skips nulls, which would make ("a", null) == ("a", "");
     # wrap each column with an explicit null sentinel + length prefix so
-    # the digest is injective over the tuple
+    # the digest is injective over the tuple. Binary columns go through
+    # base64, NOT a string cast: reinterpreting raw bytes as UTF-8 is
+    # lossy on invalid sequences, so two different blobs could otherwise
+    # digest equal.
+    from pyspark.sql.types import BinaryType
+
+    binary_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, BinaryType)
+    }
+
+    def _as_text(c: str):
+        return (
+            F.base64(F.col(c)) if c in binary_cols else F.col(c).cast("string")
+        )
+
     parts = [
         F.concat(
             F.lit(str(len(c)) + ":"),
             F.coalesce(
                 F.concat(
-                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.length(_as_text(c)).cast("string"),
                     F.lit(":"),
-                    F.col(c).cast("string"),
+                    _as_text(c),
                 ),
                 F.lit("<NULL>"),
             ),

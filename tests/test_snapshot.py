@@ -134,3 +134,16 @@ def test_snapshot_diff_cli(spark, tmp_path, capsys):
         r["url"] for r in spark.read.parquet(out + "/revalidate").collect()
     )
     assert reval == ["b", "d"]
+
+
+def test_binary_columns_compared_bytewise(spark):
+    """html-style binary columns must compare on raw bytes: two blobs
+    that collide after a lossy UTF-8 reinterpretation (invalid
+    sequences) still diff as changed."""
+    schema = "url string, html binary"
+    old = spark.createDataFrame([("a", bytes([0xFF, 0x01])),
+                                 ("b", bytes([1, 2, 3]))], schema)
+    new = spark.createDataFrame([("a", bytes([0xFE, 0x02])),
+                                 ("b", bytes([1, 2, 3]))], schema)
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "changed", "b": "unchanged"}
