@@ -1992,13 +1992,17 @@ def oracle_sql() -> dict[str, str]:
                 len(toks)::BIGINT AS n_words,
                 list_sum(list_transform(toks, t -> length(t)))::DOUBLE
                   / greatest(len(toks), 1) AS mean_wl,
-                ((length(text) - length(replace(text, '#', '')))
-                 + len(regexp_extract_all(text, '\.{3}'))
-                 + len(regexp_extract_all(text, '…')))::DOUBLE AS symbols,
+                (length(text) - length(replace(text, '#', '')))::DOUBLE
+                  AS hashes,
+                (len(regexp_extract_all(text, '\.{3}'))
+                 + len(regexp_extract_all(text, '…')))::DOUBLE AS ellipses,
                 len(list_filter(lines,
-                  l -> split_part(trim(l) || ' ', ' ', 1)
-                         IN ('-','*','•','‣','◦')
-                       OR starts_with(trim(l), '•')))::DOUBLE AS bullet_lines,
+                  l -> starts_with(trim(l), '-')
+                       OR starts_with(trim(l), '*')
+                       OR starts_with(trim(l), '•')
+                       OR starts_with(trim(l), '‣')
+                       OR starts_with(trim(l), '◦')))::DOUBLE
+                  AS bullet_lines,
                 len(list_filter(lines,
                   l -> ends_with(trim(l), '...')
                        OR ends_with(trim(l), '…')))::DOUBLE AS ellipsis_lines,
@@ -2013,14 +2017,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words,
               n_words >= 50 AND n_words <= 100000 AS ok_word_count,
               mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
-              symbols / nw1 <= 0.1 AS ok_symbol_ratio,
+              hashes / nw1 <= 0.1 AND ellipses / nw1 <= 0.1
+                AS ok_symbol_ratio,
               bullet_lines / n_lines < 0.9 AS ok_bullet_lines,
               ellipsis_lines / n_lines < 0.3 AS ok_ellipsis_lines,
               alpha_words / nw1 >= 0.8 AS ok_alpha_words,
               stop_hits >= 2 AS ok_stopwords,
               (n_words >= 50 AND n_words <= 100000)
                 AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
-                AND (symbols / nw1 <= 0.1)
+                AND (hashes / nw1 <= 0.1 AND ellipses / nw1 <= 0.1)
                 AND (bullet_lines / n_lines < 0.9)
                 AND (ellipsis_lines / n_lines < 0.3)
                 AND (alpha_words / nw1 >= 0.8)

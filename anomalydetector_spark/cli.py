@@ -471,6 +471,9 @@ def cmd_evaluate(args, spark: SparkSession) -> None:
             .orderBy(F.col("f1").desc_nulls_last(), "threshold")
             .first()
         )
+        if best is None:
+            print(f"empty input: no thresholds scored; sweep under {out}/sweep")
+            return
         prec = best.tp / (best.tp + best.fp) if best.tp + best.fp else 0.0
         rec = best.tp / (best.tp + best.fn) if best.tp + best.fn else 0.0
         print(
@@ -508,6 +511,9 @@ def cmd_evaluate(args, spark: SparkSession) -> None:
     per.write.mode("overwrite").parquet(f"{out}/per_series")
     summary = variance_from_per_series(per).first()
     per.unpersist()
+    if summary is None or summary.overall_f1 is None or summary.f1_variance is None:
+        print(f"empty input: no series evaluated; table under {out}/per_series")
+        return
     print(
         f"overall F1 {summary.overall_f1:.6f} over {summary.n_series} "
         f"series; per-series F1 variance {summary.f1_variance:.6f}; "
@@ -560,9 +566,13 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
     )
     # the stage-2 file source requires its input path to EXIST at
     # construction time (schema is supplied, but Spark still validates
-    # the path) — on a fresh output dir stage 1 hasn't created it yet
+    # the path) — on a fresh output dir stage 1 hasn't created it yet.
+    # file:// URIs get the same treatment; other schemes (object stores)
+    # treat a missing prefix as an empty listing, not an error.
     if "://" not in out:
         os.makedirs(f"{out}/stat_series", exist_ok=True)
+    elif out.startswith("file://"):
+        os.makedirs(f"{out.removeprefix('file://')}/stat_series", exist_ok=True)
     scored = sr_score_stream(
         spark.readStream.schema(stat_schema).parquet(f"{out}/stat_series")
     )

@@ -15,7 +15,8 @@ Rules (flag true = PASSES that rule):
 
 * ``ok_word_count``   — 50 ≤ words ≤ 100,000
 * ``ok_mean_word_len``— 3 ≤ mean word length ≤ 10
-* ``ok_symbol_ratio`` — (# + ellipsis occurrences) / words ≤ 0.1
+* ``ok_symbol_ratio`` — #/words ≤ 0.1 AND ellipses/words ≤ 0.1
+  (per symbol, as the paper applies it — not their sum)
 * ``ok_bullet_lines`` — < 90% of lines start with a bullet
 * ``ok_ellipsis_lines``— < 30% of lines end with an ellipsis
 * ``ok_alpha_words``  — ≥ 80% of words contain ≥ 1 alphabetic char
@@ -59,23 +60,24 @@ def gopher_quality_flags(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
     ) / F.greatest(n_words, F.lit(1)).cast("double")
 
-    # '#' occurrences + ellipsis occurrences ('...' counted per literal
-    # run via regexp, plus the one-char '…')
-    symbols = (
-        F.regexp_count(c, F.lit("#"))
-        + F.regexp_count(c, F.lit(r"\.{3}"))
-        + F.regexp_count(c, F.lit("…"))
+    # the paper applies the ratio threshold PER symbol (hash-to-word and
+    # ellipsis-to-word each <= 0.1), not to their sum — a doc at 0.06 on
+    # each must pass. '...' counts per non-overlapping literal run.
+    hashes = F.regexp_count(c, F.lit("#")).cast("double")
+    ellipses = (
+        F.regexp_count(c, F.lit(r"\.{3}")) + F.regexp_count(c, F.lit("…"))
     ).cast("double")
 
-    bullet_lines = F.size(
-        F.filter(
-            lines,
-            lambda l: F.split_part(
-                F.concat(F.trim(l), F.lit(" ")), F.lit(" "), F.lit(1)
-            ).isin(*[F.lit(b) for b in BULLETS])
-            | F.trim(l).startswith("•"),
-        )
-    ).cast("double")
+    # "starting with a bullet point": any bullet char opening the trimmed
+    # line, with or without a following space ('*item' is a bullet line)
+    def _is_bullet(l):
+        t = F.trim(l)
+        cond = t.startswith(BULLETS[0])
+        for b in BULLETS[1:]:
+            cond = cond | t.startswith(b)
+        return cond
+
+    bullet_lines = F.size(F.filter(lines, _is_bullet)).cast("double")
     ellipsis_lines = F.size(
         F.filter(
             lines,
@@ -96,8 +98,14 @@ def gopher_quality_flags(
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
         "ok_mean_word_len": (mean_wl >= min_mean_word_len)
         & (mean_wl <= max_mean_word_len),
-        "ok_symbol_ratio": symbols / F.greatest(n_words, F.lit(1)).cast("double")
-        <= max_symbol_ratio,
+        "ok_symbol_ratio": (
+            hashes / F.greatest(n_words, F.lit(1)).cast("double")
+            <= max_symbol_ratio
+        )
+        & (
+            ellipses / F.greatest(n_words, F.lit(1)).cast("double")
+            <= max_symbol_ratio
+        ),
         "ok_bullet_lines": bullet_lines / n_lines < max_bullet_line_frac,
         "ok_ellipsis_lines": ellipsis_lines / n_lines < max_ellipsis_line_frac,
         "ok_alpha_words": alpha_words

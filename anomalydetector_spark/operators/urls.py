@@ -96,13 +96,18 @@ def canonicalize_url(
     )
     qnorm = F.concat_ws("&", F.array_sort(params))
 
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
     )
+    # scheme-less / malformed inputs (no "scheme://" prefix) pass through
+    # trimmed rather than all collapsing to the constant ":///" — which
+    # would merge every malformed row into ONE dedup group and silently
+    # delete all but one of them downstream
+    return F.when(scheme == "", F.trim(col)).otherwise(canonical)
 
 
 def url_host(col: Column) -> Column:
@@ -183,7 +188,18 @@ def canonical_url_duplicates(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
-    return canon.join(groups, "canonical_url").select(
+    dupes = canon.filter(F.col("canonical_url").isNotNull()).join(
+        groups, "canonical_url"
+    )
+    # null urls are NOT duplicates of each other — each passes through as
+    # its own singleton survivor instead of vanishing from the equi-join
+    nulls = canon.filter(F.col("canonical_url").isNull()).select(
+        F.col(id_col),
+        F.col("canonical_url"),
+        F.col(id_col).alias("canonical_id"),
+        F.lit(1).cast("long").alias("group_size"),
+    )
+    return dupes.unionByName(nulls).select(
         id_col,
         "canonical_url",
         "canonical_id",

@@ -65,8 +65,14 @@ DIV_SCHEMA = (
 
 
 def _duration_us(duration: str) -> int:
-    n, unit = duration.strip().split()
-    return int(n) * _UNIT_US[unit.rstrip("s").lower()]
+    """Multi-unit duration strings Spark accepts ('1 day 12 hours')."""
+    parts = duration.strip().split()
+    if len(parts) % 2 != 0 or not parts:
+        raise ValueError(f"cannot parse window duration {duration!r}")
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        total += int(n) * _UNIT_US[unit.rstrip("s").lower()]
+    return total
 
 
 def _make_div_fn(
@@ -121,7 +127,12 @@ def _make_div_fn(
                     for i, t in enumerate(s_ts)
                 }
             for i, t in enumerate(ts_us):
-                buf[int(t)] = [probs[i], False]
+                # a finalized window is immutable — a re-delivered one
+                # (e.g. stage 1 restarted from a fresh checkpoint) must
+                # NOT reset the emitted flag, or its divergence row would
+                # append twice
+                if int(t) not in buf:
+                    buf[int(t)] = [probs[i], False]
 
             for t in sorted(buf):
                 vec, emitted = buf[t]

@@ -158,12 +158,14 @@ def main() -> None:
     from anomalydetector_spark.operators.scrub import drop_boilerplate_lines
 
     # CCNet line-level boilerplate scrub over the pages table with line
-    # breaks injected every 5 words (~10 lines/page at sf0.1)
+    # breaks injected every 5 words (~10 lines/page at sf0.1) — the SAME
+    # injection the oracled scrub queries use, imported so the benchmark
+    # can never desynchronize from the verified workload
+    from __spark_entry__ import _LINEBREAK_PAT
+
     pages_nl = pages.select(
         F.col("url").alias("doc_id"),
-        F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n").alias(
-            "text"
-        ),
+        F.regexp_replace(F.col("text"), _LINEBREAK_PAT, "$1\n").alias("text"),
     )
     timed(
         "scrub_boilerplate_pages",

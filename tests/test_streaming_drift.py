@@ -392,3 +392,54 @@ def test_streaming_shape_drift_matches_batch(spark, stream_dirs):
         assert w in exp, w
         assert abs(js - exp[w][0]) < 1e-9, (w, js, exp[w][0])
         assert abs(tvd - exp[w][1]) < 1e-9, (w, tvd, exp[w][1])
+
+
+def test_shape_state_redelivery_emits_once():
+    """A re-delivered (replayed) window must not reset the emitted flag:
+    the divergence row for a window appears exactly once across
+    micro-batches. Drives the state function directly with a stub
+    GroupState."""
+    import numpy as np
+
+    from anomalydetector_spark.streaming.shape_stream import (
+        _duration_us,
+        _make_div_fn,
+    )
+
+    class StubState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    langs = ("en", "de")
+    fn = _make_div_fn(langs, _duration_us("1 day"), buffer_windows=16)
+    day = pd.Timestamp("2024-01-01")
+
+    def batch(ts_fracs):
+        rows = []
+        for ts, (en, de) in ts_fracs:
+            rows.append(("global", "lang_frac_en", ts, en))
+            rows.append(("global", "lang_frac_de", ts, de))
+        return pd.DataFrame(
+            rows, columns=["partition_key", "stat_name", "window_start", "value"]
+        )
+
+    state = StubState()
+    b1 = list(fn(("global",), [batch([(day, (0.5, 0.5)),
+                                      (day + pd.Timedelta(days=1), (0.9, 0.1))])],
+                 state))[0]
+    assert len(b1) == 1  # one contiguous pair scored
+    # replay the SAME windows (stage-1 restart) plus one new window
+    b2 = list(fn(("global",), [batch([(day, (0.5, 0.5)),
+                                      (day + pd.Timedelta(days=1), (0.9, 0.1)),
+                                      (day + pd.Timedelta(days=2), (0.9, 0.1))])],
+                 state))[0]
+    assert len(b2) == 1  # only the NEW pair; no duplicate of b1's row
+    assert b2["window_start"].iloc[0] == day + pd.Timedelta(days=2)
+    assert abs(b2["js_divergence"].iloc[0]) < 1e-12  # identical dists

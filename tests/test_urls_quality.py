@@ -214,3 +214,51 @@ def test_gopher_null_and_empty_text(spark):
     rows = gopher_quality_flags(df).orderBy("doc_id").collect()
     for r in rows:
         assert r["keep"] in (False, None) and not bool(r["keep"])
+
+
+def test_schemeless_urls_pass_through_not_collapsed(spark):
+    """Malformed/scheme-less inputs keep their identity instead of all
+    canonicalizing to ':///' and merging into one dedup group."""
+    df = spark.createDataFrame(
+        [(1, "example.com/a"), (2, "other.org/b"), (3, "other.org/b")],
+        "doc_id long, url string",
+    )
+    out = canonical_url_duplicates(df).orderBy("doc_id").collect()
+    assert [r["canonical_url"] for r in out] == [
+        "example.com/a", "other.org/b", "other.org/b"
+    ]
+    assert [r["group_size"] for r in out] == [1, 2, 2]
+
+
+def test_null_urls_survive_as_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.io/x"), (2, None), (3, None)],
+        "doc_id long, url string",
+    )
+    out = canonical_url_duplicates(df).orderBy("doc_id").collect()
+    assert len(out) == 3  # null rows do not vanish from the join
+    assert [r["is_canonical"] for r in out] == [True, True, True]
+    assert [r["group_size"] for r in out] == [1, 1, 1]
+
+
+def test_gopher_symbol_ratio_is_per_symbol(spark):
+    """0.06 hash ratio + 0.06 ellipsis ratio passes both per-symbol
+    thresholds (the paper's rule) even though the sum exceeds 0.1."""
+    words = GOOD.split()
+    n = len(words)
+    n_sym = int(n * 0.06)
+    text = GOOD + " #" * n_sym + " x..." * n_sym
+    # recompute: appended tokens raise the word count; ratios stay < 0.1
+    f = _flags(spark, text)
+    assert f["ok_symbol_ratio"] is True, f
+    # and a single symbol over threshold still fails
+    f2 = _flags(spark, GOOD + " ###" * 30)
+    assert f2["ok_symbol_ratio"] is False
+
+
+def test_gopher_bullet_without_space_counts(spark):
+    doc = "\n".join("*" + w for w in GOOD.split())
+    f = _flags(spark, doc)
+    assert f["ok_bullet_lines"] is False
+    doc2 = "\n".join("-" + w for w in GOOD.split())
+    assert _flags(spark, doc2)["ok_bullet_lines"] is False
