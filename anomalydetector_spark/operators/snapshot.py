@@ -112,9 +112,15 @@ def snapshot_churn_stats(diff: DataFrame) -> DataFrame:
         F.sum((F.col("status") == "changed").cast("long")).alias("n_changed"),
         F.sum((F.col("status") == "unchanged").cast("long")).alias("n_unchanged"),
     )
-    new_size = (
-        F.col("n_added") + F.col("n_changed") + F.col("n_unchanged")
-    ).cast("double")
+    # nullif: an EMPTY new snapshot (everything removed) has no defined
+    # rate — null, not a crash (ANSI mode throws DIVIDE_BY_ZERO even for
+    # double division) and not a misleading 0
+    new_size = F.nullif(
+        (F.col("n_added") + F.col("n_changed") + F.col("n_unchanged")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
     return agg.select(
         "n_added", "n_removed", "n_changed", "n_unchanged",
         (F.col("n_added") / new_size).alias("added_rate"),

@@ -147,3 +147,15 @@ def test_binary_columns_compared_bytewise(spark):
                                  ("b", bytes([1, 2, 3]))], schema)
     got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {"a": "changed", "b": "unchanged"}
+
+
+def test_churn_stats_empty_new_snapshot(spark):
+    """Everything-removed: counts stay exact, rates are null (no defined
+    denominator) instead of an ANSI DIVIDE_BY_ZERO crash."""
+    old = _df(spark, [("a", "1", "x"), ("b", "2", "x")])
+    new = spark.createDataFrame([], old.schema)
+    s = snapshot_churn_stats(snapshot_diff(old, new)).first()
+    assert (s["n_added"], s["n_removed"], s["n_changed"], s["n_unchanged"]) == (
+        0, 2, 0, 0
+    )
+    assert s["added_rate"] is None and s["changed_rate"] is None
