@@ -104,7 +104,17 @@ def result_of(proc: subprocess.Popen) -> float:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
+    if len(sys.argv) > 2:
+        rows = int(sys.argv[2])
+    else:
+        # count from the parquet footers — trusting a default here once
+        # mislabeled a 64M-row campaign's docs/sec as 16M
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{PAGES}/part-*.parquet")
+        )
     make_shards()
 
     single, multi = [], []
