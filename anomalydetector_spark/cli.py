@@ -412,11 +412,13 @@ def cmd_snapshot_diff(args, spark: SparkSession) -> None:
     ).parquet(f"{out}/revalidate")
     s = spark.read.parquet(f"{out}/churn").first()
     diff.unpersist()
+    # rates are null when the new snapshot is empty (no denominator)
+    fmt = lambda v: "n/a" if v is None else f"{v:.4f}"  # noqa: E731
     print(
         f"snapshot diff: +{s['n_added']} added, -{s['n_removed']} removed, "
         f"~{s['n_changed']} changed, {s['n_unchanged']} unchanged "
-        f"(added_rate={s['added_rate']:.4f}, "
-        f"changed_rate={s['changed_rate']:.4f}) → {out}/"
+        f"(added_rate={fmt(s['added_rate'])}, "
+        f"changed_rate={fmt(s['changed_rate'])}) → {out}/"
     )
 
 
@@ -571,8 +573,13 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
     # treat a missing prefix as an empty listing, not an error.
     if "://" not in out:
         os.makedirs(f"{out}/stat_series", exist_ok=True)
-    elif out.startswith("file://"):
-        os.makedirs(f"{out.removeprefix('file://')}/stat_series", exist_ok=True)
+    elif out.startswith("file:"):
+        from urllib.parse import urlparse
+
+        # urlparse handles both file:///abs and authority-bearing
+        # file://localhost/abs — a naive prefix strip turned the latter
+        # into a bogus relative path
+        os.makedirs(f"{urlparse(out).path}/stat_series", exist_ok=True)
     scored = sr_score_stream(
         spark.readStream.schema(stat_schema).parquet(f"{out}/stat_series")
     )

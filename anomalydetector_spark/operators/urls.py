@@ -104,10 +104,11 @@ def canonicalize_url(
         F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
     )
     # scheme-less / malformed inputs (no "scheme://" prefix) pass through
-    # trimmed rather than all collapsing to the constant ":///" — which
-    # would merge every malformed row into ONE dedup group and silently
-    # delete all but one of them downstream
-    return F.when(scheme == "", F.trim(col)).otherwise(canonical)
+    # with only the always-safe normalizations (trim + fragment strip)
+    # rather than all collapsing to the constant ":///" — which would
+    # merge every malformed row into ONE dedup group and silently delete
+    # all but one of them downstream
+    return F.when(scheme == "", u).otherwise(canonical)
 
 
 def url_host(col: Column) -> Column:
@@ -184,25 +185,26 @@ def canonical_url_duplicates(
             strip_trailing_slash=strip_trailing_slash,
         ).alias("canonical_url"),
     )
-    groups = canon.groupBy("canonical_url").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
+    # the group table is built from NON-NULL canonical urls only (null
+    # rows would otherwise all shuffle into one discarded reducer group),
+    # then LEFT-joined back: null urls are NOT duplicates of each other,
+    # so each passes through as its own singleton survivor via coalesce
+    # instead of vanishing from an inner equi-join — two reads of the
+    # projection total, same as the all-non-null plan
+    groups = (
+        canon.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("_gid"),
+            F.count(F.lit(1)).alias("_gsz"),
+        )
     )
-    dupes = canon.filter(F.col("canonical_url").isNotNull()).join(
-        groups, "canonical_url"
-    )
-    # null urls are NOT duplicates of each other — each passes through as
-    # its own singleton survivor instead of vanishing from the equi-join
-    nulls = canon.filter(F.col("canonical_url").isNull()).select(
-        F.col(id_col),
-        F.col("canonical_url"),
-        F.col(id_col).alias("canonical_id"),
-        F.lit(1).cast("long").alias("group_size"),
-    )
-    return dupes.unionByName(nulls).select(
+    return canon.join(groups, "canonical_url", "left").select(
         id_col,
         "canonical_url",
-        "canonical_id",
-        "group_size",
-        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        F.coalesce("_gid", F.col(id_col)).alias("canonical_id"),
+        F.coalesce("_gsz", F.lit(1).cast("long")).alias("group_size"),
+        (F.col(id_col) == F.coalesce("_gid", F.col(id_col))).alias(
+            "is_canonical"
+        ),
     )

@@ -6,10 +6,12 @@ Ordering: stage 1 FINALIZES windows in event-time order, but its commit
 writes several unordered part files and the stage-2 file source replays
 them in discovery order — so windows arrive NEAR-sorted, not sorted.
 State per partition is therefore a small reorder BUFFER (the last
-``buffer_windows`` window vectors, each len(langs)+1 floats, plus an
-emitted flag): a window's divergence is emitted in whatever micro-batch
-first sees BOTH the window and its predecessor, exactly once. The buffer
-is bounded and constant-size per partition — a window whose predecessor
+``buffer_windows`` window vectors, each len(langs)+1 floats) plus the
+emitted-window LEDGER (every emitted window's timestamp, 8 bytes each):
+a window's divergence is emitted in whatever micro-batch first sees BOTH
+the window and its predecessor, exactly once — the ledger outlives the
+vector buffer, so even a stage-1 restart that replays windows far older
+than the buffer horizon cannot double-emit. A window whose predecessor
 never arrives inside the buffer horizon is skipped, the same
 omit-after-gap semantics as the batch operator (operators/divergence.py).
 
@@ -48,15 +50,25 @@ _UNIT_US = {
     "week": 7 * 86_400_000_000,
 }
 
-# reorder buffer: window timestamps, their probability vectors (flattened
-# row-major, n_windows × n_cats), and 0/1 emitted flags
+# state = a bounded reorder buffer of window vectors (timestamps +
+# probability vectors flattened row-major, n_windows × n_cats) PLUS the
+# emitted-window ledger: every emitted window's timestamp, 8 bytes each,
+# retained far beyond the vector buffer so a fresh-checkpoint stage-1
+# restart that replays ancient windows cannot double-emit them (a decade
+# of daily windows is ~29 KB; the ledger is capped at EMITTED_RETENTION
+# newest entries as a pathological-granularity backstop).
+# STATE SCHEMA v2: the per-buffer-slot emitted flags became the ledger —
+# a v1 checkpoint cannot be resumed; re-drive stage 2 from the stat
+# parquet (the source of truth) with a fresh checkpoint.
 DIV_STATE_SCHEMA = StructType(
     [
         StructField("ts_us", ArrayType(LongType())),
         StructField("probs_flat", ArrayType(DoubleType())),
-        StructField("emitted", ArrayType(LongType())),
+        StructField("emitted_ts", ArrayType(LongType())),
     ]
 )
+
+EMITTED_RETENTION = 1_000_000
 
 DIV_SCHEMA = (
     "partition_key string, window_start timestamp, "
@@ -116,30 +128,27 @@ def _make_div_fn(
                 wide.index.astype("datetime64[us]").astype("int64").to_numpy()
             )
 
-            buf: dict[int, list] = {}
+            buf: dict[int, object] = {}
+            emitted: set[int] = set()
             if state.exists:
                 s_ts, s_flat, s_em = state.get
                 vecs = np.asarray(s_flat, dtype="float64").reshape(
                     len(s_ts), n_cats
                 )
-                buf = {
-                    int(t): [vecs[i], bool(s_em[i])]
-                    for i, t in enumerate(s_ts)
-                }
+                buf = {int(t): vecs[i] for i, t in enumerate(s_ts)}
+                emitted = {int(t) for t in s_em}
             for i, t in enumerate(ts_us):
-                # a finalized window is immutable — a re-delivered one
-                # (e.g. stage 1 restarted from a fresh checkpoint) must
-                # NOT reset the emitted flag, or its divergence row would
-                # append twice
-                if int(t) not in buf:
-                    buf[int(t)] = [probs[i], False]
+                # finalized windows are immutable — keep the first copy
+                buf.setdefault(int(t), probs[i])
 
             for t in sorted(buf):
-                vec, emitted = buf[t]
                 prev = buf.get(t - duration_us)
-                if emitted or prev is None:
+                # the ledger (not a buffer-slot flag) decides emission, so
+                # a stage-1 restart replaying windows OLDER than the
+                # vector buffer horizon still cannot double-emit them
+                if t in emitted or prev is None:
                     continue
-                p, q = vec, prev[0]
+                p, q = buf[t], prev
                 m = (p + q) / 2.0
                 with np.errstate(divide="ignore", invalid="ignore"):
                     js = 0.5 * np.where(
@@ -155,14 +164,15 @@ def _make_div_fn(
                         float(np.abs(p - q).sum() / 2.0),
                     )
                 )
-                buf[t][1] = True
+                emitted.add(t)
 
             kept = sorted(buf)[-buffer_windows:]
+            ledger = sorted(emitted)[-EMITTED_RETENTION:]
             state.update(
                 (
                     [int(t) for t in kept],
-                    [float(x) for t in kept for x in buf[t][0]],
-                    [int(buf[t][1]) for t in kept],
+                    [float(x) for t in kept for x in buf[t]],
+                    [int(t) for t in ledger],
                 )
             )
         yield pd.DataFrame(

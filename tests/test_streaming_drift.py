@@ -443,3 +443,46 @@ def test_shape_state_redelivery_emits_once():
     assert len(b2) == 1  # only the NEW pair; no duplicate of b1's row
     assert b2["window_start"].iloc[0] == day + pd.Timedelta(days=2)
     assert abs(b2["js_divergence"].iloc[0]) < 1e-12  # identical dists
+
+
+def test_shape_ledger_blocks_replay_beyond_buffer_horizon():
+    """The emitted-window ledger outlives the vector buffer: a replayed
+    window EVICTED from the buffer (buffer_windows=2, five windows seen)
+    still cannot double-emit."""
+    from anomalydetector_spark.streaming.shape_stream import (
+        _duration_us,
+        _make_div_fn,
+    )
+
+    class StubState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    fn = _make_div_fn(("en", "de"), _duration_us("1 day"), buffer_windows=2)
+    day = pd.Timestamp("2024-01-01")
+
+    def batch(days):
+        rows = []
+        for d, (en, de) in days:
+            ts = day + pd.Timedelta(days=d)
+            rows.append(("global", "lang_frac_en", ts, en))
+            rows.append(("global", "lang_frac_de", ts, de))
+        return pd.DataFrame(
+            rows, columns=["partition_key", "stat_name", "window_start", "value"]
+        )
+
+    state = StubState()
+    b1 = list(fn(("global",), [batch([(d, (0.5, 0.5)) for d in range(5)])],
+                 state))[0]
+    assert len(b1) == 4  # days 1-4 scored; buffer now holds only days 3,4
+    # full replay of the early history (fresh stage-1 checkpoint)
+    b2 = list(fn(("global",), [batch([(d, (0.5, 0.5)) for d in range(3)])],
+                 state))[0]
+    assert len(b2) == 0  # ledger blocks re-emission beyond the buffer
