@@ -210,16 +210,23 @@ def cmd_validate(args, spark: SparkSession) -> None:
 
     pages = read_table(spark, args.input_path)
     domains = read_table(spark, args.domains) if args.domains else None
-    cfg = ValidationConfig(
-        window_duration=args.window,
-        partition_by=args.partition_by,
-        sr=SrParams(
-            threshold=args.threshold,
-            sensitivity=args.sensitivity,
-            with_margin=args.drift_margin,
-        ),
-        verify_text_extraction=args.verify_text_extraction,
-    )
+    if getattr(args, "suite", None):
+        from anomalydetector_spark.plans.spec import load_suite
+
+        # the versioned spec file is the whole config (CI workflow:
+        # review the file, not a command line); flags are ignored
+        cfg = load_suite(args.suite)
+    else:
+        cfg = ValidationConfig(
+            window_duration=args.window,
+            partition_by=args.partition_by,
+            sr=SrParams(
+                threshold=args.threshold,
+                sensitivity=args.sensitivity,
+                with_margin=args.drift_margin,
+            ),
+            verify_text_extraction=args.verify_text_extraction,
+        )
     t0 = time.time()
     res = run_validation(pages, domains, cfg)
 
@@ -651,6 +658,10 @@ def main(argv=None):
     v.add_argument("--input-path", required=True)
     v.add_argument("--output-path", required=True)
     v.add_argument("--domains", default=None)
+    v.add_argument("--suite", default=None,
+                   help="JSON check-suite spec file (plans/spec.py); when "
+                        "given it IS the config and the individual flags "
+                        "are ignored")
     v.add_argument("--manifest", default=None)
     v.add_argument("--window", default="1 day")
     v.add_argument("--partition-by", default=None)

@@ -1,0 +1,87 @@
+"""Declarative check-suite specs: a JSON document → ``ValidationConfig``.
+
+A validation engine's users are data owners, not Spark programmers; the
+standard workflow (Great-Expectations / dbt-test style) is a versioned
+spec file per table that CI runs against every snapshot. This module is
+that surface: one JSON object, every field optional, unknown fields
+REJECTED loudly (a typo like ``"windw"`` silently falling back to the
+default is how bad data ships).
+
+Example::
+
+    {
+      "window": "1 day",
+      "partition_by": "domain",
+      "min_points": 12,
+      "unique_key": "url",
+      "langs": ["en", "de", "fr"],
+      "verify_text_extraction": false,
+      "shape_drift": true,
+      "drift": {"threshold": 0.3, "sensitivity": 99.0,
+                "batch_size": 0, "with_margin": false}
+    }
+
+The spec maps 1:1 onto :class:`~anomalydetector_spark.engine.
+ValidationConfig` (and its nested ``SrParams`` under ``"drift"``), so
+anything expressible in code is expressible in the file — there is no
+second config system to drift out of sync; this module only translates
+and validates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from anomalydetector_spark.engine import ValidationConfig
+from anomalydetector_spark.kernel.sr import SrParams
+
+# spec key → ValidationConfig field (identity except the documented ones)
+_TOP_ALIASES = {"window": "window_duration", "drift": "sr"}
+
+
+def config_from_dict(spec: dict) -> ValidationConfig:
+    """Validate + translate a spec dict. Raises ``ValueError`` naming
+    every unknown key and its valid alternatives."""
+    if not isinstance(spec, dict):
+        raise ValueError(f"suite spec must be a JSON object, got {type(spec).__name__}")
+
+    cfg_fields = {f.name: f.type for f in dataclasses.fields(ValidationConfig)}
+    sr_fields = {f.name for f in dataclasses.fields(SrParams)}
+
+    kwargs = {}
+    for key, value in spec.items():
+        field = _TOP_ALIASES.get(key, key)
+        if field == "sr":
+            if not isinstance(value, dict):
+                raise ValueError('"drift" must be an object of SrParams fields')
+            bad = sorted(set(value) - sr_fields)
+            if bad:
+                raise ValueError(
+                    f"unknown drift field(s) {bad}; valid: {sorted(sr_fields)}"
+                )
+            kwargs["sr"] = SrParams(**value)
+        elif field in cfg_fields:
+            if field == "langs":
+                value = tuple(value)
+            kwargs[field] = value
+        else:
+            valid = sorted(set(_TOP_ALIASES) | (set(cfg_fields) - {"sr"}))
+            raise ValueError(f"unknown suite field {key!r}; valid: {valid}")
+    return ValidationConfig(**kwargs)
+
+
+def load_suite(path: str) -> ValidationConfig:
+    """Read a JSON suite file → ``ValidationConfig``."""
+    with open(path) as fh:
+        return config_from_dict(json.load(fh))
+
+
+def suite_to_dict(cfg: ValidationConfig) -> dict:
+    """Inverse of :func:`config_from_dict` — round-trippable, so a code-
+    built config can be frozen to a reviewable file."""
+    d = dataclasses.asdict(cfg)
+    d["window"] = d.pop("window_duration")
+    d["drift"] = d.pop("sr")
+    d["langs"] = list(d["langs"])
+    return d

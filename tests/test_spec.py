@@ -1,0 +1,84 @@
+"""Declarative check-suite specs: translation, validation, round-trip,
+and the CLI surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from anomalydetector_spark.engine import ValidationConfig
+from anomalydetector_spark.plans.spec import (
+    config_from_dict,
+    load_suite,
+    suite_to_dict,
+)
+
+
+def test_full_spec_translates():
+    cfg = config_from_dict(
+        {
+            "window": "6 hours",
+            "partition_by": "domain",
+            "min_points": 20,
+            "unique_key": "url",
+            "langs": ["en", "de"],
+            "verify_text_extraction": True,
+            "shape_drift": False,
+            "drift": {"threshold": 0.25, "sensitivity": 95.0,
+                      "batch_size": 500, "with_margin": True},
+        }
+    )
+    assert cfg.window_duration == "6 hours"
+    assert cfg.partition_by == "domain"
+    assert cfg.min_points == 20
+    assert cfg.langs == ("en", "de")
+    assert cfg.verify_text_extraction is True
+    assert cfg.shape_drift is False
+    assert cfg.sr.threshold == 0.25
+    assert cfg.sr.batch_size == 500
+    assert cfg.sr.with_margin is True
+
+
+def test_empty_spec_is_all_defaults():
+    assert config_from_dict({}) == ValidationConfig()
+
+
+def test_unknown_field_rejected_loudly():
+    with pytest.raises(ValueError, match="unknown suite field 'windw'"):
+        config_from_dict({"windw": "1 day"})
+    with pytest.raises(ValueError, match="unknown drift field"):
+        config_from_dict({"drift": {"treshold": 0.3}})
+    with pytest.raises(ValueError, match="must be a JSON object"):
+        config_from_dict(["window"])
+
+
+def test_round_trip():
+    cfg = ValidationConfig(
+        window_duration="2 hours", min_points=5, langs=("zh",)
+    )
+    assert config_from_dict(suite_to_dict(cfg)) == cfg
+
+
+def test_cli_validate_with_suite(spark, tmp_path, capsys):
+    from anomalydetector_spark import cli, datagen
+
+    pages = datagen.generate_pages(spark, 4000)
+    src = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(src)
+    suite = {
+        "window": "1 day",
+        "min_points": 2,
+        "drift": {"threshold": 0.5},
+    }
+    spath = str(tmp_path / "suite.json")
+    with open(spath, "w") as fh:
+        json.dump(suite, fh)
+    out = str(tmp_path / "out")
+    cli.main([
+        "validate", "--input-path", src, "--output-path", out,
+        "--suite", spath,
+    ])
+    assert "validated " in capsys.readouterr().out
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.filter("check_name = 'min_row_count'").count() > 0
