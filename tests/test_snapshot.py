@@ -159,3 +159,37 @@ def test_churn_stats_empty_new_snapshot(spark):
         0, 2, 0, 0
     )
     assert s["added_rate"] is None and s["changed_rate"] is None
+
+
+def test_random_diff_parity_vs_direct_comparison(spark):
+    """200 random keys with random (text, lang) tuples on both sides —
+    incl. nulls, empties, and boundary-shifted strings — must classify
+    exactly as a direct value comparison (no digest collisions/losses)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = [None, "", "a", "ab", "b", "ab:c", "a:bc", "x" * 50]
+
+    def snap():
+        rows = {}
+        for k in range(200):
+            if rng.random() < 0.85:  # 15% of keys absent per side
+                rows[f"k{k}"] = (
+                    vals[rng.integers(len(vals))],
+                    vals[rng.integers(len(vals))],
+                )
+        return rows
+
+    o, n = snap(), snap()
+    old = _df(spark, [(k, t, l) for k, (t, l) in o.items()])
+    new = _df(spark, [(k, t, l) for k, (t, l) in n.items()])
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    exp = {}
+    for k in set(o) | set(n):
+        if k not in o:
+            exp[k] = "added"
+        elif k not in n:
+            exp[k] = "removed"
+        else:
+            exp[k] = "unchanged" if o[k] == n[k] else "changed"
+    assert got == exp
