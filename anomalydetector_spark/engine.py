@@ -47,6 +47,9 @@ class ValidationConfig:
     # full ``text`` bytes (north-rule byte-identity invariant). Off by
     # default so the standard suite never scans html.
     verify_text_extraction: bool = False
+    # schema-evolution check: expected column → Spark simple type; catches
+    # the silent type change P3's presence check misses. None = off.
+    expected_schema: dict | None = None
     # shape drift: per-window Jensen-Shannon divergence of the lang
     # distribution vs the previous window, derived from the counts cube
     # (zero extra input scans) and SR-scored like every scalar stat — a
@@ -134,6 +137,10 @@ def run_validation(
         not_null_verdicts,
         uniq_verdicts,
     ]
+    if cfg.expected_schema:
+        verdict_frames.append(
+            C.check_schema_types(pages, cfg.expected_schema).verdicts
+        )
     if domains is not None:
         verdict_frames.append(
             C._verdict_from_violation_count(

@@ -102,6 +102,47 @@ def check_column_presence(
     return CheckResult(spark.createDataFrame(rows, schema))
 
 
+def check_schema_types(
+    df: DataFrame,
+    expected: dict[str, str],
+    check_name: str = "schema_types",
+    allow_extra: bool = True,
+) -> CheckResult:
+    """Schema-evolution check: every expected column exists WITH the
+    expected Spark simple type (``string``, ``timestamp``, ``binary``,
+    ``bigint``, …). Like P3 this is purely metadata — no scan — but it
+    catches the silent killer P3 misses: a column that still exists after
+    a snapshot rewrite but changed type (``lang`` string → int, ``html``
+    binary → string), which every downstream expression would then
+    miscompute on. With ``allow_extra=False`` unexpected columns also
+    fail (locked-schema mode)."""
+    spark = df.sparkSession
+    actual = dict(df.dtypes)
+    problems = []
+    for col, typ in expected.items():
+        if col not in actual:
+            problems.append(f"{col}: missing")
+        elif actual[col] != typ:
+            problems.append(f"{col}: expected {typ}, got {actual[col]}")
+    if not allow_extra:
+        problems += [f"{c}: unexpected column" for c in actual if c not in expected]
+    rows = [
+        (
+            check_name,
+            "global",
+            not problems,
+            "; ".join(problems) if problems else None,
+            len(problems),
+            0,
+        )
+    ]
+    schema = (
+        "check_name string, partition_key string, passed boolean, "
+        "error_message string, violation_count long, rows_scanned long"
+    )
+    return CheckResult(spark.createDataFrame(rows, schema))
+
+
 def check_min_rows(
     df: DataFrame,
     partition_by: Column | str | None = None,

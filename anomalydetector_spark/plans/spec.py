@@ -17,6 +17,8 @@ Example::
       "langs": ["en", "de", "fr"],
       "verify_text_extraction": false,
       "shape_drift": true,
+      "schema": {"url": "string", "warc_ts": "timestamp",
+                 "html": "binary", "text": "string", "lang": "string"},
       "drift": {"threshold": 0.3, "sensitivity": 99.0,
                 "batch_size": 0, "with_margin": false}
     }
@@ -37,7 +39,11 @@ from anomalydetector_spark.engine import ValidationConfig
 from anomalydetector_spark.kernel.sr import SrParams
 
 # spec key → ValidationConfig field (identity except the documented ones)
-_TOP_ALIASES = {"window": "window_duration", "drift": "sr"}
+_TOP_ALIASES = {
+    "window": "window_duration",
+    "drift": "sr",
+    "schema": "expected_schema",
+}
 
 
 def config_from_dict(spec: dict) -> ValidationConfig:
@@ -83,5 +89,6 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
     d = dataclasses.asdict(cfg)
     d["window"] = d.pop("window_duration")
     d["drift"] = d.pop("sr")
+    d["schema"] = d.pop("expected_schema")
     d["langs"] = list(d["langs"])
     return d

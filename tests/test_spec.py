@@ -82,3 +82,51 @@ def test_cli_validate_with_suite(spark, tmp_path, capsys):
     assert "validated " in capsys.readouterr().out
     verdicts = spark.read.parquet(f"{out}/verdicts")
     assert verdicts.filter("check_name = 'min_row_count'").count() > 0
+
+
+def test_schema_types_check(spark):
+    """Schema-evolution verdicts: missing column, wrong type, extras in
+    locked mode — all named in the error message; matching schema passes."""
+    from anomalydetector_spark.operators.checks import check_schema_types
+
+    df = spark.createDataFrame(
+        [("u", 1)], "url string, lang bigint"
+    )
+    ok = check_schema_types(df, {"url": "string", "lang": "bigint"}).verdicts.first()
+    assert ok["passed"] is True and ok["error_message"] is None
+
+    bad = check_schema_types(
+        df, {"url": "string", "lang": "string", "text": "string"}
+    ).verdicts.first()
+    assert bad["passed"] is False and bad["violation_count"] == 2
+    assert "lang: expected string, got bigint" in bad["error_message"]
+    assert "text: missing" in bad["error_message"]
+
+    locked = check_schema_types(
+        df, {"url": "string"}, allow_extra=False
+    ).verdicts.first()
+    assert locked["passed"] is False
+    assert "lang: unexpected column" in locked["error_message"]
+
+
+def test_schema_in_suite_and_engine(spark, tmp_path):
+    """'schema' in a suite spec reaches the engine: a type-drifted input
+    fails the schema_types verdict while the rest of the run proceeds."""
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.engine import run_validation
+
+    cfg = config_from_dict(
+        {
+            "min_points": 2,
+            "schema": {"url": "string", "warc_ts": "timestamp",
+                       "html": "binary", "text": "string",
+                       "lang": "bigint"},  # wrong on purpose
+        }
+    )
+    pages = datagen.generate_pages(spark, 2000)
+    res = run_validation(pages, None, cfg)
+    v = {r["check_name"]: r for r in res.verdicts.collect()}
+    assert v["schema_types"]["passed"] is False
+    assert "lang: expected bigint, got string" in v["schema_types"]["error_message"]
+    assert v["min_row_count"]["passed"] is True  # run proceeded
+    res.unpersist()
