@@ -879,6 +879,44 @@ def q_lang_divergence(spark, sf_dir):
     )
 
 
+def q_partition_churn(spark, sf_dir):
+    """Per-PARTITION churn gate (operators/snapshot.partition_digests +
+    changed_partitions): snapshot B drops the src0 partition, edits one
+    doc-in-13 of src1, and adds a brand-new srcNEW partition — the
+    verdicts (removed / changed / added, everything else unchanged) come
+    from one aggregation per side over order-insensitive sum digests, no
+    per-key join anywhere. The oracle reproduces the digest arithmetic
+    (length-prefixed md5, two independent 60-bit sums) in DuckDB."""
+    from anomalydetector_spark.operators.snapshot import (
+        changed_partitions,
+        partition_digests,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars", "text"
+    )
+    new = (
+        docs.filter(F.col("source") != "src0")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("source") == "src1") & (F.col("doc_id") % 13 == 0),
+                F.concat(F.col("text"), F.lit(" edited v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                F.lit("srcNEW").alias("source"),
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "lang", "n_chars", "text",
+            )
+        )
+    )
+    return changed_partitions(
+        partition_digests(docs, "source"), partition_digests(new, "source")
+    )
+
+
 def _drift_on_events(spark, sf_dir, with_scores: bool):
     """North-rule flagship shape on the events table: per-(event_type,
     day) stats → long series → SR scores → verdicts."""
@@ -1005,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
+        "partition_churn": q_partition_churn,
         "gopher_filter": q_gopher_filter,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
@@ -1875,6 +1914,49 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN in_cur THEN 1 ELSE 0 END)::BIGINT
                      AS n_categories
             FROM filt GROUP BY 1
+        """,
+        "partition_churn": """
+            WITH old AS (
+              SELECT source, doc_id, lang, n_chars, text FROM documents),
+            new AS (
+              SELECT source, doc_id, lang, n_chars,
+                     CASE WHEN source = 'src1' AND doc_id % 13 = 0
+                          THEN text || ' edited v2' ELSE text END AS text
+              FROM documents WHERE source <> 'src0'
+              UNION ALL
+              SELECT 'srcNEW', doc_id + 100000, lang, n_chars, text
+              FROM documents WHERE doc_id % 23 = 0),
+            oh AS (
+              SELECT source, md5(
+                   '6:' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR
+                || '4:' || length(lang) || ':' || lang
+                || '7:' || length(n_chars::VARCHAR) || ':' || n_chars::VARCHAR
+                || '4:' || length(text) || ':' || text) AS h
+              FROM old),
+            nh AS (
+              SELECT source, md5(
+                   '6:' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR
+                || '4:' || length(lang) || ':' || lang
+                || '7:' || length(n_chars::VARCHAR) || ':' || n_chars::VARCHAR
+                || '4:' || length(text) || ':' || text) AS h
+              FROM new),
+            oa AS (
+              SELECT source, count(*) AS c,
+                     sum(('0x' || substr(h, 1, 15))::BIGINT::HUGEINT) AS a,
+                     sum(('0x' || substr(h, 16, 15))::BIGINT::HUGEINT) AS b
+              FROM oh GROUP BY 1),
+            na AS (
+              SELECT source, count(*) AS c,
+                     sum(('0x' || substr(h, 1, 15))::BIGINT::HUGEINT) AS a,
+                     sum(('0x' || substr(h, 16, 15))::BIGINT::HUGEINT) AS b
+              FROM nh GROUP BY 1)
+            SELECT coalesce(oa.source, na.source) AS "partition",
+                   CASE WHEN oa.source IS NULL THEN 'added'
+                        WHEN na.source IS NULL THEN 'removed'
+                        WHEN oa.c = na.c AND oa.a = na.a AND oa.b = na.b
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM oa FULL OUTER JOIN na ON oa.source = na.source
         """,
         "snapshot_diff": """
             WITH old AS (SELECT doc_id, text, lang FROM documents),

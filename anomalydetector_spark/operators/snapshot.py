@@ -131,3 +131,77 @@ def snapshot_churn_stats(diff: DataFrame) -> DataFrame:
 def revalidation_keys(diff: DataFrame, key_col: str = "url") -> DataFrame:
     """Keys an incremental run must re-validate: added ∪ changed."""
     return diff.filter(F.col("status").isin("added", "changed")).select(key_col)
+
+
+def partition_digests(
+    df: DataFrame,
+    partition_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive per-PARTITION content digest — the granularity
+    the checkpoint manifest resumes at, so an incremental run can decide
+    "skip this partition, it is byte-identical to the validated snapshot"
+    with one aggregation and NO per-key join.
+
+    The digest is (row count, sum of two independent 60-bit per-row md5
+    digests as decimal(38,0)): a multiset digest, so row order and file
+    layout never matter; SUM not XOR because identical duplicate rows
+    (the dup-url regime) would cancel pairwise under XOR and a partition
+    gaining two copies of a row would look unchanged. Sums are exact —
+    decimal(38,0) holds 10^12 rows × 2^60 with headroom, and ANSI long
+    overflow can never fire. Collision odds for an accidental match of
+    both independent sums AND the count are far below hardware error
+    rates.
+    """
+    if isinstance(partition_cols, str):
+        partition_cols = [partition_cols]
+    if compare_cols is None:
+        compare_cols = sorted(set(df.columns) - set(partition_cols))
+    keyed = _keyed_digest(
+        df.withColumn("__part", F.concat_ws("\x1f", *partition_cols)),
+        "__part",
+        compare_cols,
+    )
+    d1 = F.conv(F.substring(F.col("digest"), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    d2 = F.conv(F.substring(F.col("digest"), 16, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return keyed.groupBy(F.col("key").alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d1).alias("digest_sum_a"),
+        F.sum(d2).alias("digest_sum_b"),
+    )
+
+
+def changed_partitions(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-partition churn verdict from two :func:`partition_digests`
+    frames → (partition, status) with the same status vocabulary as
+    :func:`snapshot_diff`. An incremental validation re-runs exactly the
+    partitions with status in (added, changed)."""
+    o = old.select(
+        "partition",
+        F.col("n_rows").alias("_on"),
+        F.col("digest_sum_a").alias("_oa"),
+        F.col("digest_sum_b").alias("_ob"),
+    )
+    n = new.select(
+        "partition",
+        F.col("n_rows").alias("_nn"),
+        F.col("digest_sum_a").alias("_na"),
+        F.col("digest_sum_b").alias("_nb"),
+    )
+    joined = o.join(n, "partition", "full_outer")
+    status = (
+        F.when(F.col("_on").isNull(), F.lit("added"))
+        .when(F.col("_nn").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_on") == F.col("_nn"))
+            & (F.col("_oa") == F.col("_na"))
+            & (F.col("_ob") == F.col("_nb")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("partition", status.alias("status"))

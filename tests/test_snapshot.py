@@ -193,3 +193,41 @@ def test_random_diff_parity_vs_direct_comparison(spark):
         else:
             exp[k] = "unchanged" if o[k] == n[k] else "changed"
     assert got == exp
+
+
+def test_partition_digests_order_insensitive_and_dup_sensitive(spark):
+    from anomalydetector_spark.operators.snapshot import (
+        changed_partitions,
+        partition_digests,
+    )
+
+    schema = "part string, url string, text string"
+    a = spark.createDataFrame(
+        [("p1", "a", "t1"), ("p1", "b", "t2"), ("p2", "c", "t3")], schema
+    )
+    # same rows, different order / different file layout
+    b = spark.createDataFrame(
+        [("p2", "c", "t3"), ("p1", "b", "t2"), ("p1", "a", "t1")], schema
+    ).repartition(7)
+    da, db = partition_digests(a, "part"), partition_digests(b, "part")
+    assert {r["partition"]: r["status"] for r in
+            changed_partitions(da, db).collect()} == {
+        "p1": "unchanged", "p2": "unchanged"
+    }
+
+    # XOR would cancel a duplicated row pair; the sum+count digest must not
+    dup = spark.createDataFrame(
+        [("p1", "a", "t1"), ("p1", "a", "t1"), ("p1", "b", "t2"),
+         ("p1", "b", "t2"), ("p2", "c", "t3")], schema
+    )
+    got = {r["partition"]: r["status"] for r in
+           changed_partitions(da, partition_digests(dup, "part")).collect()}
+    assert got == {"p1": "changed", "p2": "unchanged"}
+
+    # content edit in one partition; add/remove partitions
+    c = spark.createDataFrame(
+        [("p1", "a", "t1-EDIT"), ("p1", "b", "t2"), ("p3", "d", "t4")], schema
+    )
+    got = {r["partition"]: r["status"] for r in
+           changed_partitions(da, partition_digests(c, "part")).collect()}
+    assert got == {"p1": "changed", "p2": "removed", "p3": "added"}
