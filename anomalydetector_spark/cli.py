@@ -409,6 +409,31 @@ def cmd_snapshot_diff(args, spark: SparkSession) -> None:
         else None
     )
     out = args.output_path.rstrip("/")
+    if args.partition_column:
+        from anomalydetector_spark.operators.snapshot import (
+            changed_partitions,
+            partition_digests,
+        )
+
+        # manifest-granularity gate: one aggregation per side, no
+        # per-key join — the cheap first pass before any key-level diff
+        churn = changed_partitions(
+            partition_digests(old, args.partition_column, compare_cols=compare),
+            partition_digests(new, args.partition_column, compare_cols=compare),
+        ).persist()
+        churn.write.mode("overwrite").parquet(f"{out}/partitions")
+        counts = dict(
+            (r["status"], r["count"])
+            for r in churn.groupBy("status").count().collect()
+        )
+        churn.unpersist()
+        print(
+            f"partition churn: {counts.get('added', 0)} added, "
+            f"{counts.get('removed', 0)} removed, "
+            f"{counts.get('changed', 0)} changed, "
+            f"{counts.get('unchanged', 0)} unchanged → {out}/partitions"
+        )
+        return
     diff = snapshot_diff(
         old, new, key_col=args.key_column, compare_cols=compare
     ).persist()
@@ -739,6 +764,11 @@ def main(argv=None):
     sd.add_argument("--compare-columns", default=None,
                     help="comma-separated content columns to compare "
                          "(default: every shared non-key column)")
+    sd.add_argument("--partition-column", default=None,
+                    help="diff at PARTITION granularity instead of per "
+                         "key: order-insensitive digest sums per value "
+                         "of this column, one aggregation per side (the "
+                         "cheap incremental-skip gate)")
 
     p = sub.add_parser(
         "prep-corpus",

@@ -231,3 +231,27 @@ def test_partition_digests_order_insensitive_and_dup_sensitive(spark):
     got = {r["partition"]: r["status"] for r in
            changed_partitions(da, partition_digests(c, "part")).collect()}
     assert got == {"p1": "changed", "p2": "removed", "p3": "added"}
+
+
+def test_snapshot_diff_cli_partition_mode(spark, tmp_path, capsys):
+    from anomalydetector_spark import cli
+
+    schema = "src string, url string, text string"
+    old = spark.createDataFrame(
+        [("p1", "a", "t1"), ("p1", "b", "t2"), ("p2", "c", "t3")], schema
+    )
+    new = spark.createDataFrame(
+        [("p1", "a", "t1"), ("p1", "b", "t2-EDIT"), ("p3", "d", "t4")], schema
+    )
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    out = str(tmp_path / "out")
+    cli.main([
+        "snapshot-diff", "--old-path", str(tmp_path / "old"),
+        "--new-path", str(tmp_path / "new"), "--output-path", out,
+        "--partition-column", "src",
+    ])
+    assert "1 added, 1 removed, 1 changed, 0 unchanged" in capsys.readouterr().out
+    got = {r["partition"]: r["status"]
+           for r in spark.read.parquet(out + "/partitions").collect()}
+    assert got == {"p1": "changed", "p2": "removed", "p3": "added"}
