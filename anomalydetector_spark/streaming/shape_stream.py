@@ -57,16 +57,25 @@ _UNIT_US = {
 # restart that replays ancient windows cannot double-emit them (a decade
 # of daily windows is ~29 KB; the ledger is capped at EMITTED_RETENTION
 # newest entries as a pathological-granularity backstop).
-# STATE SCHEMA v2: the per-buffer-slot emitted flags became the ledger —
-# a v1 checkpoint cannot be resumed; re-drive stage 2 from the stat
+# STATE SCHEMA v2: the per-buffer-slot emitted flags became the ledger.
+# The explicit ``version`` field exists purely to make a v1 checkpoint
+# fail LOUDLY on resume: Spark's state-schema compatibility check
+# compares field TYPES only, and v1's flags column was also array<long>
+# — without the extra field a v1 checkpoint would resume silently,
+# its 0/1 flags misread as ledger timestamps, and already-emitted
+# buffered windows would double-emit. The field-count mismatch forces
+# the rejection the upgrade needs; re-drive stage 2 from the stat
 # parquet (the source of truth) with a fresh checkpoint.
 DIV_STATE_SCHEMA = StructType(
     [
+        StructField("version", LongType()),
         StructField("ts_us", ArrayType(LongType())),
         StructField("probs_flat", ArrayType(DoubleType())),
         StructField("emitted_ts", ArrayType(LongType())),
     ]
 )
+
+STATE_VERSION = 2
 
 EMITTED_RETENTION = 1_000_000
 
@@ -131,7 +140,7 @@ def _make_div_fn(
             buf: dict[int, object] = {}
             emitted: set[int] = set()
             if state.exists:
-                s_ts, s_flat, s_em = state.get
+                _ver, s_ts, s_flat, s_em = state.get
                 vecs = np.asarray(s_flat, dtype="float64").reshape(
                     len(s_ts), n_cats
                 )
@@ -170,6 +179,7 @@ def _make_div_fn(
             ledger = sorted(emitted)[-EMITTED_RETENTION:]
             state.update(
                 (
+                    STATE_VERSION,
                     [int(t) for t in kept],
                     [float(x) for t in kept for x in buf[t]],
                     [int(t) for t in ledger],
