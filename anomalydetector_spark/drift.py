@@ -43,12 +43,15 @@ def _make_group_fn(params: SrParams):
             # the min-points verdict is taken by the check layer, mirroring
             # the reference's NotEnoughPoints contract (invoker.py:43-44).
             out = pdf[["partition_key", "stat_name", "window_start", "value"]].copy()
-            out["mag"] = float("nan")
-            out["score"] = float("nan")
+            # nullable Float64 → Arrow null, NOT NaN: NaN sorts above
+            # every double in Spark, so it would poison max(score) aggs
+            null_f = pd.array([None] * n, dtype="Float64")
+            out["mag"] = null_f
+            out["score"] = null_f
             out["is_anomaly"] = pd.Series([None] * n, dtype="object")
             if params.with_margin:
                 for c in ("expected_value", "unit", "lower_boundary", "upper_boundary"):
-                    out[c] = float("nan")
+                    out[c] = null_f
             return out
 
         res = sr_detect(
@@ -124,12 +127,28 @@ def gap_adjust_scored(scored: DataFrame, max_back: int = 1000) -> DataFrame:
         score_col="score",
         max_back=max_back,
     )
-    return adjusted.withColumn(
-        "is_anomaly",
-        F.when(F.col("_was_null"), F.lit(None).cast("boolean")).otherwise(
-            F.col("_det") == 1
-        ),
-    ).drop("_series", "_det", "_was_null")
+    return (
+        adjusted.withColumn(
+            "is_anomaly",
+            F.when(F.col("_was_null"), F.lit(None).cast("boolean")).otherwise(
+                F.col("_det") == 1
+            ),
+        )
+        # unscored windows round-trip their null score through pandas as
+        # NaN (which sorts ABOVE every double in Spark, poisoning
+        # drift_verdicts' max(score)), and the gap rule may have stamped
+        # 1.0 onto them: restore NULL score and drop the phantom force.
+        .withColumn(
+            "score",
+            F.when(F.col("_was_null"), F.lit(None).cast("double")).otherwise(
+                F.col("score")
+            ),
+        )
+        .withColumn(
+            "gap_forced", F.when(F.col("_was_null"), F.lit(False)).otherwise(F.col("gap_forced"))
+        )
+        .drop("_series", "_det", "_was_null")
+    )
 
 
 def drift_verdicts(scored: DataFrame) -> DataFrame:

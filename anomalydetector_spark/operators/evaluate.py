@@ -334,7 +334,9 @@ def dense_label_grid(
     aggregation is latest-by-timestamp for safety, matching numpy
     fancy-index assignment.) Unobserved slots are 0.
     Emits ``(partition, grid_ts, label)`` with ``grid_ts = t0 +
-    slot*interval``."""
+    slot*interval``. A single-observation series (no interval defined —
+    the reference raises there) is emitted as its own one-row grid
+    rather than silently dropped."""
     part = [partition_by] if partition_by else []
     w = Window.partitionBy(*part).orderBy(ts_col)
     with_prev = df.withColumn("_prev", F.lag(ts_col).over(w))
@@ -348,20 +350,27 @@ def dense_label_grid(
             )
         ).alias("_iv"),
     )
+    # a single-observation series has no lag pair (_iv NULL):
+    # sequence(0, NULL) is NULL and explode would silently drop the whole
+    # series (the reference raises on min() of an empty gap list) — emit
+    # the lone observation as its own grid row instead
     spine = bounds.select(
         *part,
         "_u0",
         "_iv",
         F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.expr("(_u1 - _u0) div _iv"),
-            )
+            F.when(
+                F.col("_iv").isNotNull(),
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr("(_u1 - _u0) div _iv"),
+                ),
+            ).otherwise(F.array(F.lit(0).cast("long")))
         ).alias("_slot"),
     ).select(
         *part,
         "_slot",
-        (F.col("_u0") + F.col("_slot") * F.col("_iv"))
+        (F.col("_u0") + F.col("_slot") * F.coalesce(F.col("_iv"), F.lit(0)))
         .cast("timestamp")
         .alias("grid_ts"),
     )
@@ -371,7 +380,12 @@ def dense_label_grid(
     )
     obs = obs.withColumn(
         "_slot",
-        F.expr(f"(unix_timestamp({ts_col}) - _u0) div _iv"),
+        # NULL _iv (single-observation series): the lone point sits at
+        # slot 0 of its one-row grid
+        F.coalesce(
+            F.expr(f"(unix_timestamp({ts_col}) - _u0) div _iv"),
+            F.lit(0).cast("long"),
+        ),
     ).groupBy(*part, "_slot").agg(
         F.max_by(label_col, F.col(ts_col)).alias("_obs")
     )

@@ -53,6 +53,15 @@ def _line_keys(line: Column) -> tuple[Column, Column]:
     return F.xxhash64(t), F.xxhash64(t, F.lit(1))
 
 
+def _quote_regex(sep: str) -> str:
+    """Java-regex literal quoting of a separator (java.util.regex
+    Pattern.quote semantics): ``F.split`` treats its pattern as a regex,
+    so a caller passing '.' or '|' would otherwise get character-level
+    splits. \\Q...\\E quoting covers every byte, including backslashes;
+    embedded \\E sequences are stitched per Pattern.quote's algorithm."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def doc_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -61,10 +70,14 @@ def doc_lines(
 ) -> DataFrame:
     """Explode ``text_col`` into ``(id_col, pos, line)`` — one row per
     line, ``pos`` 0-based so the doc can be reconstructed in order.
-    Null texts produce no rows (null split explodes to nothing)."""
+    ``sep`` is a LITERAL separator (regex-quoted before it reaches
+    ``F.split``). Null texts produce no rows (null split explodes to
+    nothing)."""
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _quote_regex(sep))
+        ).alias("pos", "line"),
     )
 
 
@@ -153,14 +166,16 @@ def drop_boilerplate_lines(
     h1, h2 = _line_keys(F.col("_l"))
     line_hashes = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_l"),
+        F.posexplode(
+            F.split(F.col(text_col), _quote_regex(sep))
+        ).alias("pos", "_l"),
     ).select(id_col, "pos", h1.alias("_h1"), h2.alias("_h2"))
     bad = (
         line_hashes.join(bp, ["_h1", "_h2"], "left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_bad_pos"))
     )
-    parts = F.split(F.col(text_col), sep)
+    parts = F.split(F.col(text_col), _quote_regex(sep))
     # two-parameter HOF lambda: pyspark binds the SECOND parameter to
     # the element index — exactly the position key here
     kept = F.filter(

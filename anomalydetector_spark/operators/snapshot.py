@@ -31,6 +31,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _injective_tuple(df: DataFrame, cols: list[str]):
+    """Injective string encoding of a column tuple: null sentinel +
+    length prefix per part, so ('a', null) vs (null, 'a') and values
+    containing the join delimiter never collapse into one key. Binary
+    columns go through base64 (string reinterpretation is lossy on
+    invalid UTF-8)."""
+    from pyspark.sql.types import BinaryType
+
+    binary_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, BinaryType)
+    }
+
+    def _as_text(c: str):
+        return (
+            F.base64(F.col(c)) if c in binary_cols else F.col(c).cast("string")
+        )
+
+    return F.concat(
+        *[
+            F.coalesce(
+                F.concat(
+                    F.length(_as_text(c)).cast("string"),
+                    F.lit(":"),
+                    _as_text(c),
+                ),
+                F.lit("<NULL>"),
+            )
+            for c in cols
+        ]
+    )
+
+
 def _keyed_digest(df: DataFrame, key_col: str, compare_cols: list[str]) -> DataFrame:
     # concat_ws skips nulls, which would make ("a", null) == ("a", "");
     # wrap each column with an explicit null sentinel + length prefix so
@@ -157,8 +189,24 @@ def partition_digests(
         partition_cols = [partition_cols]
     if compare_cols is None:
         compare_cols = sorted(set(df.columns) - set(partition_cols))
+    # Injective partition key: a plain concat_ws would skip NULLs and
+    # leave the delimiter unescaped, so multi-column tuples like
+    # ('a', null) vs (null, 'a') — or values containing the delimiter —
+    # would collapse into one partition and changed_partitions could
+    # merge or mislabel them. Multi-column keys therefore use the same
+    # null-sentinel + length-prefix scheme as the compare-column digest.
+    # A single partition column needs no concatenation, so its raw value
+    # is kept (human-readable, oracle-matchable); a lone NULL maps to the
+    # '<NULL>' sentinel so the changed_partitions full-outer join can
+    # still match it across snapshots (null keys never join-match).
+    if len(partition_cols) == 1:
+        part_key = F.coalesce(
+            F.col(partition_cols[0]).cast("string"), F.lit("<NULL>")
+        )
+    else:
+        part_key = _injective_tuple(df, partition_cols)
     keyed = _keyed_digest(
-        df.withColumn("__part", F.concat_ws("\x1f", *partition_cols)),
+        df.withColumn("__part", part_key),
         "__part",
         compare_cols,
     )

@@ -146,6 +146,35 @@ def test_dense_label_grid_floors_offgrid_timestamps(spark, ref_metric):
     # pair closer than the minimum interval — so no collision case exists)
 
 
+def test_dense_label_grid_single_observation_series(spark):
+    """ADVICE round-2: a single-observation series has no lag pair, so
+    the min interval is undefined — the reference raises on min() of an
+    empty list; the distributed operator emits the lone observation as
+    its own one-row grid instead of silently dropping the series."""
+    from anomalydetector_spark.operators.evaluate import dense_label_grid
+
+    t0 = pd.Timestamp("2025-06-01 00:00:00")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series": ["lonely", "full", "full", "full"],
+                "ts": [t0, t0, t0 + pd.Timedelta(60, "s"),
+                       t0 + pd.Timedelta(180, "s")],
+                "label": [1, 0, 1, 0],
+            }
+        )
+    )
+    out = dense_label_grid(df, partition_by="series").toPandas()
+    lonely = out[out["series"] == "lonely"]
+    assert len(lonely) == 1
+    assert lonely["grid_ts"].iloc[0] == t0
+    assert lonely["label"].iloc[0] == 1
+    # the multi-point series is unaffected: slots 0..3 at 60s interval
+    full = out[out["series"] == "full"].sort_values("grid_ts")
+    assert len(full) == 4
+    np.testing.assert_array_equal(full["label"].to_numpy(), [0, 1, 0, 0])
+
+
 def test_confusion_and_sweep(spark):
     from anomalydetector_spark.operators.evaluate import (
         best_threshold,

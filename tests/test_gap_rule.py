@@ -4,6 +4,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from anomalydetector_spark.kernel.sr import apply_gap_rule
 
@@ -145,7 +146,8 @@ def test_gap_adjust_scored_drift_wiring(spark):
         }
     )
     scored = score_drift(spark.createDataFrame(pd.concat([rows, short])))
-    adj = gap_adjust_scored(scored, max_back=1000).toPandas()
+    adj_df = gap_adjust_scored(scored, max_back=1000)
+    adj = adj_df.toPandas()
 
     p0 = adj[adj["partition_key"] == "p0"].sort_values("window_start")
     after_hole = p0[p0["window_start"] == base + pd.Timedelta(hours=24)]
@@ -156,10 +158,23 @@ def test_gap_adjust_scored_drift_wiring(spark):
     p1 = adj[adj["partition_key"] == "p1"]
     assert p1["is_anomaly"].isna().all()
     assert not p1["gap_forced"].any()
+    # unscored windows must come back with NULL score (not NaN, and not
+    # a gap-stamped 1.0) — Spark-side null check, pandas maps it to NaN
+    n_null_scores = adj_df.filter(
+        (F.col("partition_key") == "p1") & F.col("score").isNull()
+    ).count()
+    assert n_null_scores == 5
 
-    v = drift_verdicts(
-        spark.createDataFrame(adj.drop(columns=["gap_forced"]))
-    ).toPandas()
+    v = drift_verdicts(adj_df.drop("gap_forced")).toPandas()
     assert (
         v[v["partition_key"] == "p0"]["verdict"].iloc[0] == "fail"
     )
+    # the too-short series' verdict row must not surface NaN max_score
+    # (NaN sorts above every double in Spark, so it would win any max)
+    p1v = v[v["partition_key"] == "p1"]
+    assert p1v["verdict"].iloc[0] == "error:not_enough_points"
+    assert p1v["max_score"].isna().all()
+    # and the verdict over ALL series must never carry NaN — only real
+    # scores or true nulls
+    finite = v["max_score"].dropna().to_numpy()
+    assert np.isfinite(finite).all()

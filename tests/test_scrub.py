@@ -165,3 +165,35 @@ def test_scrub_matches_pandas_recomputation_on_random_docs(spark):
     # and the dictionary matches the ground-truth banner set
     got_bp = {r.line for r in boilerplate_line_set(df, min_docs=3).collect()}
     assert got_bp == bp
+
+
+def test_literal_separator_not_regex(spark):
+    """sep is a LITERAL separator: '.' or '|' must not fall through to
+    Java-regex semantics (character-level splits)."""
+    import pandas as pd
+
+    from anomalydetector_spark.operators.scrub import (
+        doc_lines,
+        drop_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha.beta.BANNER", "x.BANNER.z"]}
+        )
+    )
+    lines = doc_lines(df, sep=".").collect()
+    got = {(r.doc_id, r.pos): r.line for r in lines}
+    assert got[(1, 0)] == "alpha" and got[(1, 2)] == "BANNER"
+    assert len([r for r in lines if r.doc_id == 1]) == 3
+
+    out = {r.doc_id: r.text for r in
+           drop_boilerplate_lines(df, min_docs=2, sep=".").collect()}
+    assert out == {1: "alpha.beta", 2: "x.z"}
+
+    # '|' (regex alternation — the classic every-char split)
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a|bb|ccc"]})
+    )
+    assert [r.line for r in doc_lines(df2, sep="|").orderBy("pos").collect()] \
+        == ["a", "bb", "ccc"]

@@ -233,6 +233,59 @@ def test_partition_digests_order_insensitive_and_dup_sensitive(spark):
     assert got == {"p1": "changed", "p2": "removed", "p3": "added"}
 
 
+def test_partition_digests_multicol_null_and_delimiter_safe(spark):
+    """Multi-column partition tuples must stay distinct under NULLs and
+    delimiter-looking values: ('a', NULL) vs (NULL, 'a') are different
+    partitions, and a value containing an embedded separator must not
+    collapse with a two-part split of itself."""
+    from anomalydetector_spark.operators.snapshot import (
+        changed_partitions,
+        partition_digests,
+    )
+
+    schema = "p1 string, p2 string, url string, text string"
+    old = spark.createDataFrame(
+        [("a", None, "u1", "t1"), (None, "a", "u2", "t2"),
+         ("x\x1fy", "z", "u3", "t3"), ("x", "y\x1fz", "u4", "t4")], schema
+    )
+    da = partition_digests(old, ["p1", "p2"])
+    # 4 DISTINCT partitions — the old concat_ws key collapsed the first
+    # pair (null-skip) and the second pair (unescaped delimiter)
+    assert da.count() == 4
+    # same content in a second snapshot: every partition must match
+    # across the full-outer join (no phantom added/removed rows)
+    got = {r["status"] for r in
+           changed_partitions(da, partition_digests(old, ["p1", "p2"])).collect()}
+    assert got == {"unchanged"}
+    # edit one null-keyed partition's content: only that one flips
+    new = spark.createDataFrame(
+        [("a", None, "u1", "t1-EDIT"), (None, "a", "u2", "t2"),
+         ("x\x1fy", "z", "u3", "t3"), ("x", "y\x1fz", "u4", "t4")], schema
+    )
+    statuses = sorted(
+        r["status"] for r in
+        changed_partitions(da, partition_digests(new, ["p1", "p2"])).collect()
+    )
+    assert statuses == ["changed", "unchanged", "unchanged", "unchanged"]
+
+
+def test_partition_digests_single_col_null_sentinel(spark):
+    from anomalydetector_spark.operators.snapshot import (
+        changed_partitions,
+        partition_digests,
+    )
+
+    schema = "part string, url string, text string"
+    old = spark.createDataFrame([(None, "a", "t1"), ("p1", "b", "t2")], schema)
+    new = spark.createDataFrame([(None, "a", "t1-X"), ("p1", "b", "t2")], schema)
+    got = {r["partition"]: r["status"] for r in changed_partitions(
+        partition_digests(old, "part"), partition_digests(new, "part")
+    ).collect()}
+    # the NULL partition joins across snapshots (sentinel key), is seen
+    # as changed — not as a phantom added+removed pair
+    assert got == {"<NULL>": "changed", "p1": "unchanged"}
+
+
 def test_snapshot_diff_cli_partition_mode(spark, tmp_path, capsys):
     from anomalydetector_spark import cli
 
