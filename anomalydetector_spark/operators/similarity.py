@@ -89,6 +89,31 @@ def _signature(vec_col, planes: np.ndarray):
     return sig
 
 
+def _table_signatures(
+    df: DataFrame,
+    out_id: str,
+    planes_per_table: list[np.ndarray],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, tbl, bucket) — one row per hash table, signatures from each
+    table's own seeded planes."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _signature(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(planes_per_table)
+                ]
+            )
+        ).alias("s"),
+    ).select(out_id, "s.tbl", "s.bucket")
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,27 +123,40 @@ def lsh_bucket_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's hyperplane bucket.
+    """Approximate top-k: rank only within the query's hyperplane buckets.
 
-    One signature pass per side, an equi-join on ``bucket``, then the same
-    windowed top-k as brute force — the crossJoin is gone; work scales
-    with bucket occupancy (corpus/2^n_planes per bucket in expectation).
+    One signature pass per side, an equi-join on ``(tbl, bucket)``, then
+    the same windowed top-k as brute force — the crossJoin is gone; work
+    scales with bucket occupancy (corpus/2^n_planes per bucket per table
+    in expectation).
+
+    ``n_tables`` > 1 is the recall lever (standard multi-table LSH, the
+    same pattern as :func:`embedding_near_duplicates`): L independently
+    seeded tables, candidate sets OR'd. Candidates are distinct'd on the
+    (query, neighbor) id pair BEFORE any dot product, so each survivor
+    costs one cosine no matter how many tables bucket it together;
+    vectors are re-attached by id (query side broadcast; the candidate
+    side is |queries| × bucket-occupancy rows — AQE broadcasts it against
+    the corpus when it fits).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    planes_per_table = [
+        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+    c = _table_signatures(corpus, "neighbor_id", planes_per_table, id_col, vec_col)
+    q = _table_signatures(queries, "query_id", planes_per_table, id_col, vec_col)
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("cosine_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -135,6 +173,23 @@ def lsh_bucket_ann(
 MAX_TRAIN_SAMPLE = 65536
 
 
+def approx_parquet_row_count(spark, path: str) -> int | None:
+    """Free row count from parquet footers (no data scan): sum of
+    per-file ``num_rows`` via pyarrow. Iceberg tables expose the same
+    number in snapshot summary metadata (``total-records``). Returns
+    None when the path isn't readable as a parquet dataset."""
+    try:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(path, format="parquet")
+        return sum(
+            frag.metadata.num_rows
+            for frag in dataset.get_fragments()
+        )
+    except Exception:
+        return None
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -144,20 +199,27 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_train_sample: int = MAX_TRAIN_SAMPLE,
+    approx_count: int | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means over a deterministic hash-sample.
 
     The sample (``hash(id) % sample_mod == 0``) is collected to the driver
     — IVF training data is a bounded subset even at 10^12 vectors: when
-    ``sample_mod`` is None (the default) it is derived from a cheap
-    ``count()`` so at most ``max_train_sample`` vectors reach the driver
+    ``sample_mod`` is None (the default) it is derived from the corpus
+    row count so at most ``max_train_sample`` vectors reach the driver
     (round-1 finding #4: the old default collected the whole corpus).
-    The full corpus is only ever touched by the single assignment pass in
-    :func:`ivf_ann`. Seeded k-means++-style init keeps centroids
-    reproducible run to run.
+    Pass ``approx_count`` — table-metadata row counts are free (parquet
+    footers via :func:`approx_parquet_row_count`; Iceberg snapshot
+    ``total-records``) — to avoid the ``count()`` action entirely: at
+    100 TB that action is a full scan before training even starts, and
+    any estimate within ~2× is fine since it only sizes the sample
+    (round-2 finding #2). ``count()`` remains the fallback when no
+    metadata is supplied. The full corpus is only ever touched by the
+    single assignment pass in :func:`ivf_ann`. Seeded k-means++-style
+    init keeps centroids reproducible run to run.
     """
     if sample_mod is None:
-        n = corpus.count()
+        n = approx_count if approx_count is not None else corpus.count()
         sample_mod = max(1, -(-n // max_train_sample))  # ceil division
     # hard cap even under hash skew — as a deterministic hash-ordered
     # top-k (TakeOrderedAndProject), not a bare limit(): an unordered
@@ -224,6 +286,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the scale path when queries
     are many.
@@ -244,6 +307,7 @@ def ivf_ann(
             seed=seed,
             id_col=id_col,
             vec_col=vec_col,
+            approx_count=approx_count,
         )
     c_assign = _cell_assigner(centroids, nprobe=1)
     q_assign = _cell_assigner(centroids, nprobe=nprobe)
@@ -298,20 +362,7 @@ def embedding_near_duplicates(
     planes_per_table = [
         _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
-    sig = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _signature(F.col(vec_col), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(planes_per_table)
-                ]
-            )
-        ).alias("s"),
-    ).select("_id", "s.tbl", "s.bucket")
+    sig = _table_signatures(corpus, "_id", planes_per_table, id_col, vec_col)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

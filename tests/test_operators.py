@@ -105,6 +105,73 @@ def test_lsh_ann_subset_of_bruteforce(spark):
         assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine_sim)
 
 
+def test_ivf_training_metadata_count_equivalence(spark, tmp_path):
+    """approx_count (e.g. from parquet footers) must size the training
+    sample exactly like the count() fallback — same sample_mod → bit-
+    identical centroids — and approx_parquet_row_count must read the
+    true row count from footers alone."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    data = [(i, rng.standard_normal(8).tolist()) for i in range(150)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "emb")
+    df.write.parquet(path)
+    assert similarity.approx_parquet_row_count(spark, path) == 150
+
+    on_disk = spark.read.parquet(path)
+    c_meta = similarity.train_ivf_centroids(
+        on_disk, n_cells=3, seed=5, approx_count=150
+    )
+    c_count = similarity.train_ivf_centroids(on_disk, n_cells=3, seed=5)
+    np.testing.assert_array_equal(c_meta, c_count)
+    # a 2x-off estimate still trains (sample merely shrinks/grows)
+    c_rough = similarity.train_ivf_centroids(
+        on_disk, n_cells=3, seed=5, approx_count=300
+    )
+    assert c_rough.shape == (3, 8)
+
+
+def test_lsh_ann_multi_table_recall_lever(spark):
+    """n_tables is the recall lever: the OR of L independently seeded
+    tables must recover at least as many true top-k neighbors as one
+    table, and markedly more on random data; all emitted cosines stay
+    exact; with enough tables every query yields exactly k rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    data = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    bf_rows = similarity.cosine_topk_bruteforce(df, q, k=300).collect()
+    bf = {(r.query_id, r.neighbor_id): r.cosine_sim for r in bf_rows}
+    truth = {
+        (r.query_id, r.neighbor_id) for r in bf_rows if r.rank <= 3
+    }
+
+    def hits(n_tables):
+        out = similarity.lsh_bucket_ann(
+            df, q, k=3, n_planes=5, dim=16, n_tables=n_tables
+        ).collect()
+        for r in out:
+            assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(
+                r.cosine_sim
+            )
+        return out, sum(
+            (r.query_id, r.neighbor_id) in truth for r in out
+        )
+
+    one, h1 = hits(1)
+    many, h8 = hits(8)
+    assert h8 >= h1
+    assert h8 >= 0.5 * len(truth)  # 8 tables must recover most of top-3
+    # every query fills its k slots once candidates are plentiful
+    per_q = {}
+    for r in many:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v == 3 for v in per_q.values())
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [
