@@ -587,9 +587,22 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures (FNV-1a inside a pandas UDF → rows-only)."""
+    """SimHash signatures (xxhash64 token hashes folded in one Arrow
+    pass → rows-only; DuckDB has no xxhash64)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_signatures(docs)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 via block-permutation
+    probing (4 disjoint 16-bit blocks — recall GUARANTEED 1.0 by
+    pigeonhole, so the result equals the brute-force all-pairs set;
+    equality is pytest-verified on this very table). Rows-only: the
+    signatures need xxhash64, which DuckDB lacks."""
+    from anomalydetector_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -1148,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,

@@ -265,7 +265,9 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, simhash, prefix16) — prefix bucketing gives cheap Hamming-
     neighborhood candidate generation (near-dups almost always share the
-    16-bit prefix; multi-table probing would extend recall).
+    16-bit prefix; :func:`simhash_near_duplicates` extends this to
+    multi-table block probing with GUARANTEED recall at small Hamming
+    radii).
 
     Token hashing happens inside whole-stage codegen: split → filter
     empties → per-token ``xxhash64`` via a ``transform`` lambda, so the
@@ -281,3 +283,88 @@ def simhash_signatures(
     return df.select(
         F.col(id_col), simhash_fold(token_hashes).alias("simhash")
     ).withColumn("prefix16", F.shiftrightunsigned(F.col("simhash"), 48))
+
+
+def _rotate64(col, r: int):
+    """64-bit rotate-left by ``r`` — pure codegen (two shifts + OR); the
+    arithmetic stays in long, the unsigned right shift keeps sign bits
+    out."""
+    if r % 64 == 0:
+        return col
+    r = r % 64
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    prefix_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs ``(id_a, id_b, hamming)`` with
+    ``hamming ≤ max_hamming``, candidates from multi-table BLOCK
+    probing (the Manku/Jain/Das Sarma WWW'07 scheme): table *t* buckets
+    on the ``prefix_bits``-bit prefix of the signature rotated by
+    ``t · prefix_bits``, i.e. each table keys on a disjoint bit block.
+
+    Recall is GUARANTEED, not probabilistic, when
+    ``max_hamming < n_tables`` and ``n_tables · prefix_bits ≤ 64``
+    (defaults: 4 disjoint 16-bit blocks): d differing bits can touch at
+    most d blocks, so at least one block is identical and the pair
+    collides in that table — unlike the single-prefix variant, whose
+    near-dups differing in the top 16 bits were never candidates
+    (round-2 finding #1).
+
+    Scale shape: signatures are one codegen projection + one Arrow fold
+    (never text); candidates are per-table equi-joins on the bucket key
+    (explode → self-join, id-pair distinct BEFORE verification); the
+    verify is ``bit_count(a ^ b)`` — pure codegen on two longs. Only
+    (id, 8-byte signature) pairs ever shuffle.
+    """
+    if n_tables * prefix_bits > 64:
+        raise ValueError("n_tables * prefix_bits must be <= 64")
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col).select(
+        id_col, "simhash"
+    )
+    buckets = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.shiftrightunsigned(
+                            _rotate64(F.col("simhash"), t * prefix_bits),
+                            64 - prefix_bits,
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "s.tbl", "s.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
