@@ -750,6 +750,77 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return _ann_recall_gate(ann, brute, recall_floor=0.5)
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode, hash-exactly oracled: synth payloads are
+    built from doc_id (even → 8x6 BMP filled with doc_id % 251, odd →
+    64-sample PCM-16 WAV of constant doc_id % 1000), run through the
+    pure-numpy decoders via extract_features' mapInPandas, and the
+    DECODED statistics are emitted — mean raster value / mean sample
+    amplitude recovers the injected constant, so DuckDB predicts every
+    row from doc_id alone. Exercises encode → Arrow batch → sniff →
+    decode → featurize end-to-end (operators/codecs.py +
+    operators/multimodal.py)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from anomalydetector_spark.operators import codecs, multimodal
+
+    from pyspark.sql.types import StringType
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [
+            docs.schema["doc_id"],
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    kinds.append("image")
+                    payloads.append(
+                        codecs.encode_bmp(
+                            np.full((6, 8, 3), did % 251, dtype=np.uint8)
+                        )
+                    )
+                else:
+                    kinds.append("audio")
+                    payloads.append(
+                        codecs.encode_wav(
+                            np.full(64, did % 1000, dtype=np.int16), 16000
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema=schema).select(
+        F.col("doc_id").alias("media_id"), "kind", "payload"
+    )
+    feats = multimodal.extract_features(media, use_stub=False)
+    f = F.col("feature")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "kind",
+        F.round(
+            F.when(
+                F.col("kind") == "image", f[2] * 255.0
+            ).otherwise(f[2] * 32768.0)
+        ).cast("long").alias("decoded_mean"),
+        F.when(
+            F.col("kind") == "image", (f[0] == 6.0) & (f[1] == 8.0)
+        ).otherwise((f[0] == 64.0) & (f[1] == 16000.0)).alias("shape_ok"),
+    )
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1162,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "multimodal_decode": q_multimodal_decode,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1877,6 +1949,14 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   (CASE WHEN doc_id % 2 = 0 THEN doc_id % 251
+                         ELSE doc_id % 1000 END)::BIGINT AS decoded_mean,
+                   TRUE AS shape_ok
+            FROM documents
         """,
         # derived-invariant gates for the seeded/approximate paths: the
         # oracle computes the exact (SQL-expressible) halves and asserts

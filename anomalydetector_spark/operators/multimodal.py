@@ -1,11 +1,15 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata.
 
-The container has no codec libraries, so the decode kernels are stubs —
-either a clearly-marked ``NotImplementedError`` or a deterministic fake —
-but everything Spark-side is real and tested: schemas, ``mapInPandas``
-batch shape, partition sizing, and the metadata contract. Swapping a real
-decoder in changes only the marked function bodies.
+The decode path is REAL for the codec-free formats (pure-numpy BMP /
+PPM / WAV parsers in ``operators/codecs.py``): payloads are sniffed by
+magic bytes, rasters/PCM are decoded and featurized with numpy only.
+Formats that genuinely need a codec library (JPEG/PNG/MP4 — none ships
+in this container) still route to a clearly-marked
+``NotImplementedError`` stub, or to a deterministic fake when
+``use_stub=True`` so the Arrow plumbing stays testable end-to-end.
+Everything Spark-side is real either way: schemas, ``mapInPandas``
+batch shape, partition sizing, and the metadata contract.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anomalydetector_spark.operators import codecs
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
     "width int, height int, duration_ms int"
@@ -28,15 +34,84 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>
 _FEATURE_DIM = 8
 
 
+def _image_features(raster: np.ndarray) -> np.ndarray:
+    """8-dim deterministic image descriptor from a decoded HxWx3 uint8
+    raster: shape, global mean/std, per-channel means, horizontal
+    gradient energy — all /255 except the dims."""
+    h, w = raster.shape[:2]
+    x = raster.astype(np.float64)
+    grad = (
+        np.abs(np.diff(x.mean(axis=2), axis=1)).mean() if w > 1 else 0.0
+    )
+    return np.array(
+        [
+            h,
+            w,
+            x.mean() / 255.0,
+            x.std() / 255.0,
+            x[:, :, 0].mean() / 255.0,
+            x[:, :, 1].mean() / 255.0,
+            x[:, :, 2].mean() / 255.0,
+            grad / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """8-dim deterministic audio descriptor from decoded int16 PCM:
+    length, rate, mean/rms/min/max (in full-scale units), zero-crossing
+    rate, mean absolute first difference."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    if n == 0:
+        x = np.zeros(1)
+        n = 0
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+    return np.array(
+        [
+            n,
+            sample_rate,
+            x.mean() / 32768.0,
+            np.sqrt((x**2).mean()) / 32768.0,
+            x.min() / 32768.0,
+            x.max() / 32768.0,
+            zcr,
+            (np.abs(np.diff(x)).mean() if len(x) > 1 else 0.0) / 32768.0,
+        ],
+        dtype=np.float32,
+    )
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real impl: PIL/With cv2 decode to HxWxC uint8. The container
-    ships no codecs, so this raises; tests use :func:`_fake_decode`."""
-    raise NotImplementedError("image decode requires a codec library")
+    """Decode a codec-free image payload (BMP or PPM) to HxWx3 uint8.
+    Other image formats (JPEG/PNG/...) need a codec library the
+    container doesn't ship — marked stub."""
+    kind = codecs.sniff(payload)
+    if kind == "bmp":
+        return codecs.decode_bmp(payload)
+    if kind == "ppm":
+        return codecs.decode_ppm(payload)
+    raise NotImplementedError(
+        "image decode for this format requires a codec library"
+    )
+
+
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a codec-free audio payload (PCM-16 WAV) to (samples, rate).
+    Compressed audio (MP3/AAC/...) needs a codec library — marked stub."""
+    if codecs.sniff(payload) == "wav":
+        samples, rate, _channels = codecs.decode_wav(payload)
+        return samples, rate
+    raise NotImplementedError(
+        "audio decode for this format requires a codec library"
+    )
 
 
 def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
-    """Deterministic fake decoder: stable pseudo-features from payload
-    bytes — keeps the Arrow plumbing and batch shapes real in tests."""
+    """Deterministic fake decoder for formats without a library-free
+    parser: stable pseudo-features from payload bytes — keeps the Arrow
+    plumbing and batch shapes real in tests."""
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -46,26 +121,37 @@ def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
     ) / 255.0
 
 
+def _featurize(payload: bytes, use_stub: bool) -> np.ndarray:
+    fmt = codecs.sniff(payload)
+    if fmt in ("bmp", "ppm"):
+        return _image_features(_decode_image(payload))
+    if fmt == "wav":
+        return _audio_features(*_decode_audio(payload))
+    if use_stub:
+        return _fake_decode(payload)
+    # route through the format-appropriate stub so the error names the gap
+    raise NotImplementedError(
+        "decode for this format requires a codec library"
+    )
+
+
 def extract_features(
     media: DataFrame, use_stub: bool = True, batch_hint: int = 256
 ) -> DataFrame:
     """Decode + featurize media payloads via ``mapInPandas``.
 
-    Real part: Arrow streaming of binary columns in bounded batches (cap
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of images
-    fits executor memory), per-kind dispatch, typed output schema.
-    Stub part: the decode itself (``use_stub=True`` → deterministic fake;
-    False → NotImplementedError, marking where a codec goes).
+    Arrow streams binary columns in bounded batches (cap
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+    images fits executor memory); payloads are dispatched by magic
+    bytes: BMP/PPM → real raster decode + image descriptor, WAV → real
+    PCM decode + audio descriptor, anything else → deterministic fake
+    (``use_stub=True``) or ``NotImplementedError`` marking where a codec
+    library goes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if use_stub:
-                    feats.append(_fake_decode(payload))
-                else:
-                    feats.append(_decode_image(payload))
+            feats = [_featurize(p, use_stub) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -89,14 +175,26 @@ RESIZED_SCHEMA = (
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — real impl: decode, resample to (width, height), re-encode.
-    No codecs in this container; tests use the deterministic fake below."""
-    raise NotImplementedError("image resize requires a codec library")
+    """REAL for BMP/PPM: decode → nearest-neighbor resample (pure numpy
+    indexing) → re-encode in the same format. Codec formats still raise."""
+    fmt = codecs.sniff(payload)
+    if fmt == "bmp":
+        return codecs.encode_bmp(
+            codecs.resize_nearest(codecs.decode_bmp(payload), width, height)
+        )
+    if fmt == "ppm":
+        return codecs.encode_ppm(
+            codecs.resize_nearest(codecs.decode_ppm(payload), width, height)
+        )
+    raise NotImplementedError(
+        "image resize for this format requires a codec library"
+    )
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic fake: length-scaled byte payload (area ratio), so
-    batch shapes and size accounting behave like a real resample."""
+    """Deterministic fake for non-parseable payloads: length-scaled byte
+    payload (area ratio), so batch shapes and size accounting behave
+    like a real resample."""
     if payload is None:
         return b""
     target = max(1, int(len(payload) * min(1.0, (width * height) / (64 * 48))))
@@ -109,15 +207,23 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads via ``mapInPandas`` (same Arrow-batch contract
     as :func:`extract_features`); non-image rows pass through unchanged.
+    Parseable payloads (BMP/PPM) are ALWAYS really resampled; unknown
+    formats use the fake when ``use_stub=True`` and raise otherwise.
     Output schema equals the input media schema with updated dimensions."""
+
+    def one(p, w, h):
+        if codecs.sniff(p) in ("bmp", "ppm"):
+            return _resize_image(p, w, h)
+        if use_stub:
+            return _fake_resize(p, w, h)
+        return _resize_image(p, w, h)  # raises the marked stub error
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             is_img = out["kind"] == "image"
-            fn = _fake_resize if use_stub else _resize_image
             out.loc[is_img, "payload"] = [
-                fn(p, width, height) for p in out.loc[is_img, "payload"]
+                one(p, width, height) for p in out.loc[is_img, "payload"]
             ]
             out.loc[is_img, "width"] = width
             out.loc[is_img, "height"] = height
@@ -133,8 +239,8 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
     derived from metadata — the pure-Spark half of frame extraction (the
-    decode of each frame is the stubbed kernel above). ``sequence`` keeps
-    the expansion JVM-side."""
+    per-frame decode needs a video codec — the marked stub above).
+    ``sequence`` keeps the expansion JVM-side."""
     return (
         media.filter(F.col("kind") == "video")
         .select(
@@ -151,23 +257,62 @@ def frame_sample_plan(
 
 
 def synth_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes derived
-    from the id, metadata consistent with kind."""
-    df = spark.range(n)
-    kind = (
-        F.when(F.pmod("id", F.lit(3)) == 0, "image")
-        .when(F.pmod("id", F.lit(3)) == 1, "audio")
-        .otherwise("video")
+    """Deterministic media table for tests: image rows carry REAL BMP
+    payloads (8x6 raster filled with ``media_id % 251``), audio rows
+    REAL PCM-16 WAV payloads (64 samples of constant ``media_id %
+    1000``), video rows an opaque byte string (no library-free video
+    format exists — that decode stays a marked stub). Payload bytes are
+    built in one Arrow batch via mapInPandas; metadata is consistent
+    with kind."""
+    from pyspark.sql.types import (
+        BinaryType, StructField, StructType
     )
-    return df.select(
+
+    base = spark.range(n).select(
         F.col("id").alias("media_id"),
-        kind.alias("kind"),
-        F.encode(
-            F.repeat(F.concat(F.lit("payload-"), F.col("id").cast("string")), 8),
-            "UTF-8",
-        ).alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(64).alias("width"),
-        F.lit(48).alias("height"),
-        (F.pmod("id", F.lit(5)) * 1000 + 1000).cast("int").alias("duration_ms"),
+        (
+            F.when(F.pmod("id", F.lit(3)) == 0, "image")
+            .when(F.pmod("id", F.lit(3)) == 1, "audio")
+            .otherwise("video")
+        ).alias("kind"),
+    )
+
+    schema = StructType(
+        [
+            base.schema["media_id"],
+            base.schema["kind"],
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+                if kind == "image":
+                    raster = np.full((6, 8, 3), int(mid) % 251, dtype=np.uint8)
+                    payloads.append(codecs.encode_bmp(raster))
+                elif kind == "audio":
+                    pcm = np.full(64, int(mid) % 1000, dtype=np.int16)
+                    payloads.append(codecs.encode_wav(pcm, sample_rate=16000))
+                else:
+                    payloads.append(
+                        (f"payload-{int(mid)}" * 8).encode("utf-8")
+                    )
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    with_payload = base.mapInPandas(build, schema=schema)
+    return with_payload.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.when(F.col("kind") == "image", "image/bmp")
+        .when(F.col("kind") == "audio", "audio/wav")
+        .otherwise("application/octet-stream")
+        .alias("mime"),
+        F.when(F.col("kind") == "image", 8).otherwise(64).cast("int").alias("width"),
+        F.when(F.col("kind") == "image", 6).otherwise(48).cast("int").alias("height"),
+        (F.pmod("media_id", F.lit(5)) * 1000 + 1000).cast("int").alias("duration_ms"),
     )

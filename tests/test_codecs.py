@@ -1,0 +1,129 @@
+"""Pure-numpy codecs (BMP/PPM/WAV) and the real multimodal decode path:
+round-trips on random rasters/PCM, padding edge cases, malformed-input
+errors, and feature extraction over real bytes end-to-end in Spark."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomalydetector_spark.operators import codecs, multimodal
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (6, 8), (7, 5), (13, 3), (2, 17)])
+def test_bmp_roundtrip_random(shape):
+    """Row padding only vanishes when width*3 % 4 == 0 — odd widths
+    exercise the pad path."""
+    rng = np.random.default_rng(sum(shape))
+    raster = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    payload = codecs.encode_bmp(raster)
+    assert payload[:2] == b"BM"
+    np.testing.assert_array_equal(codecs.decode_bmp(payload), raster)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (6, 8), (9, 7)])
+def test_ppm_roundtrip_random(shape):
+    rng = np.random.default_rng(sum(shape) + 1)
+    raster = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    payload = codecs.encode_ppm(raster)
+    assert payload[:2] == b"P6"
+    np.testing.assert_array_equal(codecs.decode_ppm(payload), raster)
+
+
+def test_ppm_header_with_comments():
+    raster = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    body = codecs.encode_ppm(raster)
+    commented = b"P6\n# a comment\n3 2\n# another\n255\n" + body.split(b"\n", 3)[3]
+    np.testing.assert_array_equal(codecs.decode_ppm(commented), raster)
+
+
+@pytest.mark.parametrize("n,rate,channels", [(64, 16000, 1), (333, 8000, 1), (128, 44100, 2)])
+def test_wav_roundtrip_random(n, rate, channels):
+    rng = np.random.default_rng(n)
+    pcm = rng.integers(-32768, 32767, size=n * channels, dtype=np.int16)
+    payload = codecs.encode_wav(pcm, sample_rate=rate, channels=channels)
+    samples, got_rate, got_ch = codecs.decode_wav(payload)
+    assert (got_rate, got_ch) == (rate, channels)
+    np.testing.assert_array_equal(samples, pcm)
+
+
+def test_wav_decoder_skips_extra_chunks():
+    pcm = np.array([1, -2, 3], dtype=np.int16)
+    payload = codecs.encode_wav(pcm, 16000)
+    # splice a LIST chunk between fmt and data (odd size → word padding)
+    import struct
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    samples, rate, _ = codecs.decode_wav(spliced)
+    np.testing.assert_array_equal(samples, pcm)
+    assert rate == 16000
+
+
+def test_malformed_inputs_raise():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"NOTABMP")
+    with pytest.raises(ValueError):
+        codecs.decode_ppm(b"P5\n1 1\n255\nx")  # P5 is grayscale, unsupported
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxJUNK")
+    # truncated raster
+    raster = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(codecs.encode_bmp(raster)[:-8])
+    assert codecs.sniff(b"\x89PNG") == "unknown"
+
+
+def test_resize_nearest_identity_and_constant():
+    rng = np.random.default_rng(4)
+    raster = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.resize_nearest(raster, 8, 6), raster
+    )
+    up = codecs.resize_nearest(raster, 16, 12)
+    assert up.shape == (12, 16, 3)
+    # 2x nearest-neighbor upsample = pixel duplication
+    np.testing.assert_array_equal(up[::2, ::2], raster)
+
+
+def test_extract_features_real_bytes(spark):
+    """End-to-end: REAL BMP and WAV payloads through mapInPandas, image
+    features reflect the decoded raster (constant fill → exact mean),
+    audio features the decoded PCM (constant amplitude → exact rms)."""
+    med = multimodal.synth_media(spark, 12)
+    out = {r.media_id: r for r in multimodal.extract_features(med).collect()}
+    for mid, r in out.items():
+        f = r.feature
+        if r.kind == "image":
+            assert f[0] == 6 and f[1] == 8  # height, width
+            assert f[2] == pytest.approx((mid % 251) / 255.0, abs=1e-6)
+            assert f[3] == pytest.approx(0.0, abs=1e-6)  # constant → std 0
+        elif r.kind == "audio":
+            assert f[0] == 64 and f[1] == 16000  # n_samples, rate
+            assert f[3] == pytest.approx((mid % 1000) / 32768.0, abs=1e-6)
+    # un-stubbed: parseable payloads decode fine; only video (no
+    # library-free format) raises the marked stub error
+    real_only = med.filter("kind <> 'video'")
+    assert multimodal.extract_features(real_only, use_stub=False).count() == 8
+    with pytest.raises(Exception, match="codec"):
+        multimodal.extract_features(
+            med.filter("kind = 'video'"), use_stub=False
+        ).collect()
+
+
+def test_extract_features_mixed_formats(spark):
+    """PPM payloads decode through the same dispatch as BMP."""
+    raster = np.full((3, 4, 3), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "image"],
+                "payload": [codecs.encode_ppm(raster), codecs.encode_bmp(raster)],
+            }
+        )
+    )
+    rows = {r.media_id: r.feature for r in
+            multimodal.extract_features(df, use_stub=False).collect()}
+    # same raster → identical features regardless of container format
+    assert rows[1] == rows[2]
+    assert rows[1][0] == 3 and rows[1][1] == 4

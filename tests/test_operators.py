@@ -408,20 +408,49 @@ def test_ivf_centroids_deterministic(spark):
 
 
 def test_multimodal_resize(spark):
+    """Image payloads are REAL BMPs now: the resize decodes, resamples
+    nearest-neighbor and re-encodes — verify by decoding the output."""
+    from anomalydetector_spark.operators import codecs
+
     med = multimodal.synth_media(spark, 12)
     out = {r.media_id: r for r in multimodal.resize_images(med, 32, 24).collect()}
     orig = {r.media_id: r for r in med.collect()}
     for mid, r in out.items():
         if r.kind == "image":
             assert (r.width, r.height) == (32, 24)
-            assert len(r.payload) < len(orig[mid].payload)
+            raster = codecs.decode_bmp(bytes(r.payload))
+            assert raster.shape == (24, 32, 3)
+            # synth images are constant fills — resampling preserves it
+            assert (raster == mid % 251).all()
         else:
             assert r.payload == bytes(orig[mid].payload)
             assert r.width == orig[mid].width
-    # un-stubbed path marks where a real codec goes
+    # BMP images really resize even un-stubbed (no codec needed)
+    n_img = (
+        multimodal.resize_images(med, use_stub=False)
+        .filter("kind='image'")
+        .count()
+    )
+    assert n_img == 4
+    # a non-parseable image payload still marks where a codec goes
+    import pandas as pd
     import pytest as _pt
-    with _pt.raises(Exception):
-        multimodal.resize_images(med, use_stub=False).filter("kind='image'").collect()
+
+    fake = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "payload": [b"\x89PNG fake"],
+                "mime": ["image/png"],
+                "width": [8],
+                "height": [6],
+                "duration_ms": [0],
+            }
+        )
+    )
+    with _pt.raises(Exception, match="codec"):
+        multimodal.resize_images(fake, use_stub=False).collect()
 
 
 def test_heavy_hitters_and_skew_report(spark):
