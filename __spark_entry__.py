@@ -750,6 +750,33 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return _ann_recall_gate(ann, brute, recall_floor=0.5)
 
 
+def q_srcnn_train_windows(spark, sf_dir):
+    """SR-CNN training-window generation (Spark port of reference
+    srcnn/generate_data.py:41-77 — normalize, seeded anomaly injection,
+    stateful control counter): one stream of [data, labels] windows per
+    user series. Rows-only (seeded RNG draws aren't SQL); bit-exact
+    parity with the imported reference generator is pytest-guarded in
+    tests/test_srcnn_gen.py."""
+    from anomalydetector_spark.operators.srcnn_features import (
+        generate_training_windows,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    out = generate_training_windows(
+        ev, window=32, step=16, num=4, seed=1
+    )
+    return out.select(
+        "series_id", "window_id",
+        F.size("data").alias("width"),
+        _r6(F.aggregate("data", F.lit(0.0), lambda a, x: a + x)).alias("data_sum"),
+        F.aggregate(
+            "labels", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_anomalies"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode, hash-exactly oracled: synth payloads are
     built from doc_id (even → 8x6 BMP filled with doc_id % 251, odd →
@@ -1234,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "multimodal_decode": q_multimodal_decode,
+        "srcnn_train_windows": q_srcnn_train_windows,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,

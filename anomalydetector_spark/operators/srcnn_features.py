@@ -183,3 +183,155 @@ def sliding_sr_features(
         .groupBy(series_key)
         .applyInPandas(run, schema)
     )
+
+
+# --------------------------------------------------------------------------
+# SR-CNN training-window generation (reference srcnn/generate_data.py:41-77)
+# --------------------------------------------------------------------------
+
+TRAIN_WINDOW_SCHEMA = (
+    "series_id string, window_id int, data array<double>, labels array<int>"
+)
+
+
+def generate_train_windows_np(
+    values,
+    win_siz: int = 128,
+    step: int = 64,
+    nums: int = 10,
+    seed: int = 54321,
+    back_k: int = 0,
+):
+    """Literal port of the reference training-data generator
+    (srcnn/generate_data.py:41-77 ``gen.generate_train_data``): slide a
+    ``win_siz`` window by ``step``, normalize ``3(a-min)/(max-min+1e-5)``,
+    inject 1..nums-1 synthetic anomalies at random positions scaled by
+    ``(trailing_avg + mean) · randn · min(1+var, 10)``, carrying the
+    reference's stateful ``control`` counter that periodically forces an
+    anomaly at position ``win_siz - 6``.
+
+    Uses ``np.random.RandomState(seed)`` — the SAME stream the reference
+    consumes after ``np.random.seed(seed)`` (generate_data.py:109), so a
+    single-series run reproduces the reference bit-for-bit (parity test
+    in tests/test_srcnn_gen.py). Returns a list of
+    ``[data: list[float], labels: list[int]]`` pairs, the reference's
+    JSON window format.
+    """
+    from anomalydetector_spark.kernel.filters import average_filter
+
+    rng = np.random.RandomState(seed)
+    values = list(values)
+    back = back_k if back_k <= 5 else 5
+    length = len(values)
+    control = 0.0
+    out = []
+    for pt in range(win_siz, length - back, step):
+        head = max(0, pt - win_siz)
+        tail = min(length - back, pt)
+        data = np.array(values[head:tail], dtype=np.float64)
+        amin, amax = np.min(data), np.max(data)
+        data = 3 * ((data - amin) / (amax - amin + 1e-5))
+        num = rng.randint(1, nums)
+        ids = rng.choice(win_siz, num, replace=False)
+        lbs = np.zeros(win_siz, dtype=np.int64)
+        if (win_siz - 6) not in ids:
+            control += rng.random()
+        else:
+            control = 0
+        if control > 100:
+            ids[0] = win_siz - 6
+            control = 0
+        mean = np.mean(data)
+        dataavg = average_filter(data)
+        var = np.var(data)
+        for anomaly_id in ids:
+            data[anomaly_id] += (
+                (dataavg[anomaly_id] + mean)
+                * rng.randn()
+                * min((1 + var), 10)
+            )
+            lbs[anomaly_id] = 1
+        out.append([data.tolist(), lbs.tolist()])
+    return out
+
+
+def generate_training_windows(
+    df: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 128,
+    step: int = 64,
+    num: int = 10,
+    seed: int = 54321,
+    back_k: int = 0,
+    reseed_per_series: bool = True,
+) -> DataFrame:
+    """Distributed SR-CNN training-data generation: every series becomes
+    its own stream of ``[normalized window, injected labels]`` pairs via
+    one ``applyInPandas`` group (the generator's ``control`` state and
+    RNG draws are inherently sequential WITHIN a series; parallelism is
+    across series — the reference instead loops files through one global
+    RNG, a sequential-only design).
+
+    ``reseed_per_series=True`` derives a stable per-series seed
+    (xxhash-style fold of the series id onto ``seed``) so different
+    series get independent anomaly placements; with ``False`` every
+    series consumes the exact reference stream for ``seed``, which is
+    what the single-series parity test uses. Series shorter than
+    ``window`` produce no rows (generate_data.py:122-124 skips them).
+
+    Output: ``(series_id, window_id, data array<double>,
+    labels array<int>)`` — feed :func:`write_reference_train_json` to get
+    the reference's JSON file format, or ``df.write.parquet`` at scale.
+    """
+    import zlib
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        sid = str(pdf[series_col].iloc[0])
+        if reseed_per_series:
+            s = (seed + zlib.crc32(sid.encode("utf-8"))) % (2**32)
+        else:
+            s = seed
+        wins = generate_train_windows_np(
+            pdf[value_col].to_numpy(),
+            win_siz=window,
+            step=step,
+            nums=num,
+            seed=s,
+            back_k=back_k,
+        )
+        # explicit object dtype: a zero-window series would otherwise
+        # produce empty float64 columns Arrow can't map to list<double>
+        return pd.DataFrame(
+            {
+                "series_id": pd.Series([sid] * len(wins), dtype="object"),
+                "window_id": np.arange(len(wins), dtype=np.int32),
+                "data": pd.Series([w[0] for w in wins], dtype="object"),
+                "labels": pd.Series([w[1] for w in wins], dtype="object"),
+            }
+        )
+
+    return (
+        df.select(series_col, ts_col, value_col)
+        .groupBy(series_col)
+        .applyInPandas(run, TRAIN_WINDOW_SCHEMA)
+    )
+
+
+def write_reference_train_json(windows: DataFrame, path: str) -> int:
+    """Write windows in the reference's single-JSON-array format
+    (generate_data.py:132-134: ``[[data, labels], ...]``) — the format
+    :func:`anomalydetector_spark.sources.harness.read_json_windows`
+    reads back. Collects to the driver: the reference format IS one
+    json.dump'd array, so this sink is for parity/fixture-sized data;
+    at scale write the windows DataFrame as parquet/JSON-lines instead.
+    Returns the number of windows written."""
+    import json
+
+    rows = windows.orderBy("series_id", "window_id").collect()
+    payload = [[list(r["data"]), list(r["labels"])] for r in rows]
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return len(payload)
