@@ -369,6 +369,80 @@ def q_threshold_sweep_adjusted(spark, sf_dir):
     )
 
 
+def q_guided_threshold_sweep(spark, sf_dir):
+    """Yahoo guided-threshold protocol (evalue.py:129-162): sweep 20
+    thresholds scoring against a TEACHER detector's predictions
+    (value > 280) as pseudo-labels with the segment-adjusted metric,
+    then report the confusion vs the real labels at the guided argmax
+    (operators/evaluate.guided_threshold_sweep)."""
+    from anomalydetector_spark.operators.evaluate import guided_threshold_sweep
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_SWEEP_LABEL).cast("int").alias("label"),
+        (F.col("value") > 280.0).cast("int").alias("guide"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    out = guided_threshold_sweep(
+        ev, n_thresholds=20, scale=0.05,
+        order_by=["ts", "event_id"], partition_by="user_id", delay=7,
+    )
+    return out.select(
+        _r6("guided_threshold").alias("guided_threshold"),
+        "tp", "fp", "fn", "tn",
+        _r6("precision").alias("precision"),
+        _r6("recall").alias("recall"),
+        _r6("f1").alias("f1"),
+    )
+
+
+def q_per_series_best_threshold(spark, sf_dir):
+    """Per-series best-threshold sweep (the reference's per-file saved-
+    score protocol): each user series gets its own segment-adjusted
+    argmax-F1 threshold, strict > scan → lowest threshold on ties
+    (operators/evaluate.per_series_best_threshold)."""
+    from anomalydetector_spark.operators.evaluate import (
+        per_series_best_threshold,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_SWEEP_LABEL).cast("int").alias("label"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    out = per_series_best_threshold(
+        ev, series_col="user_id", n_thresholds=20, scale=0.05,
+        order_by=["ts", "event_id"], delay=7,
+    )
+    return out.select(
+        "user_id", _r6("best_threshold").alias("best_threshold"),
+        "tp", "fp", "fn", _r6("f1").alias("f1"),
+    )
+
+
+def q_bi_adjusted(spark, sf_dir):
+    """Bidirectional tolerance adjustment (competition_metric.py:102-121
+    bi_get_range_proba) over per-user event series, aggregated to
+    per-user adjusted-detection counts. Rows-only: the rule's sequential
+    window overwrites aren't SQL; kernel parity vs the imported
+    reference function is pytest-guarded (test_evaluate_ops)."""
+    from anomalydetector_spark.operators.evaluate import bi_adjust_predictions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_SWEEP_LABEL).cast("int").alias("label"),
+        (F.col("value") > 300.0).cast("int").alias("pred"),
+    )
+    adj = bi_adjust_predictions(
+        ev, series_col="user_id", order_by=["ts", "event_id"],
+        left=3, right=5,
+    )
+    return adj.groupBy("user_id").agg(
+        F.sum("pred").alias("n_det_adj"),
+        F.sum(F.col("pred") * F.col("label")).alias("n_tp"),
+    )
+
+
 def q_gap_adjusted(spark, sf_dir):
     """W15 — gap-as-anomaly post-rule (srcnn/utils.py:302-311) over the
     irregular events series: per user, points after a larger-than-minimum
@@ -1252,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_by_series": q_f1_by_series,
         "f1_variance": q_f1_variance,
         "threshold_sweep_adjusted": q_threshold_sweep_adjusted,
+        "guided_threshold_sweep": q_guided_threshold_sweep,
+        "per_series_best_threshold": q_per_series_best_threshold,
+        "bi_adjusted": q_bi_adjusted,
         "gap_adjusted": q_gap_adjusted,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1795,6 +1872,133 @@ def oracle_sql() -> dict[str, str]:
                               THEN 2.0 * sum(adj_pred * label) /
                          (2.0 * sum(adj_pred * label) + sum(adj_pred * (1 - label)) + sum((1 - adj_pred) * label)) ELSE 0.0 END, 6) AS f1
             FROM adj GROUP BY threshold
+        """,
+        "guided_threshold_sweep": f"""
+            WITH th AS (SELECT i / 20.0 AS threshold FROM range(1, 21) t(i)),
+            base AS (
+              SELECT th.threshold, user_id, ts, event_id,
+                     CASE WHEN {sweep_label} THEN 1 ELSE 0 END AS label,
+                     CASE WHEN value > 280.0 THEN 1 ELSE 0 END AS guide,
+                     CASE WHEN value / 500.0 > th.threshold THEN 1 ELSE 0 END AS pred
+              FROM events CROSS JOIN th),
+            chg1 AS (
+              SELECT *, CASE WHEN lag(guide) OVER w IS NULL
+                             OR guide <> lag(guide) OVER w THEN 1 ELSE 0 END AS is_chg
+              FROM base
+              WINDOW w AS (PARTITION BY threshold, user_id ORDER BY ts, event_id)),
+            seg1 AS (
+              SELECT *, sum(is_chg) OVER (PARTITION BY threshold, user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM chg1),
+            rn1 AS (
+              SELECT *, row_number() OVER (PARTITION BY threshold, user_id, seg_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM seg1),
+            det1 AS (
+              SELECT *, max(CASE WHEN rn <= 8 AND pred = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY threshold, user_id, seg_id) AS detected
+              FROM rn1),
+            adj1 AS (
+              SELECT threshold, guide,
+                     CASE WHEN guide = 1 THEN detected ELSE pred END AS adj
+              FROM det1),
+            sw AS (
+              SELECT threshold,
+                     CASE WHEN 2.0 * sum(adj * guide) + sum(adj * (1 - guide)) + sum((1 - adj) * guide) > 0
+                          THEN 2.0 * sum(adj * guide) /
+                               (2.0 * sum(adj * guide) + sum(adj * (1 - guide)) + sum((1 - adj) * guide))
+                          ELSE 0.0 END AS f1
+              FROM adj1 GROUP BY threshold),
+            best AS (SELECT threshold FROM sw ORDER BY f1 DESC, threshold LIMIT 1),
+            b2 AS (SELECT base.* FROM base JOIN best USING (threshold)),
+            chg2 AS (
+              SELECT *, CASE WHEN lag(label) OVER w IS NULL
+                             OR label <> lag(label) OVER w THEN 1 ELSE 0 END AS is_chg
+              FROM b2
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg2 AS (
+              SELECT *, sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM chg2),
+            rn2 AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id, seg_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM seg2),
+            det2 AS (
+              SELECT *, max(CASE WHEN rn <= 8 AND pred = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id, seg_id) AS detected
+              FROM rn2),
+            adj2 AS (
+              SELECT threshold, label,
+                     CASE WHEN label = 1 THEN detected ELSE pred END AS adj
+              FROM det2),
+            counts AS (
+              SELECT threshold,
+                     sum(adj * label)::BIGINT AS tp,
+                     sum(adj * (1 - label))::BIGINT AS fp,
+                     sum((1 - adj) * label)::BIGINT AS fn,
+                     sum((1 - adj) * (1 - label))::BIGINT AS tn
+              FROM adj2 GROUP BY threshold)
+            SELECT round(threshold, 6) AS guided_threshold, tp, fp, fn, tn,
+                   round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END, 6) AS precision,
+                   round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+                              + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END) > 0
+                         THEN 2.0 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+                                  * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END)
+                              / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+                               + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM counts
+        """,
+        "per_series_best_threshold": f"""
+            WITH th AS (SELECT i / 20.0 AS threshold FROM range(1, 21) t(i)),
+            base AS (
+              SELECT th.threshold, user_id, ts, event_id,
+                     CASE WHEN {sweep_label} THEN 1 ELSE 0 END AS label,
+                     CASE WHEN value / 500.0 > th.threshold THEN 1 ELSE 0 END AS pred
+              FROM events CROSS JOIN th),
+            chg AS (
+              SELECT *, CASE WHEN lag(label) OVER w IS NULL
+                             OR label <> lag(label) OVER w THEN 1 ELSE 0 END AS is_chg
+              FROM base
+              WINDOW w AS (PARTITION BY threshold, user_id ORDER BY ts, event_id)),
+            seg AS (
+              SELECT *, sum(is_chg) OVER (PARTITION BY threshold, user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM chg),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY threshold, user_id, seg_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM seg),
+            det AS (
+              SELECT *, max(CASE WHEN rn <= 8 AND pred = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY threshold, user_id, seg_id) AS detected
+              FROM rn),
+            adj AS (
+              SELECT user_id, threshold, label,
+                     CASE WHEN label = 1 THEN detected ELSE pred END AS adj
+              FROM det),
+            agg AS (
+              SELECT user_id, threshold,
+                     sum(adj * label)::BIGINT AS tp,
+                     sum(adj * (1 - label))::BIGINT AS fp,
+                     sum((1 - adj) * label)::BIGINT AS fn
+              FROM adj GROUP BY 1, 2),
+            scoredf AS (
+              SELECT *, CASE WHEN 2.0 * tp + fp + fn > 0
+                             THEN 2.0 * tp / (2.0 * tp + fp + fn)
+                             ELSE 0.0 END AS f1
+              FROM agg),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY f1 DESC, threshold) AS rk
+              FROM scoredf)
+            SELECT user_id, round(threshold, 6) AS best_threshold,
+                   tp, fp, fn, round(f1, 6) AS f1
+            FROM ranked WHERE rk = 1
         """,
         "gap_adjusted": """
             WITH RECURSIVE base AS (

@@ -319,6 +319,201 @@ def best_threshold(
     return sweep.orderBy(F.col("f1").desc_nulls_last(), "threshold").limit(1)
 
 
+def guided_threshold_sweep(
+    df: DataFrame,
+    score_col: str = "score",
+    guide_col: str = "guide",
+    label_col: str = "label",
+    n_thresholds: int = 98,
+    scale: float = 0.01,
+    order_by: list[str] | None = None,
+    partition_by: str | None = None,
+    delay: int = 3,
+    adjust: bool = True,
+) -> DataFrame:
+    """The Yahoo "guided threshold" protocol (srcnn/evalue.py:129-162):
+    sweep thresholds scoring the detector's thresholded predictions
+    against ANOTHER detector's binary predictions as pseudo-labels (the
+    SR teacher in the reference, ``guide_col`` here) with the same
+    segment-adjusted metric as the main sweep, take the argmax (strict
+    ``>`` scan → lowest threshold wins ties, evalue.py:151-153), then
+    report the confusion/F1 against the REAL ``label_col`` at that
+    guided threshold (evalue.py:154-161).
+
+    Returns one row: ``guided_threshold, tp, fp, fn, tn, precision,
+    recall, f1``. Cost = one more crossJoin+groupBy over the sweep
+    machinery; the guided best is a 1-row broadcast.
+    """
+    guided = best_threshold(
+        df, score_col, guide_col, n_thresholds, scale,
+        adjust=adjust, order_by=order_by, partition_by=partition_by,
+        delay=delay,
+    ).select(F.col("threshold").alias("guided_threshold"))
+    scored = df.crossJoin(F.broadcast(guided)).withColumn(
+        "_pred",
+        (F.col(score_col) > F.col("guided_threshold")).cast("int"),
+    )
+    if adjust:
+        part = ["guided_threshold"] + ([partition_by] if partition_by else [])
+        scored = segment_adjust_predictions(
+            scored, label_col, "_pred", order_by, part, delay
+        )
+        pred = F.col("adj_pred")
+    else:
+        pred = F.col("_pred")
+    lab = F.col(label_col)
+    agg = scored.groupBy("guided_threshold").agg(
+        F.sum(pred * lab).alias("tp"),
+        F.sum(pred * (1 - lab)).alias("fp"),
+        F.sum((1 - pred) * lab).alias("fn"),
+        F.sum((1 - pred) * (1 - lab)).alias("tn"),
+    )
+
+    def _safe(num, den):
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    p = _safe(F.col("tp"), F.col("tp") + F.col("fp"))
+    r = _safe(F.col("tp"), F.col("tp") + F.col("fn"))
+    return agg.select(
+        "guided_threshold", "tp", "fp", "fn", "tn",
+        p.alias("precision"), r.alias("recall"),
+        _safe(2 * p * r, p + r).alias("f1"),
+    )
+
+
+def per_series_best_threshold(
+    df: DataFrame,
+    series_col: str = "series_id",
+    score_col: str = "score",
+    label_col: str = "label",
+    n_thresholds: int = 98,
+    scale: float = 0.01,
+    order_by: list[str] | None = None,
+    delay: int = 7,
+    adjust: bool = True,
+) -> DataFrame:
+    """Per-SERIES best-threshold sweep: each series gets its own argmax-F1
+    threshold (segment-adjusted like the reference sweep; strict ``>``
+    scan → lowest threshold on ties), the per-file analog of the
+    reference's global sweep — the protocol behind its per-file saved
+    scores (evalue.py saves per-file score arrays precisely so
+    thresholds can be re-chosen per file).
+
+    Returns ``(series, best_threshold, tp, fp, fn, f1)`` — one row per
+    series. Shape: one crossJoin with the literal threshold frame, one
+    groupBy(series, threshold), one per-series argmax window — all
+    JVM-side.
+    """
+    order_by = order_by or ["ts"]
+    spark = df.sparkSession
+    th = spark.range(1, n_thresholds + 1).select(
+        (F.col("id") * scale).alias("threshold")
+    )
+    scored = df.crossJoin(F.broadcast(th)).withColumn(
+        "_pred", (F.col(score_col) > F.col("threshold")).cast("int")
+    )
+    if adjust:
+        scored = segment_adjust_predictions(
+            scored, label_col, "_pred", order_by,
+            ["threshold", series_col], delay,
+        )
+        pred = F.col("adj_pred")
+    else:
+        pred = F.col("_pred")
+    lab = F.col(label_col)
+    agg = scored.groupBy(series_col, "threshold").agg(
+        F.sum(pred * lab).alias("tp"),
+        F.sum(pred * (1 - lab)).alias("fp"),
+        F.sum((1 - pred) * lab).alias("fn"),
+    )
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    f1 = F.when(denom > 0, 2 * F.col("tp") / denom).otherwise(F.lit(0.0))
+    ranked = agg.withColumn("f1", f1).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(series_col).orderBy(
+                F.col("f1").desc(), F.col("threshold")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("_rk") == 1)
+        .select(
+            series_col,
+            F.col("threshold").alias("best_threshold"),
+            "tp", "fp", "fn", "f1",
+        )
+    )
+
+
+def bi_range_adjust_np(predict, label, left: int, right: int):
+    """Literal numpy port of the reference's BIDIRECTIONAL tolerance
+    adjustment ``bi_get_range_proba`` (competition_metric.py:102-121):
+    walking label rises left→right, a segment whose window
+    ``[rise-left, rise+right]`` contains any ORIGINAL positive
+    prediction is fully credited (run → 1, window cells copied from the
+    labels — erasing stray predictions near the boundary); an undetected
+    segment is fully zeroed. Sequential by construction (later windows
+    overwrite earlier writes), so the distributed operator runs it per
+    series inside one Arrow batch."""
+    import numpy as np
+
+    predict = list(predict)
+    label = list(label)
+    i = 1
+    rs = predict[:]
+    while i < len(label):
+        if label[i] == 1 and label[i - 1] == 0:
+            start = max(0, i - left)
+            end = min(i + right + 1, len(label))
+            if 1 in predict[start:end]:
+                j = i
+                while j < len(label) and label[j] == 1:
+                    rs[j] = 1
+                    j += 1
+                i = j
+                rs[start:end] = label[start:end]
+            else:
+                j = i
+                while j < len(label) and label[j] == 1:
+                    rs[j] = 0
+                    j += 1
+                i = j
+        i += 1
+    return np.asarray(rs, dtype=np.int64)
+
+
+def bi_adjust_predictions(
+    df: DataFrame,
+    series_col: str = "series_id",
+    label_col: str = "label",
+    pred_col: str = "pred",
+    order_by: list[str] | None = None,
+    left: int = 7,
+    right: int = 7,
+) -> DataFrame:
+    """Distributed ``bi_get_range_proba``: one ``applyInPandas`` group
+    per series (the rule's window overwrites are order-dependent within
+    a series — same shape as the W15 gap rule), predictions replaced by
+    the bidirectionally-adjusted values plus ``bi_adj`` alias column.
+    Output = input columns with ``pred_col`` adjusted."""
+    import pandas as pd
+
+    order_by = order_by or ["ts"]
+    schema = df.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        out = pdf.copy()
+        adj = bi_range_adjust_np(
+            pdf[pred_col].to_numpy(), pdf[label_col].to_numpy(), left, right
+        )
+        out[pred_col] = adj.astype(pdf[pred_col].dtype)
+        return out
+
+    return df.groupBy(series_col).applyInPandas(run, schema)
+
+
 def dense_label_grid(
     df: DataFrame,
     ts_col: str = "ts",

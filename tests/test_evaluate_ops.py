@@ -348,3 +348,138 @@ def test_sweep_and_confusion_zero_denominators(spark):
     assert (sweep["f1"] == 0.0).all()
     row = confusion_counts(df).first()
     assert row.precision == 0.0 and row.recall == 0.0 and row.f1 == 0.0
+
+
+def test_bi_range_adjust_matches_reference(spark, ref_metric):
+    """bi_get_range_proba parity (kernel) + the distributed operator."""
+    from anomalydetector_spark.operators.evaluate import (
+        bi_adjust_predictions,
+        bi_range_adjust_np,
+    )
+
+    rng = np.random.default_rng(17)
+    frames, expected = [], {}
+    for series in range(8):
+        n = int(rng.integers(5, 150))
+        label, pred = _random_case(rng, n)
+        left, right = 3, 5
+        want = ref_metric.bi_get_range_proba(pred.tolist(), label.tolist(), left, right)
+        np.testing.assert_array_equal(
+            bi_range_adjust_np(pred, label, left, right), want
+        )
+        expected[f"s{series}"] = list(want)
+        frames.append(
+            pd.DataFrame(
+                {"series_id": f"s{series}", "ts": np.arange(n),
+                 "label": label, "pred": pred}
+            )
+        )
+    out = (
+        bi_adjust_predictions(
+            spark.createDataFrame(pd.concat(frames)),
+            order_by=["ts"], left=3, right=5,
+        )
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+    )
+    for sid, want in expected.items():
+        got = out[out["series_id"] == sid]["pred"].to_list()
+        assert got == want, sid
+
+
+def test_guided_threshold_sweep_matches_recomputation(spark, ref_metric):
+    """The Yahoo guided protocol (evalue.py:129-162): sweep vs pseudo-
+    labels, then report vs real labels at the guided argmax — checked
+    against a literal pandas recomputation of both stages."""
+    from anomalydetector_spark.operators.evaluate import guided_threshold_sweep
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for series in range(4):
+        n = 80
+        score = rng.random(n)
+        label = (rng.random(n) < 0.2).astype(int)
+        guide = (score + rng.normal(0, 0.1, n) > 0.6).astype(int)
+        frames.append(
+            pd.DataFrame(
+                {"series_id": f"s{series}", "ts": np.arange(n),
+                 "score": score, "label": label, "guide": guide}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+
+    def pooled_adjusted_f1(th, lab_col):
+        tp = fp = fn = 0
+        for sid, grp in pdf.groupby("series_id"):
+            grp = grp.sort_values("ts")
+            pred = (grp["score"].to_numpy() > th).astype(int)
+            lab = grp[lab_col].to_numpy()
+            adj = np.asarray(ref_metric.get_range_proba(pred, lab, 3))
+            tp += int((adj * lab).sum())
+            fp += int((adj * (1 - lab)).sum())
+            fn += int(((1 - adj) * lab).sum())
+        return (2 * tp / (2 * tp + fp + fn)) if (2 * tp + fp + fn) else 0.0, tp, fp, fn
+
+    best_f1, best_th = 0.0, 0.0
+    for i in range(1, 21):
+        th = i * 0.05
+        f1, *_ = pooled_adjusted_f1(th, "guide")
+        if f1 > best_f1:
+            best_f1, best_th = f1, th
+
+    want_f1, tp, fp, fn = pooled_adjusted_f1(best_th, "label")
+
+    out = guided_threshold_sweep(
+        spark.createDataFrame(pdf),
+        n_thresholds=20, scale=0.05,
+        order_by=["ts"], partition_by="series_id", delay=3,
+    ).collect()[0]
+    assert out["guided_threshold"] == pytest.approx(best_th)
+    assert (out["tp"], out["fp"], out["fn"]) == (tp, fp, fn)
+    assert out["f1"] == pytest.approx(want_f1)
+
+
+def test_per_series_best_threshold(spark, ref_metric):
+    """Per-series argmax-F1 threshold with segment adjustment, ties →
+    lowest threshold (the reference's strict > scan)."""
+    from anomalydetector_spark.operators.evaluate import per_series_best_threshold
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for series in range(5):
+        n = 60
+        score = rng.random(n)
+        label = (rng.random(n) < 0.25).astype(int)
+        frames.append(
+            pd.DataFrame(
+                {"series_id": f"s{series}", "ts": np.arange(n),
+                 "score": score, "label": label}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+
+    want = {}
+    for sid, grp in pdf.groupby("series_id"):
+        grp = grp.sort_values("ts")
+        best = (0.0, 0.0)
+        for i in range(1, 21):
+            th = i * 0.05
+            pred = (grp["score"].to_numpy() > th).astype(int)
+            lab = grp["label"].to_numpy()
+            adj = np.asarray(ref_metric.get_range_proba(pred, lab, 7))
+            tp = int((adj * lab).sum()); fp = int((adj * (1 - lab)).sum())
+            fn = int(((1 - adj) * lab).sum())
+            f1 = (2 * tp / (2 * tp + fp + fn)) if (2 * tp + fp + fn) else 0.0
+            if f1 > best[0]:
+                best = (f1, th)
+        want[sid] = best
+
+    out = per_series_best_threshold(
+        spark.createDataFrame(pdf),
+        n_thresholds=20, scale=0.05, order_by=["ts"], delay=7,
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        f1, th = want[r["series_id"]]
+        assert r["best_threshold"] == pytest.approx(th), r["series_id"]
+        assert r["f1"] == pytest.approx(f1), r["series_id"]
