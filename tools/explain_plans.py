@@ -347,6 +347,64 @@ def main() -> None:
         and all("text#" not in inp for inp in exchange_inputs),
     )
 
+    from anomalydetector_spark.operators.temporal import asof_join_bucketed
+
+    asofb_plan = plan_of(
+        asof_join_bucketed(clicks, snaps, "domain", "warc_ts", prefix="snap_")
+    )
+    ok &= check(
+        "bucketed as-of join: no range/theta join, and the big union "
+        "window partitions on (key, bucket) — the hot-key mitigation",
+        "CartesianProduct" not in asofb_plan
+        and "BroadcastNestedLoopJoin" not in asofb_plan
+        # the in-bucket window's partition expression must carry BOTH the
+        # key and the derived bucket column
+        and any(
+            "domain" in seg.split("ORDER BY")[0] and "__bkt" in seg.split("ORDER BY")[0]
+            for seg in asofb_plan.split("windowspecdefinition")[1:]
+        ),
+    )
+
+    from anomalydetector_spark.operators.dedup import simhash_near_duplicates
+
+    sh_plan = plan_of(
+        simhash_near_duplicates(
+            docs.select("doc_id", "text"), max_hamming=3
+        )
+    )
+    ok &= check(
+        "SimHash near-dup: equi-join candidates (no cartesian), signature "
+        "fold is the ONLY Python (Arrow-batched), verify in codegen",
+        "CartesianProduct" not in sh_plan
+        and "BroadcastNestedLoopJoin" not in sh_plan
+        and "BatchEvalPython" not in sh_plan  # per-row python forbidden
+        and "bit_count" in sh_plan,
+    )
+
+    from anomalydetector_spark.operators.similarity import lsh_bucket_ann
+
+    emb_path = "/tmp/explain_emb.parquet"
+    spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=int(i)) for i in range(8)]).alias("embedding"),
+    ).write.mode("overwrite").parquet(emb_path)
+    embp = spark.read.parquet(emb_path)
+    ann_plan = plan_of(
+        lsh_bucket_ann(
+            embp, embp.filter(F.col("vec_id") < 3), k=3,
+            n_planes=4, dim=8, n_tables=4,
+        )
+    )
+    ok &= check(
+        "multi-table LSH ANN: bucket equi-join only (no cartesian/theta), "
+        "candidates deduped before the cosine (HashAggregate distinct), "
+        "zero Python",
+        "CartesianProduct" not in ann_plan
+        and "BroadcastNestedLoopJoin" not in ann_plan
+        and "EvalPython" not in ann_plan
+        and "HashAggregate" in ann_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
