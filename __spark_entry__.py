@@ -604,6 +604,31 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Substring-span dedup (operators/substring_dedup.py): every
+    document profiled for exact repeated 20-token windows (corpus-wide,
+    within-doc repeats count), overlapping windows interval-merged so
+    dup_tokens is the exact covered token count. The Spark path groups
+    xxhash64(window) so text never shuffles; the oracle groups the span
+    TEXT itself, so parity also certifies collision-freeness at this
+    scale."""
+    from anomalydetector_spark.operators.substring_dedup import (
+        substring_dedup_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup_profile(
+        docs, n=20, stride=1, scope="global", max_dup_fraction=0.2
+    ).select(
+        "doc_id",
+        F.col("dup_span_count").cast("long").alias("dup_span_count"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "dup_token_fraction",
+        "keep",
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard verification composed behind MinHash-LSH candidate
     generation — the 100-TB pipeline shape (banded equi-join candidates,
@@ -1359,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_adjusted": q_gap_adjusted,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_substring": q_dedup_substring,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
@@ -2083,6 +2109,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canonical_id, group_size,
                    doc_id = canonical_id AS is_canonical
             FROM hashed JOIN groups USING (text_hash)
+        """,
+        "dedup_substring": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+            spans AS (
+              SELECT doc_id, i AS pos, array_to_string(t[i+1:i+20], ' ') AS span
+              FROM toks, UNNEST(generate_series(0, len(t) - 20, 1)) AS u(i)),
+            occ AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY span) AS occurrences
+                FROM spans)
+              WHERE occurrences > 1),
+            flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos >= coalesce(max(pos + 20) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          -1)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM occ),
+            islanded AS (
+              SELECT doc_id, pos,
+                     sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM flagged),
+            per_island AS (
+              SELECT doc_id, island, min(pos) AS istart,
+                     max(pos) + 20 AS iend, count(*) AS spans
+              FROM islanded GROUP BY 1, 2),
+            per_doc AS (
+              SELECT doc_id, sum(spans)::BIGINT AS dup_span_count,
+                     sum(iend - istart)::BIGINT AS dup_tokens
+              FROM per_island GROUP BY 1),
+            totals AS (SELECT doc_id, len(t) AS total_tokens FROM toks)
+            SELECT t.doc_id,
+                   coalesce(p.dup_span_count, 0)::BIGINT AS dup_span_count,
+                   coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   t.total_tokens::BIGINT AS total_tokens,
+                   round(coalesce(p.dup_tokens, 0) /
+                         greatest(t.total_tokens, 1)::DOUBLE, 6)
+                     AS dup_token_fraction,
+                   round(coalesce(p.dup_tokens, 0) /
+                         greatest(t.total_tokens, 1)::DOUBLE, 6) <= 0.2 AS keep
+            FROM totals t LEFT JOIN per_doc p USING (doc_id)
         """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (

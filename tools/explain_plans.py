@@ -405,6 +405,24 @@ def main() -> None:
         and "HashAggregate" in ann_plan,
     )
 
+    from anomalydetector_spark.operators.substring_dedup import (
+        substring_dedup_profile,
+    )
+
+    ss_plan = plan_of(
+        substring_dedup_profile(docs.select("doc_id", "text"), n=20)
+    )
+    ok &= check(
+        "substring dedup: text hashed before the explode (only hash tuples "
+        "shuffle), span groupBy has map-side partial agg, join-back is an "
+        "equi-join, zero Python",
+        "CartesianProduct" not in ss_plan
+        and "BroadcastNestedLoopJoin" not in ss_plan
+        and "EvalPython" not in ss_plan
+        and "partial_count" in ss_plan  # map-side combine on span_hash
+        and "xxhash64" in ss_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
