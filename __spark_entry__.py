@@ -115,6 +115,83 @@ def q_min_rows_verdict(spark, sf_dir):
                     "rows_scanned")
 
 
+def q_custom_asserts(spark, sf_dir):
+    """User-defined constraints (operators/asserts.py): three row-level
+    SQL predicates (one with a violation-tolerance gate) + two
+    aggregate-metric gates, evaluated per event_type partition. All row
+    asserts share one aggregation scan; all agg asserts share one more.
+    NULL semantics under test: row predicates follow SQL CHECK (NULL
+    passes), agg predicates fail on NULL metric."""
+    from anomalydetector_spark.operators.asserts import (
+        AggAssert,
+        RowAssert,
+        check_agg_asserts,
+        check_row_asserts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rv = check_row_asserts(
+        ev,
+        (
+            RowAssert("value_positive", "value > 0"),
+            RowAssert("value_le_300", "value <= 300", 0.002),
+            RowAssert("user_known", "user_id is not null"),
+        ),
+        partition_by="event_type",
+    ).verdicts.withColumn("metric_value", F.lit(None).cast("double"))
+    av = check_agg_asserts(
+        ev,
+        (
+            AggAssert("avg_value_band", "avg(value)", "metric between 49 and 52"),
+            AggAssert("distinct_users", "count(distinct user_id)", "metric >= 100"),
+        ),
+        partition_by="event_type",
+    ).verdicts
+    return rv.unionByName(av).select(
+        "check_name",
+        F.col("partition_key").alias("event_type"),
+        "passed",
+        "error_message",
+        F.col("violation_count").cast("long").alias("violation_count"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        F.round("metric_value", 6).alias("metric_value"),
+    )
+
+
+def q_column_profile(spark, sf_dir):
+    """One-scan Deequ-style column profile (operators/profile.py) of the
+    documents table per source: completeness, exact cardinality, moments,
+    length stats — every metric an aggregate expression in a single
+    groupBy, output long-format (partitions x columns x metrics)."""
+    from anomalydetector_spark.operators.profile import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(
+        docs,
+        columns=["doc_id", "text", "lang", "n_chars"],
+        partition_by="source",
+        exact=True,
+    ).select(
+        F.col("partition_key").alias("source"),
+        "column",
+        "metric",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_numeric_corr(spark, sf_dir):
+    """All pairwise Pearson correlations between lineitem's numeric
+    measure columns in one aggregation pass (operators/profile.py)."""
+    from anomalydetector_spark.operators.profile import numeric_correlations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    )
+
+
 def q_duplicate_keys(spark, sf_dir):
     """P6/north-rule uniqueness: salted two-phase duplicate counts."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1353,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pass_events": q_stats_pass_events,
         "stats_cube_events": q_stats_cube_events,
         "min_rows_verdict": q_min_rows_verdict,
+        "custom_asserts": q_custom_asserts,
+        "column_profile": q_column_profile,
+        "numeric_corr": q_numeric_corr,
         "duplicate_keys": q_duplicate_keys,
         "ascending_violations": q_ascending_violations,
         "value_bounds": q_value_bounds,
@@ -1502,6 +1582,135 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'len_p50', window_start, round(coalesce(p50, 0), 6) FROM joined
             UNION ALL SELECT 'len_p95', window_start, round(coalesce(p95, 0), 6) FROM joined
             UNION ALL SELECT 'distinct_url', window_start, round(n_distinct, 6) FROM joined
+        """,
+        "column_profile": """
+            WITH agg AS (
+              SELECT source,
+                count(*)::DOUBLE AS rows_,
+                sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::DOUBLE AS id_null,
+                count(DISTINCT doc_id)::DOUBLE AS id_dist,
+                min(doc_id)::DOUBLE AS id_min, max(doc_id)::DOUBLE AS id_max,
+                avg(doc_id)::DOUBLE AS id_mean, stddev_samp(doc_id)::DOUBLE AS id_std,
+                sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::DOUBLE AS t_null,
+                count(DISTINCT text)::DOUBLE AS t_dist,
+                min(length(text))::DOUBLE AS t_minl, max(length(text))::DOUBLE AS t_maxl,
+                avg(length(text))::DOUBLE AS t_avgl,
+                sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)::DOUBLE AS t_empty,
+                sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE AS l_null,
+                count(DISTINCT lang)::DOUBLE AS l_dist,
+                min(length(lang))::DOUBLE AS l_minl, max(length(lang))::DOUBLE AS l_maxl,
+                avg(length(lang))::DOUBLE AS l_avgl,
+                sum(CASE WHEN length(lang) = 0 THEN 1 ELSE 0 END)::DOUBLE AS l_empty,
+                sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE AS n_null,
+                count(DISTINCT n_chars)::DOUBLE AS n_dist,
+                min(n_chars)::DOUBLE AS n_min, max(n_chars)::DOUBLE AS n_max,
+                avg(n_chars)::DOUBLE AS n_mean, stddev_samp(n_chars)::DOUBLE AS n_std
+              FROM documents GROUP BY 1)
+            SELECT source, '*' AS "column", 'row_count' AS metric, round(rows_, 6) AS value FROM agg
+            UNION ALL SELECT source, 'doc_id', 'null_count', round(id_null, 6) FROM agg
+            UNION ALL SELECT source, 'doc_id', 'distinct_count', round(id_dist, 6) FROM agg
+            UNION ALL SELECT source, 'doc_id', 'min', round(id_min, 6) FROM agg
+            UNION ALL SELECT source, 'doc_id', 'max', round(id_max, 6) FROM agg
+            UNION ALL SELECT source, 'doc_id', 'mean', round(id_mean, 6) FROM agg
+            UNION ALL SELECT source, 'doc_id', 'stddev', round(id_std, 6) FROM agg
+            UNION ALL SELECT source, 'doc_id', 'completeness', round(1.0 - id_null / rows_, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'null_count', round(t_null, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'distinct_count', round(t_dist, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'min_length', round(t_minl, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'max_length', round(t_maxl, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'avg_length', round(t_avgl, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'empty_count', round(t_empty, 6) FROM agg
+            UNION ALL SELECT source, 'text', 'completeness', round(1.0 - t_null / rows_, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'null_count', round(l_null, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'distinct_count', round(l_dist, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'min_length', round(l_minl, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'max_length', round(l_maxl, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'avg_length', round(l_avgl, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'empty_count', round(l_empty, 6) FROM agg
+            UNION ALL SELECT source, 'lang', 'completeness', round(1.0 - l_null / rows_, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'null_count', round(n_null, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'distinct_count', round(n_dist, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'min', round(n_min, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'max', round(n_max, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'mean', round(n_mean, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'stddev', round(n_std, 6) FROM agg
+            UNION ALL SELECT source, 'n_chars', 'completeness', round(1.0 - n_null / rows_, 6) FROM agg
+        """,
+        "numeric_corr": """
+            WITH agg AS (
+              SELECT corr(l_quantity, l_extendedprice) AS c12,
+                     corr(l_quantity, l_discount) AS c13,
+                     corr(l_quantity, l_tax) AS c14,
+                     corr(l_extendedprice, l_discount) AS c23,
+                     corr(l_extendedprice, l_tax) AS c24,
+                     corr(l_discount, l_tax) AS c34
+              FROM lineitem)
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(c12, 6) AS corr FROM agg
+            UNION ALL SELECT 'l_quantity', 'l_discount', round(c13, 6) FROM agg
+            UNION ALL SELECT 'l_quantity', 'l_tax', round(c14, 6) FROM agg
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c23, 6) FROM agg
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c24, 6) FROM agg
+            UNION ALL SELECT 'l_discount', 'l_tax', round(c34, 6) FROM agg
+        """,
+        "custom_asserts": """
+            WITH roll AS (
+              SELECT event_type,
+                     count(*)::BIGINT AS rows_scanned,
+                     sum(CASE WHEN (value > 0) IS FALSE THEN 1 ELSE 0 END)::BIGINT AS v_pos,
+                     sum(CASE WHEN (value <= 300) IS FALSE THEN 1 ELSE 0 END)::BIGINT AS v_300,
+                     sum(CASE WHEN (user_id IS NOT NULL) IS FALSE THEN 1 ELSE 0 END)::BIGINT AS v_usr,
+                     avg(value) AS m_avg,
+                     count(DISTINCT user_id)::DOUBLE AS m_du
+              FROM events GROUP BY 1)
+            SELECT 'assert_value_positive' AS check_name, event_type,
+                   v_pos <= rows_scanned * 0.0::DOUBLE AS passed,
+                   CASE WHEN v_pos > rows_scanned * 0.0::DOUBLE THEN
+                     'row assert ''value_positive'' violated: value > 0' END AS error_message,
+                   v_pos AS violation_count, rows_scanned,
+                   CAST(NULL AS DOUBLE) AS metric_value
+            FROM roll
+            UNION ALL
+            SELECT 'assert_value_le_300', event_type,
+                   v_300 <= rows_scanned * 0.002::DOUBLE,
+                   CASE WHEN v_300 > rows_scanned * 0.002::DOUBLE THEN
+                     'row assert ''value_le_300'' violated: value <= 300' END,
+                   v_300, rows_scanned, CAST(NULL AS DOUBLE)
+            FROM roll
+            UNION ALL
+            SELECT 'assert_user_known', event_type,
+                   v_usr <= rows_scanned * 0.0::DOUBLE,
+                   CASE WHEN v_usr > rows_scanned * 0.0::DOUBLE THEN
+                     'row assert ''user_known'' violated: user_id is not null' END,
+                   v_usr, rows_scanned, CAST(NULL AS DOUBLE)
+            FROM roll
+            UNION ALL
+            SELECT 'agg_assert_avg_value_band', event_type,
+                   coalesce(m_avg BETWEEN 49 AND 52, FALSE) AND m_avg IS NOT NULL,
+                   CASE WHEN NOT (coalesce(m_avg BETWEEN 49 AND 52, FALSE)
+                                  AND m_avg IS NOT NULL) THEN
+                     CASE WHEN m_avg IS NULL THEN
+                       'agg assert ''avg_value_band'' violated: metric between 49 and 52 (metric is NULL)'
+                     ELSE
+                       'agg assert ''avg_value_band'' violated: metric between 49 and 52'
+                     END END,
+                   (CASE WHEN NOT (coalesce(m_avg BETWEEN 49 AND 52, FALSE)
+                                   AND m_avg IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT,
+                   rows_scanned, round(m_avg, 6)
+            FROM roll
+            UNION ALL
+            SELECT 'agg_assert_distinct_users', event_type,
+                   coalesce(m_du >= 100, FALSE) AND m_du IS NOT NULL,
+                   CASE WHEN NOT (coalesce(m_du >= 100, FALSE)
+                                  AND m_du IS NOT NULL) THEN
+                     CASE WHEN m_du IS NULL THEN
+                       'agg assert ''distinct_users'' violated: metric >= 100 (metric is NULL)'
+                     ELSE
+                       'agg assert ''distinct_users'' violated: metric >= 100'
+                     END END,
+                   (CASE WHEN NOT (coalesce(m_du >= 100, FALSE)
+                                   AND m_du IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT,
+                   rows_scanned, round(m_du, 6)
+            FROM roll
         """,
         "min_rows_verdict": """
             SELECT 'min_row_count' AS check_name,

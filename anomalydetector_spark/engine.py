@@ -55,6 +55,11 @@ class ValidationConfig:
     # (zero extra input scans) and SR-scored like every scalar stat — a
     # shape shift can hide from each per-category fraction series
     shape_drift: bool = True
+    # user-defined constraints (operators/asserts.py). Row asserts ride
+    # the fused cube scan and the shared violation-extraction scan; all
+    # agg asserts together add exactly ONE extra aggregation pass.
+    asserts: tuple = ()  # tuple[RowAssert, ...]
+    agg_asserts: tuple = ()  # tuple[AggAssert, ...]
 
 
 @dataclass
@@ -89,8 +94,17 @@ def run_validation(
             "domain", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
         )
 
+    from anomalydetector_spark.operators import asserts as A
+
+    row_asserts = tuple(cfg.asserts)
+    agg_asserts = tuple(cfg.agg_asserts)
+    A._check_names_unique(row_asserts + agg_asserts)
+
     scans = fused.build_fused_scans(
-        keyed, ref_dim=domains, unique_key=cfg.unique_key
+        keyed,
+        ref_dim=domains,
+        unique_key=cfg.unique_key,
+        extra_cube_aggs=A.row_assert_counts(row_asserts) or None,
     )
     cube = scans.cube.persist()
     profile = scans.profile.persist()
@@ -141,6 +155,15 @@ def run_validation(
         verdict_frames.append(
             C.check_schema_types(pages, cfg.expected_schema).verdicts
         )
+    if row_asserts:
+        verdict_frames += A.row_assert_verdicts(roll, row_asserts)
+    if agg_asserts:
+        # all agg-assert metrics share ONE extra aggregation pass
+        verdict_frames.append(
+            A.check_agg_asserts(
+                keyed, agg_asserts, partition_by=F.col("partition_key")
+            ).verdicts
+        )
     if domains is not None:
         verdict_frames.append(
             C._verdict_from_violation_count(
@@ -166,6 +189,7 @@ def run_validation(
     tags = [
         F.when(F.col("warc_ts").isNull(), F.lit("not_null_warc_ts")),
         F.when(F.col("_is_dup"), F.lit(uniq_name)),
+        *A.row_assert_tags(row_asserts),
     ]
     if domains is not None:
         dim = F.broadcast(

@@ -1,0 +1,225 @@
+"""Whole-table column profiling in one scan, and constraint suggestion.
+
+The Deequ/Great-Expectations workflow the suite spec (plans/spec.py)
+assumes starts with a PROFILE: per-column completeness, cardinality and
+moments, computed cheaply, from which a human (or
+:func:`suggest_row_asserts`) derives the constraints to enforce. The
+reference has no analog (its checks are hard-coded per pipeline); this
+is engine-level capability.
+
+Scale contract (10^12 rows):
+
+* :func:`profile_columns` is ONE aggregation pass regardless of column
+  count — every metric is an aggregate expression in a single
+  ``groupBy(partition_key)``; output is bounded by
+  partitions × columns × metrics. Distinct counts default to
+  ``approx_count_distinct`` (HLL, rides the same pass). ``exact=True``
+  switches to ``count(distinct)`` — Spark rewrites N exact distincts
+  into an Expand (N× row multiplication before partial aggregation), so
+  exact mode is for tests/oracles and small tables, not the 100-TB path.
+* :func:`numeric_correlations` is likewise one pass computing all
+  p·(p-1)/2 Pearson coefficients as ``corr`` aggregates.
+* ``binary`` columns are profiled by length only — never stringified
+  (binary→string casts are lossy on invalid UTF-8).
+
+Output is long format ``(partition_key, column, metric, value:double)``
+— joinable with prior profiles to diff, and feedable to drift scoring
+like any stat series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anomalydetector_spark.operators.asserts import RowAssert
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _metric_exprs(
+    name: str, dtype: T.DataType, exact: bool
+) -> list[tuple[str, Column]]:
+    """(metric_name, aggregate expression) pairs for one column. Every
+    value is cast to double so the long format has one value column."""
+    col = F.col(name)
+    out: list[tuple[str, Column]] = [
+        ("null_count", F.sum(col.isNull().cast("long"))),
+    ]
+    distinct = (
+        F.count_distinct(col) if exact else F.approx_count_distinct(col)
+    )
+    out.append(("distinct_count", distinct))
+    if isinstance(dtype, _NUMERIC):
+        out += [
+            ("min", F.min(col)),
+            ("max", F.max(col)),
+            ("mean", F.avg(col)),
+            ("stddev", F.stddev_samp(col)),
+        ]
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # min/max as epoch seconds (doubles) — freshness checks read these
+        ep = col.cast("timestamp").cast("double")
+        out += [("min_epoch", F.min(ep)), ("max_epoch", F.max(ep))]
+    elif isinstance(dtype, T.StringType):
+        ln = F.length(col)
+        out += [
+            ("min_length", F.min(ln)),
+            ("max_length", F.max(ln)),
+            ("avg_length", F.avg(ln)),
+            ("empty_count", F.sum((ln == 0).cast("long"))),
+        ]
+    elif isinstance(dtype, T.BinaryType):
+        ln = F.length(col)
+        out += [("min_length", F.min(ln)), ("max_length", F.max(ln))]
+    elif isinstance(dtype, T.BooleanType):
+        out += [("true_count", F.sum(col.cast("long")))]
+    # complex types (array/map/struct): null/distinct only
+    return [(m, e.cast("double").alias(f"{name}\x1f{m}")) for m, e in out]
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_by: Column | str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Long-format per-column profile, one aggregation scan.
+
+    Emits ``row_count`` once per partition (column ``'*'``) plus
+    per-column metrics chosen by type (see :func:`_metric_exprs`).
+    ``completeness`` (1 - null fraction, the Deequ headline metric) is
+    derived post-agg from null_count/row_count — no extra pass."""
+    from anomalydetector_spark.operators.checks import _part
+
+    cols = columns or df.columns
+    missing = sorted(set(cols) - set(df.columns))
+    if missing:
+        raise ValueError(f"profile_columns: no such column(s) {missing}")
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    keyed = _part(df, partition_by)
+    aggs: list[Column] = [F.count(F.lit(1)).cast("double").alias("\x1frows")]
+    pairs: list[tuple[str, str]] = []  # (column, metric) in agg order
+    for c in cols:
+        for m, e in _metric_exprs(c, dtypes[c], exact):
+            pairs.append((c, m))
+            aggs.append(e)
+    wide = keyed.groupBy("partition_key").agg(*aggs)
+
+    # melt via stack: (column, metric, value) — ONE pure projection over
+    # the single aggregate, with the derived completeness metric folded
+    # into the same stack (a union branch would re-run the aggregation:
+    # Spark does not share common subplans across union arms)
+    stack_args: list[Column] = [
+        F.lit("*"), F.lit("row_count"), F.col("`\x1frows`")
+    ]
+    for c, m in pairs:
+        stack_args += [F.lit(c), F.lit(m), F.col(f"`{c}\x1f{m}`")]
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.lit("completeness"),
+            F.lit(1.0) - F.col(f"`{c}\x1fnull_count`") / F.col("`\x1frows`"),
+        ]
+    n = 1 + len(pairs) + len(cols)
+    return wide.select(
+        "partition_key",
+        F.stack(F.lit(n), *stack_args).alias("column", "metric", "value"),
+    )
+
+
+def numeric_correlations(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_by: Column | str | None = None,
+) -> DataFrame:
+    """All pairwise Pearson correlations between numeric columns in one
+    aggregation pass: ``(partition_key, col_a, col_b, corr)`` with
+    col_a < col_b."""
+    from anomalydetector_spark.operators.checks import _part
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    cols = [
+        c
+        for c in (columns or df.columns)
+        if isinstance(dtypes.get(c), _NUMERIC)
+    ]
+    if columns is not None:
+        bad = sorted(set(columns) - set(cols))
+        if bad:
+            raise ValueError(f"not numeric (or missing): {bad}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("need at least two numeric columns")
+    keyed = _part(df, partition_by)
+    wide = keyed.groupBy("partition_key").agg(
+        *[
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+                f"{a}\x1f{b}"
+            )
+            for a, b in pairs
+        ]
+    )
+    stack_args: list[Column] = []
+    for a, b in pairs:
+        stack_args += [F.lit(a), F.lit(b), F.col(f"`{a}\x1f{b}`")]
+    return wide.select(
+        "partition_key",
+        F.stack(F.lit(len(pairs)), *stack_args).alias("col_a", "col_b", "corr"),
+    )
+
+
+def suggest_row_asserts(
+    profile: DataFrame,
+    tolerance: float = 0.0,
+) -> list[RowAssert]:
+    """Deequ-style constraint suggestion from a (materialized) profile.
+
+    Reads the BOUNDED profile frame (partitions × columns × metrics —
+    collecting it is safe at any input scale) and proposes RowAsserts
+    that currently hold across ALL partitions:
+
+    * ``<col> is not null`` when every partition is fully complete
+      (suggested with ``max_violation_fraction=tolerance``),
+    * ``<col> >= <floor>`` / ``<col> <= <ceil>`` for numeric columns,
+      using the global min/max (rounded OUT to stay permissive),
+    * ``length(<col>) <= <ceil>`` for strings.
+
+    Suggestions are a starting point for a human-reviewed suite file —
+    enforce-what-you-observe is circular until the suite is versioned."""
+    import math
+
+    rows = profile.collect()
+    by_col: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_col.setdefault(r.column, {}).setdefault(r.metric, []).append(r.value)
+
+    out: list[RowAssert] = []
+    for col in sorted(by_col):
+        if col == "*":
+            continue
+        m = by_col[col]
+        comp = m.get("completeness", [])
+        if comp and all(v is not None and v >= 1.0 for v in comp):
+            out.append(
+                RowAssert(f"{col}_not_null", f"{col} is not null", tolerance)
+            )
+        if "min" in m and all(v is not None for v in m["min"]):
+            floor = math.floor(min(m["min"]))
+            out.append(RowAssert(f"{col}_floor", f"{col} >= {floor}", tolerance))
+        if "max" in m and all(v is not None for v in m["max"]):
+            ceil = math.ceil(max(m["max"]))
+            out.append(RowAssert(f"{col}_ceil", f"{col} <= {ceil}", tolerance))
+        if "max_length" in m and all(v is not None for v in m["max_length"]):
+            ceil = int(max(m["max_length"]))
+            out.append(
+                RowAssert(
+                    f"{col}_max_length", f"length({col}) <= {ceil}", tolerance
+                )
+            )
+    return out

@@ -123,8 +123,14 @@ def build_fused_scans(
     ref_parent_col: str = "domain",
     unique_key: str = "url",
     n_salts: int = 64,
+    extra_cube_aggs: list[Column] | None = None,
 ) -> FusedScans:
-    """Build (lazily) the two shared aggregates from a keyed input."""
+    """Build (lazily) the two shared aggregates from a keyed input.
+
+    ``extra_cube_aggs`` rides additional aggregate columns on the cube
+    scan (e.g. per-row-assert violation counters from
+    operators/asserts.row_assert_counts) — zero extra scans, zero extra
+    cube rows, one extra long column each."""
     if ref_dim is not None:
         dim = F.broadcast(
             ref_dim.select(
@@ -144,7 +150,7 @@ def build_fused_scans(
         F.length("text").alias("_len"),
         "lang",
         "_ok",
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    ).agg(F.count(F.lit(1)).alias("_n"), *(extra_cube_aggs or []))
 
     return FusedScans(
         cube=cube,
@@ -155,13 +161,19 @@ def build_fused_scans(
 
 def partition_rollup(cube: DataFrame) -> DataFrame:
     """Per-partition scalars for the cheap verdicts — one tiny rollup:
-    ``(partition_key, rows_scanned, null_ts, dangling)``."""
+    ``(partition_key, rows_scanned, null_ts, dangling)`` plus, when the
+    cube carries per-assert counters (``_assert_*``), their per-partition
+    sums."""
+    extra = [
+        F.sum(c).alias(c) for c in cube.columns if c.startswith("_assert_")
+    ]
     return cube.groupBy("partition_key").agg(
         F.sum("_n").alias("rows_scanned"),
         F.sum(F.when(F.col("window_start").isNull(), F.col("_n")).otherwise(0)).alias(
             "null_ts"
         ),
         F.sum(F.when(~F.col("_ok"), F.col("_n")).otherwise(0)).alias("dangling"),
+        *extra,
     )
 
 
@@ -329,9 +341,10 @@ def seeded_rollup(roll: DataFrame) -> DataFrame:
     (invoker.py:43-44 → NOT_ENOUGH_POINTS). The zero seed row survives
     the anti-join only when the rollup is empty."""
     spark = roll.sparkSession
+    # zero-fill every non-key column so the seed tracks whatever counters
+    # the rollup carries (incl. per-suite `_assert_*` columns)
     seed = spark.createDataFrame(
-        [("global", 0, 0, 0)],
-        "partition_key string, rows_scanned long, null_ts long, dangling long",
+        [tuple(["global"] + [0] * (len(roll.columns) - 1))], roll.schema
     ).join(
         roll.select(F.lit(1).alias("_any")).limit(1), F.lit(True), "left_anti"
     )

@@ -19,6 +19,15 @@ Example::
       "shape_drift": true,
       "schema": {"url": "string", "warc_ts": "timestamp",
                  "html": "binary", "text": "string", "lang": "string"},
+      "asserts": [
+        {"name": "text_nonempty", "expr": "length(text) > 0",
+         "max_violation_fraction": 0.001},
+        {"name": "url_scheme", "expr": "url like 'http%'"}
+      ],
+      "agg_asserts": [
+        {"name": "avg_len", "metric": "avg(length(text))",
+         "expr": "metric between 100 and 100000"}
+      ],
       "drift": {"threshold": 0.3, "sensitivity": 99.0,
                 "batch_size": 0, "with_margin": false}
     }
@@ -37,6 +46,7 @@ import json
 
 from anomalydetector_spark.engine import ValidationConfig
 from anomalydetector_spark.kernel.sr import SrParams
+from anomalydetector_spark.operators.asserts import AggAssert, RowAssert
 
 # spec key → ValidationConfig field (identity except the documented ones)
 _TOP_ALIASES = {
@@ -67,6 +77,23 @@ def config_from_dict(spec: dict) -> ValidationConfig:
                     f"unknown drift field(s) {bad}; valid: {sorted(sr_fields)}"
                 )
             kwargs["sr"] = SrParams(**value)
+        elif field in ("asserts", "agg_asserts"):
+            cls = RowAssert if field == "asserts" else AggAssert
+            if not isinstance(value, list):
+                raise ValueError(f'"{key}" must be a list of objects')
+            items = []
+            for j, item in enumerate(value):
+                if not isinstance(item, dict):
+                    raise ValueError(f'"{key}"[{j}] must be an object')
+                allowed = {f.name for f in dataclasses.fields(cls)}
+                bad = sorted(set(item) - allowed)
+                if bad:
+                    raise ValueError(
+                        f'unknown "{key}"[{j}] field(s) {bad}; '
+                        f"valid: {sorted(allowed)}"
+                    )
+                items.append(cls(**item))  # __post_init__ validates
+            kwargs[field] = tuple(items)
         elif field in cfg_fields:
             if field == "langs":
                 value = tuple(value)
@@ -91,4 +118,6 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
     d["drift"] = d.pop("sr")
     d["schema"] = d.pop("expected_schema")
     d["langs"] = list(d["langs"])
+    d["asserts"] = [dict(a) for a in d["asserts"]]
+    d["agg_asserts"] = [dict(a) for a in d["agg_asserts"]]
     return d

@@ -1,0 +1,118 @@
+"""Column profiler (operators/profile.py): one-scan metrics vs direct
+computation, correlations, and constraint suggestion."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.profile import (
+    numeric_correlations,
+    profile_columns,
+    suggest_row_asserts,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, "hello", 2.0, None),
+            ("a", 2, "", -4.0, bytearray(b"xyz")),
+            ("a", None, None, 7.5, bytearray(b"")),
+            ("b", 4, "zz", 1.0, bytearray(b"q")),
+            ("b", 4, "zz", 3.0, None),
+        ],
+        "grp string, k long, s string, v double, blob binary",
+    )
+
+
+def _metrics(profile, col):
+    return {
+        (r.metric): r.value
+        for r in profile
+        if r.column == col
+    }
+
+
+def test_profile_values(frame):
+    prof = profile_columns(
+        frame, columns=["k", "s", "v", "blob"], partition_by="grp", exact=True
+    ).collect()
+    a = [r for r in prof if r.partition_key == "a"]
+    b = [r for r in prof if r.partition_key == "b"]
+    assert _metrics(a, "*")["row_count"] == 3.0
+    ka = _metrics(a, "k")
+    assert ka["null_count"] == 1 and ka["distinct_count"] == 2
+    assert ka["min"] == 1 and ka["max"] == 2 and ka["mean"] == 1.5
+    assert ka["completeness"] == pytest.approx(2 / 3)
+    kb = _metrics(b, "k")
+    assert kb["distinct_count"] == 1 and kb["stddev"] == 0.0
+    sa = _metrics(a, "s")
+    assert sa["min_length"] == 0 and sa["max_length"] == 5
+    assert sa["empty_count"] == 1 and sa["avg_length"] == 2.5
+    va = _metrics(a, "v")
+    assert va["stddev"] == pytest.approx(
+        math.sqrt(sum((x - 5.5 / 3) ** 2 for x in (2.0, -4.0, 7.5)) / 2)
+    )
+    bb = _metrics(a, "blob")
+    assert bb["min_length"] == 0 and bb["max_length"] == 3
+    assert bb["null_count"] == 1
+
+
+def test_profile_one_scan(frame):
+    """All columns' metrics are one aggregation: no joins, no Python;
+    count_distinct in exact mode uses Expand, approx mode does not."""
+    import io
+    from contextlib import redirect_stdout
+
+    for exact in (False, True):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            profile_columns(frame, exact=exact).explain("formatted")
+        plan = buf.getvalue()
+        assert "EvalPython" not in plan and "Join" not in plan
+        assert ("Expand" in plan) == exact
+
+
+def test_profile_timestamp_and_missing(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), (None,)], "ts string"
+    ).select(F.col("ts").cast("timestamp"))
+    prof = profile_columns(df).collect()
+    m = _metrics(prof, "ts")
+    assert m["min_epoch"] == m["max_epoch"] == 1704067200.0
+    with pytest.raises(ValueError, match="no such column"):
+        profile_columns(df, columns=["nope"])
+
+
+def test_correlations(frame):
+    rows = numeric_correlations(frame, ["k", "v"], partition_by=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.col_a, r.col_b) == ("k", "v")
+    # pandas cross-check
+    import pandas as pd
+
+    pdf = frame.select("k", "v").toPandas()
+    assert r.corr == pytest.approx(pdf["k"].corr(pdf["v"]))
+    with pytest.raises(ValueError, match="not numeric"):
+        numeric_correlations(frame, ["k", "s"])
+    with pytest.raises(ValueError, match="at least two"):
+        numeric_correlations(frame, ["k"])
+
+
+def test_suggestions_hold_on_source_data(frame):
+    """Every suggested assert must pass on the data it was derived from
+    (the enforce-what-you-observe invariant)."""
+    from anomalydetector_spark.operators.asserts import check_row_asserts
+
+    prof = profile_columns(frame, columns=["k", "s", "v"], exact=True)
+    suggested = suggest_row_asserts(prof)
+    names = {a.name for a in suggested}
+    assert "v_not_null" in names and "k_floor" in names
+    assert "k_not_null" not in names  # k has a null -> not suggested
+    res = check_row_asserts(frame, suggested)
+    assert all(r.passed for r in res.verdicts.collect())

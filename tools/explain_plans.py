@@ -127,6 +127,34 @@ def main() -> None:
     )
     res.unpersist()
 
+    # user-defined constraints: row asserts must ride the SAME cube scan
+    # (identical executed-scan count with and without a suite of asserts)
+    from anomalydetector_spark.operators.asserts import RowAssert
+
+    base_cube_plan = plan_of(fused.build_fused_scans(keyed, ref_dim=domains).cube)
+    from anomalydetector_spark.operators.asserts import row_assert_counts
+
+    asserted = fused.build_fused_scans(
+        keyed,
+        ref_dim=domains,
+        extra_cube_aggs=row_assert_counts(
+            (
+                RowAssert("a1", "length(text) > 0"),
+                RowAssert("a2", "url like 'http%'"),
+                RowAssert("a3", "lang is not null"),
+            )
+        ),
+    ).cube
+    assert_plan = plan_of(asserted)
+    ok &= check(
+        "row asserts ride the cube scan: same executed-scan count, no "
+        "extra shuffle, no Python",
+        _executed_parquet_scans(assert_plan)
+        == _executed_parquet_scans(base_cube_plan)
+        and assert_plan.count("Exchange") <= base_cube_plan.count("Exchange")
+        and "EvalPython" not in assert_plan,
+    )
+
     # newer operators: partial aggregation + broadcast properties
     from anomalydetector_spark.operators.frequency import heavy_hitters
     from anomalydetector_spark.operators.pipeline import prepare_training_corpus
@@ -421,6 +449,18 @@ def main() -> None:
         and "EvalPython" not in ss_plan
         and "partial_count" in ss_plan  # map-side combine on span_hash
         and "xxhash64" in ss_plan,
+    )
+
+    from anomalydetector_spark.operators.profile import profile_columns
+
+    prof_plan = plan_of(profile_columns(docs.select("doc_id", "text")))
+    ok &= check(
+        "column profiler: one aggregation scan, approx-distinct rides it "
+        "(no Expand), no join, no Python",
+        _executed_parquet_scans(prof_plan) <= 1
+        and "Expand" not in prof_plan
+        and "Join" not in prof_plan
+        and "EvalPython" not in prof_plan,
     )
 
     print()
