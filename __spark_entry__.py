@@ -192,6 +192,35 @@ def q_numeric_corr(spark, sf_dir):
     )
 
 
+def q_profile_drift(spark, sf_dir):
+    """Statistics drift between two profiles of the same table
+    (operators/profile.profile_diff): 'old' profiles the even-doc_id half
+    of documents, 'new' the full table — a deterministic stand-in for two
+    snapshots. Full-outer join over the two bounded profile frames with
+    added/removed/changed/unchanged statuses at 10% relative tolerance."""
+    from anomalydetector_spark.operators.profile import (
+        profile_columns,
+        profile_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["lang", "n_chars"]
+    old = profile_columns(
+        docs.filter(F.col("doc_id") % 2 == 0), columns=cols, exact=True
+    )
+    new = profile_columns(docs, columns=cols, exact=True)
+    return profile_diff(old, new, rel_tolerance=0.10).select(
+        "partition_key",
+        "column",
+        "metric",
+        F.round("old_value", 6).alias("old_value"),
+        F.round("new_value", 6).alias("new_value"),
+        F.round("abs_delta", 6).alias("abs_delta"),
+        F.round("rel_delta", 6).alias("rel_delta"),
+        "status",
+    )
+
+
 def q_duplicate_keys(spark, sf_dir):
     """P6/north-rule uniqueness: salted two-phase duplicate counts."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1433,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_asserts": q_custom_asserts,
         "column_profile": q_column_profile,
         "numeric_corr": q_numeric_corr,
+        "profile_drift": q_profile_drift,
         "duplicate_keys": q_duplicate_keys,
         "ascending_violations": q_ascending_violations,
         "value_bounds": q_value_bounds,
@@ -1651,6 +1681,76 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c23, 6) FROM agg
             UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c24, 6) FROM agg
             UNION ALL SELECT 'l_discount', 'l_tax', round(c34, 6) FROM agg
+        """,
+        "profile_drift": """
+            WITH oa AS (
+              SELECT
+                count(*)::DOUBLE AS "*|row_count",
+                sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE AS "lang|null_count",
+                count(DISTINCT lang)::DOUBLE AS "lang|distinct_count",
+                min(length(lang))::DOUBLE AS "lang|min_length",
+                max(length(lang))::DOUBLE AS "lang|max_length",
+                avg(length(lang))::DOUBLE AS "lang|avg_length",
+                sum(CASE WHEN length(lang) = 0 THEN 1 ELSE 0 END)::DOUBLE AS "lang|empty_count",
+                (1.0 - sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*))::DOUBLE AS "lang|completeness",
+                sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE AS "n_chars|null_count",
+                count(DISTINCT n_chars)::DOUBLE AS "n_chars|distinct_count",
+                min(n_chars)::DOUBLE AS "n_chars|min",
+                max(n_chars)::DOUBLE AS "n_chars|max",
+                avg(n_chars)::DOUBLE AS "n_chars|mean",
+                stddev_samp(n_chars)::DOUBLE AS "n_chars|stddev",
+                (1.0 - sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*))::DOUBLE AS "n_chars|completeness"
+              FROM documents WHERE doc_id % 2 = 0),
+            na AS (
+              SELECT
+                count(*)::DOUBLE AS "*|row_count",
+                sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE AS "lang|null_count",
+                count(DISTINCT lang)::DOUBLE AS "lang|distinct_count",
+                min(length(lang))::DOUBLE AS "lang|min_length",
+                max(length(lang))::DOUBLE AS "lang|max_length",
+                avg(length(lang))::DOUBLE AS "lang|avg_length",
+                sum(CASE WHEN length(lang) = 0 THEN 1 ELSE 0 END)::DOUBLE AS "lang|empty_count",
+                (1.0 - sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*))::DOUBLE AS "lang|completeness",
+                sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE AS "n_chars|null_count",
+                count(DISTINCT n_chars)::DOUBLE AS "n_chars|distinct_count",
+                min(n_chars)::DOUBLE AS "n_chars|min",
+                max(n_chars)::DOUBLE AS "n_chars|max",
+                avg(n_chars)::DOUBLE AS "n_chars|mean",
+                stddev_samp(n_chars)::DOUBLE AS "n_chars|stddev",
+                (1.0 - sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*))::DOUBLE AS "n_chars|completeness"
+              FROM documents),
+            o AS (
+              SELECT split_part(nm, '|', 1) AS col,
+                     split_part(nm, '|', 2) AS metric, value AS old_value
+              FROM (UNPIVOT oa ON COLUMNS(*) INTO NAME nm VALUE value)),
+            n AS (
+              SELECT split_part(nm, '|', 1) AS col,
+                     split_part(nm, '|', 2) AS metric, value AS new_value
+              FROM (UNPIVOT na ON COLUMNS(*) INTO NAME nm VALUE value)),
+            j AS (
+              SELECT coalesce(o.col, n.col) AS col,
+                     coalesce(o.metric, n.metric) AS metric,
+                     o.col IS NOT NULL OR o.old_value IS NOT NULL AS in_old,
+                     n.col IS NOT NULL OR n.new_value IS NOT NULL AS in_new,
+                     old_value, new_value,
+                     new_value - old_value AS abs_delta,
+                     CASE WHEN abs(old_value) = 0 THEN NULL
+                          ELSE (new_value - old_value) / abs(old_value)
+                     END AS rel_delta
+              FROM o FULL OUTER JOIN n ON o.col = n.col AND o.metric = n.metric)
+            SELECT 'global' AS partition_key, col AS "column", metric,
+                   round(old_value, 6) AS old_value,
+                   round(new_value, 6) AS new_value,
+                   round(abs_delta, 6) AS abs_delta,
+                   round(rel_delta, 6) AS rel_delta,
+                   CASE
+                     WHEN old_value IS NULL AND new_value IS NULL THEN 'unchanged'
+                     WHEN old_value IS NULL OR new_value IS NULL THEN 'changed'
+                     WHEN old_value = 0 AND new_value <> 0 THEN 'changed'
+                     WHEN abs(coalesce(rel_delta, 0)) > 0.10 THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS status
+            FROM j
         """,
         "custom_asserts": """
             WITH roll AS (

@@ -254,6 +254,63 @@ def cmd_validate(args, spark: SparkSession) -> None:
     )
 
 
+def cmd_profile(args, spark: SparkSession) -> None:
+    """Column profiling workflow (operators/profile.py): write the
+    long-format profile; optionally diff against a prior profile parquet
+    (--baseline) and/or emit a suggested check-suite JSON the `validate
+    --suite` command can run as-is (--suggest-suite)."""
+    import json
+
+    from anomalydetector_spark.operators.profile import (
+        profile_columns,
+        profile_diff,
+        suggest_row_asserts,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    df = read_table(spark, args.input_path)
+    cols = args.columns.split(",") if args.columns else None
+    prof = profile_columns(
+        df, columns=cols, partition_by=args.partition_by, exact=args.exact
+    ).persist()
+    out = args.output_path.rstrip("/")
+    prof.write.mode("overwrite").parquet(f"{out}/profile")
+    n = prof.count()
+
+    if args.baseline:
+        old = spark.read.parquet(args.baseline)
+        diff = profile_diff(old, prof, rel_tolerance=args.rel_tolerance)
+        diff.write.mode("overwrite").parquet(f"{out}/profile_drift")
+        moved = (
+            diff.filter(F.col("status") != "unchanged")
+            .groupBy("status")
+            .count()
+            .collect()
+        )
+        summary = ", ".join(f"{r['status']}={r['count']}" for r in moved) or "none"
+        print(f"profile drift vs baseline: {summary}")
+
+    if args.suggest_suite:
+        suggested = suggest_row_asserts(prof, tolerance=args.suggest_tolerance)
+        spec = {
+            "asserts": [
+                {
+                    "name": a.name,
+                    "expr": a.expr,
+                    "max_violation_fraction": a.max_violation_fraction,
+                }
+                for a in suggested
+            ]
+        }
+        with open(args.suggest_suite, "w") as fh:
+            json.dump(spec, fh, indent=2)
+        print(f"suggested {len(suggested)} asserts -> {args.suggest_suite}")
+
+    prof.unpersist()
+    print(f"profiled {len(df.columns) if cols is None else len(cols)} columns "
+          f"({n} metric rows) -> {out}/profile")
+
+
 def _parse_weights(spec: str) -> dict[str, float]:
     """``"en=1.0,de=0.5"`` → {"en": 1.0, "de": 0.5}."""
     out: dict[str, float] = {}
@@ -819,6 +876,30 @@ def main(argv=None):
                         "many tokens → <output-path>_packs")
     p.add_argument("--seed", type=int, default=0)
 
+    pr = sub.add_parser(
+        "profile",
+        help="one-scan column profile (+ drift vs a baseline profile, "
+             "+ suggested check-suite JSON)",
+    )
+    pr.add_argument("--input-path", required=True)
+    pr.add_argument("--output-path", required=True)
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all columns)")
+    pr.add_argument("--partition-by", default=None)
+    pr.add_argument("--exact", action="store_true",
+                    help="exact distinct counts (Expand plan — small "
+                         "tables/tests; default is one-pass HLL)")
+    pr.add_argument("--baseline", default=None,
+                    help="a prior run's <out>/profile parquet; writes "
+                         "<out>/profile_drift with added/removed/changed "
+                         "statuses at --rel-tolerance")
+    pr.add_argument("--rel-tolerance", type=float, default=0.10)
+    pr.add_argument("--suggest-suite", default=None,
+                    help="write a validate-ready JSON suite of asserts "
+                         "derived from the profile")
+    pr.add_argument("--suggest-tolerance", type=float, default=0.0,
+                    help="max_violation_fraction for suggested asserts")
+
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
 
@@ -834,6 +915,8 @@ def main(argv=None):
             cmd_snapshot_diff(args, spark)
         elif args.cmd == "evaluate":
             cmd_evaluate(args, spark)
+        elif args.cmd == "profile":
+            cmd_profile(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:

@@ -174,6 +174,66 @@ def numeric_correlations(
     )
 
 
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    rel_tolerance: float = 0.10,
+) -> DataFrame:
+    """Statistics drift between two profiles of the same table (e.g. two
+    snapshots): full-outer join on ``(partition_key, column, metric)``
+    over the two BOUNDED profile frames.
+
+    Emits ``(partition_key, column, metric, old_value, new_value,
+    abs_delta, rel_delta, status)`` where status is ``added`` /
+    ``removed`` (metric exists on one side only — a schema or type
+    change seen from the profile), ``changed`` (relative move beyond
+    ``rel_tolerance``; when old is 0 any nonzero new is ``changed``), or
+    ``unchanged``. ``rel_delta`` is NULL when old is 0 or either side is
+    NULL-valued. Both inputs are partitions × columns × metrics rows, so
+    the join is trivially small at any input scale."""
+    keys = ["partition_key", "column", "metric"]
+    o = old.select(*keys, F.col("value").alias("old_value")).withColumn(
+        "_in_old", F.lit(True)
+    )
+    n = new.select(*keys, F.col("value").alias("new_value")).withColumn(
+        "_in_new", F.lit(True)
+    )
+    j = o.join(n, keys, "full_outer")
+    abs_delta = F.col("new_value") - F.col("old_value")
+    # ANSI: double division by a data-dependent 0 throws — guard with
+    # try_divide; NULL rel_delta means "no meaningful relative move"
+    rel_delta = F.try_divide(abs_delta, F.abs(F.col("old_value")))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_value").isNull() & F.col("new_value").isNull(),
+            F.lit("unchanged"),
+        )
+        .when(
+            F.col("old_value").isNull() | F.col("new_value").isNull(),
+            F.lit("changed"),
+        )
+        .when(
+            (F.col("old_value") == 0) & (F.col("new_value") != 0),
+            F.lit("changed"),
+        )
+        .when(
+            F.coalesce(F.abs(rel_delta), F.lit(0.0)) > rel_tolerance,
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        "old_value",
+        "new_value",
+        abs_delta.alias("abs_delta"),
+        rel_delta.alias("rel_delta"),
+        status.alias("status"),
+    )
+
+
 def suggest_row_asserts(
     profile: DataFrame,
     tolerance: float = 0.0,

@@ -104,6 +104,97 @@ def test_correlations(frame):
         numeric_correlations(frame, ["k"])
 
 
+def test_profile_diff_statuses(spark):
+    from anomalydetector_spark.operators.profile import profile_diff
+
+    schema = "partition_key string, column string, metric string, value double"
+    old = spark.createDataFrame(
+        [
+            ("g", "a", "mean", 10.0),
+            ("g", "a", "max", 100.0),
+            ("g", "b", "null_count", 0.0),
+            ("g", "gone", "mean", 1.0),
+            ("g", "c", "stddev", None),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("g", "a", "mean", 10.5),   # +5% -> unchanged at 10%
+            ("g", "a", "max", 250.0),   # +150% -> changed
+            ("g", "b", "null_count", 3.0),  # 0 -> nonzero -> changed
+            ("g", "fresh", "mean", 2.0),    # added
+            ("g", "c", "stddev", None),     # null both sides -> unchanged
+        ],
+        schema,
+    )
+    rows = {
+        (r.column, r.metric): r
+        for r in profile_diff(old, new, rel_tolerance=0.10).collect()
+    }
+    assert rows[("a", "mean")].status == "unchanged"
+    assert rows[("a", "mean")].rel_delta == pytest.approx(0.05)
+    assert rows[("a", "max")].status == "changed"
+    assert rows[("b", "null_count")].status == "changed"
+    assert rows[("b", "null_count")].rel_delta is None  # old == 0
+    assert rows[("gone", "mean")].status == "removed"
+    assert rows[("fresh", "mean")].status == "added"
+    assert rows[("c", "stddev")].status == "unchanged"
+    assert len(rows) == 6
+
+
+def test_cli_profile_workflow(spark, tmp_path):
+    """profile -> baseline diff -> suggested suite -> validate --suite,
+    the full user loop through the CLI entry point."""
+    import json
+
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    datagen.generate_pages(spark, 800).write.parquet(src)
+    out1 = str(tmp_path / "run1")
+    suite = str(tmp_path / "suite.json")
+    main(
+        [
+            "profile", "--input-path", src, "--output-path", out1,
+            "--columns", "url,lang,text", "--exact",
+            "--suggest-suite", suite, "--suggest-tolerance", "0.01",
+        ]
+    )
+    prof = spark.read.parquet(f"{out1}/profile")
+    assert prof.filter("column = 'lang' and metric = 'distinct_count'").count() == 1
+    spec = json.load(open(suite))
+    assert spec["asserts"] and all(
+        a["max_violation_fraction"] == 0.01 for a in spec["asserts"]
+    )
+
+    # drift against itself: everything unchanged
+    out2 = str(tmp_path / "run2")
+    main(
+        [
+            "profile", "--input-path", src, "--output-path", out2,
+            "--columns", "url,lang,text", "--exact",
+            "--baseline", f"{out1}/profile",
+        ]
+    )
+    drift = spark.read.parquet(f"{out2}/profile_drift")
+    assert drift.filter("status != 'unchanged'").count() == 0
+
+    # the suggested suite runs through validate --suite and passes
+    vout = str(tmp_path / "validated")
+    main(
+        [
+            "validate", "--input-path", src, "--output-path", vout,
+            "--suite", suite,
+        ]
+    )
+    verdicts = spark.read.parquet(f"{vout}/verdicts")
+    av = verdicts.filter("check_name like 'assert_%'")
+    assert av.count() > 0
+    assert av.filter("passed = false").count() == 0
+
+
 def test_suggestions_hold_on_source_data(frame):
     """Every suggested assert must pass on the data it was derived from
     (the enforce-what-you-observe invariant)."""
