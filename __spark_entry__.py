@@ -263,6 +263,26 @@ def q_referential_anti(spark, sf_dir):
     )
 
 
+def q_referential_anti_shuffle(spark, sf_dir):
+    """Same referential check on the non-broadcastable-dim ladder rung:
+    shuffle-hash join with explicit hot-key salting (the 10^9-key dim /
+    domain-skew path; operators/referential.dim_join docstring). Result
+    rows are identical to `referential_anti` by construction — the
+    replicated dim carries every salt for every key — so the same oracle
+    certifies the salted physical plan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    r = check_referential(
+        orders, "o_custkey", cust, "c_custkey", "o_orderpriority",
+        strategy="shuffle_salted", salts=8, salt_on="o_orderkey",
+    )
+    return r.verdicts.select(
+        F.col("partition_key").alias("o_orderpriority"),
+        "violation_count",
+        "rows_scanned",
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """LEFT SEMI (EXISTS) per nation (SURVEY §2.3)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1467,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascending_violations": q_ascending_violations,
         "value_bounds": q_value_bounds,
         "referential_anti": q_referential_anti,
+        "referential_anti_shuffle": q_referential_anti_shuffle,
         "semi_join": q_semi_join,
         "lang_histogram": q_lang_histogram,
         "length_quantiles": q_length_quantiles,
@@ -1841,6 +1862,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "referential_anti": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS violation_count,
+                   count(*) AS rows_scanned
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "referential_anti_shuffle": """
             SELECT o_orderpriority,
                    sum(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS violation_count,
                    count(*) AS rows_scanned

@@ -60,6 +60,14 @@ class ValidationConfig:
     # agg asserts together add exactly ONE extra aggregation pass.
     asserts: tuple = ()  # tuple[RowAssert, ...]
     agg_asserts: tuple = ()  # tuple[AggAssert, ...]
+    # dimension-join ladder for the referential check
+    # (operators/referential.dim_join): 'broadcast' (default — the north
+    # rule's shape, dims small enough to ship to every task) / 'auto'
+    # (Catalyst + AQE pick from runtime sizes) / 'shuffle' (dims that
+    # can never broadcast) / 'shuffle_salted' (shuffle + explicit
+    # hot-domain spreading over ref_salts tasks).
+    ref_strategy: str = "broadcast"
+    ref_salts: int = 16
 
 
 @dataclass
@@ -105,6 +113,8 @@ def run_validation(
         ref_dim=domains,
         unique_key=cfg.unique_key,
         extra_cube_aggs=A.row_assert_counts(row_asserts) or None,
+        ref_strategy=cfg.ref_strategy,
+        ref_salts=cfg.ref_salts,
     )
     cube = scans.cube.persist()
     profile = scans.profile.persist()
@@ -231,10 +241,17 @@ def run_validation(
         *A.row_assert_tags(row_asserts),
     ]
     if domains is not None:
-        dim = F.broadcast(
-            domains.select("domain", F.lit(True).alias("_known")).distinct()
+        from anomalydetector_spark.operators.referential import dim_join
+
+        tagged = dim_join(
+            tagged,
+            domains,
+            "domain",
+            how="left",
+            strategy=cfg.ref_strategy,
+            salts=cfg.ref_salts,
+            salt_on=F.col(cfg.unique_key),
         )
-        tagged = tagged.join(dim, "domain", "left")
         tags.append(
             F.when(
                 F.col("domain").isNotNull() & F.col("_known").isNull(),

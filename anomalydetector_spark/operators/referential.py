@@ -1,9 +1,27 @@
-"""Referential-integrity checks as broadcast semi/anti joins (north rule;
+"""Referential-integrity checks as semi/anti joins (north rule;
 SURVEY.md §2.2 referential note).
 
-The dimension side (domains, allowed langs, …) is small relative to the
-fact table, so the join is forced broadcast: no shuffle of the 10^12-row
-side, each task streams its split against an in-memory hash set.
+Physical strategy is a ladder, chosen by dimension size:
+
+* ``broadcast`` (default, the north rule's stated shape): the dimension
+  (domains, allowed langs, …) is small relative to the fact table, so
+  the join is forced broadcast — no shuffle of the 10^12-row side, each
+  task streams its split against an in-memory hash set.
+* ``auto``: no hint. Catalyst picks from statistics and AQE re-plans at
+  runtime (a sort-merge join whose built side turns out under
+  ``spark.sql.adaptive.autoBroadcastJoinThreshold`` is promoted to
+  broadcast after the shuffle materializes). The right setting when the
+  dimension's size is unknown at plan time.
+* ``shuffle``: explicit ``shuffle_hash`` hint — for dimensions that can
+  never broadcast (say 10^9 distinct keys): both sides hash-partition on
+  the key, no sort, no driver-side collect of the dim.
+* ``shuffle_salted``: ``shuffle`` plus explicit hot-key spreading — the
+  fact side gets a per-row salt, the dimension is replicated once per
+  salt, and the join key becomes (key, salt), so a domain owning half
+  the corpus splits across ``salts`` tasks instead of serializing into
+  one. Exact: the replicated dimension contains every salt for every
+  key, so match/no-match per fact row is unchanged. (AQE's skew-join
+  splitting only applies to sort-merge joins, hence the explicit salt.)
 """
 
 from __future__ import annotations
@@ -18,6 +36,62 @@ from anomalydetector_spark.operators.checks import (
     _verdict_from_violation_count,
 )
 
+REF_STRATEGIES = ("broadcast", "auto", "shuffle", "shuffle_salted")
+
+
+def _salt_expr(salt_on: Column | str | None, salts: int) -> Column:
+    """Deterministic-when-possible per-row salt in [0, salts). Pass a
+    high-cardinality column (the fact's unique key) for a salt that is
+    stable under task retry; the fallback varies per retry, which is
+    still exact here because the replicated dim carries every salt."""
+    src = (
+        F.monotonically_increasing_id()
+        if salt_on is None
+        else (F.col(salt_on) if isinstance(salt_on, str) else salt_on)
+    )
+    return F.pmod(F.xxhash64(src), F.lit(salts)).cast("int")
+
+
+def _dim_keys(parent: DataFrame, parent_col: str, child_col: str) -> DataFrame:
+    return parent.select(F.col(parent_col).alias(child_col)).distinct()
+
+
+def dim_join(
+    fact: DataFrame,
+    parent: DataFrame,
+    child_col: str,
+    parent_col: str | None = None,
+    how: str = "left",
+    strategy: str = "broadcast",
+    salts: int = 16,
+    salt_on: Column | str | None = None,
+) -> DataFrame:
+    """Join ``fact`` against the distinct parent key set under the chosen
+    physical strategy. ``how='left'`` appends a ``_known`` boolean column
+    (True where the key exists, NULL otherwise); ``how='left_anti'`` /
+    ``'left_semi'`` return the usual filtered fact rows."""
+    if strategy not in REF_STRATEGIES:
+        raise ValueError(
+            f"strategy must be one of {REF_STRATEGIES}, got {strategy!r}"
+        )
+    dim = _dim_keys(parent, parent_col or child_col, child_col)
+    if how == "left":
+        dim = dim.withColumn("_known", F.lit(True))
+
+    if strategy == "broadcast":
+        return fact.join(F.broadcast(dim), child_col, how)
+    if strategy == "auto":
+        return fact.join(dim, child_col, how)
+    if strategy == "shuffle":
+        return fact.join(dim.hint("shuffle_hash"), child_col, how)
+
+    # shuffle_salted: spread each hot fact key across `salts` tasks
+    fact_s = fact.withColumn("_ref_salt", _salt_expr(salt_on, salts))
+    dim_s = dim.withColumn(
+        "_ref_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).hint("shuffle_hash")
+    return fact_s.join(dim_s, [child_col, "_ref_salt"], how).drop("_ref_salt")
+
 
 def check_referential(
     child: DataFrame,
@@ -26,16 +100,26 @@ def check_referential(
     parent_col: str,
     partition_by: Column | str | None = None,
     keep: list[str] | None = None,
+    strategy: str = "broadcast",
+    salts: int = 16,
+    salt_on: Column | str | None = None,
 ) -> CheckResult:
     """Every non-null ``child[child_col]`` must exist in
-    ``parent[parent_col]``. Violations via broadcast LEFT ANTI join; the
-    passing set is the LEFT SEMI complement (not materialized here)."""
+    ``parent[parent_col]``. Violations via LEFT ANTI join under the
+    chosen ``strategy`` (see module docstring); the passing set is the
+    LEFT SEMI complement (not materialized here)."""
     name = f"ref_{child_col}"
     p = _part(child, partition_by)
-    dim = F.broadcast(parent.select(F.col(parent_col).alias(child_col)).distinct())
 
-    dangling = p.filter(F.col(child_col).isNotNull()).join(
-        dim, child_col, "left_anti"
+    dangling = dim_join(
+        p.filter(F.col(child_col).isNotNull()),
+        parent,
+        child_col,
+        parent_col,
+        how="left_anti",
+        strategy=strategy,
+        salts=salts,
+        salt_on=salt_on,
     )
 
     counted = (

@@ -124,21 +124,33 @@ def build_fused_scans(
     unique_key: str = "url",
     n_salts: int = 64,
     extra_cube_aggs: list[Column] | None = None,
+    ref_strategy: str = "broadcast",
+    ref_salts: int = 16,
 ) -> FusedScans:
     """Build (lazily) the two shared aggregates from a keyed input.
 
     ``extra_cube_aggs`` rides additional aggregate columns on the cube
     scan (e.g. per-row-assert violation counters from
     operators/asserts.row_assert_counts) — zero extra scans, zero extra
-    cube rows, one extra long column each."""
+    cube rows, one extra long column each.
+
+    ``ref_strategy`` picks the dimension-join ladder rung
+    (operators/referential.dim_join): broadcast (default) / auto /
+    shuffle / shuffle_salted; the salted rung salts on ``unique_key`` so
+    the salt is deterministic under task retry."""
     if ref_dim is not None:
-        dim = F.broadcast(
-            ref_dim.select(
-                F.col(ref_parent_col).alias(ref_child_col),
-                F.lit(True).alias("_known"),
-            ).distinct()
-        )
-        flagged = keyed.join(dim, ref_child_col, "left").withColumn(
+        from anomalydetector_spark.operators.referential import dim_join
+
+        flagged = dim_join(
+            keyed,
+            ref_dim,
+            ref_child_col,
+            ref_parent_col,
+            how="left",
+            strategy=ref_strategy,
+            salts=ref_salts,
+            salt_on=F.col(unique_key),
+        ).withColumn(
             "_ok", F.col(ref_child_col).isNull() | F.col("_known").isNotNull()
         )
     else:

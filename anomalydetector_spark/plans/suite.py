@@ -49,6 +49,10 @@ class CheckSpec:
     upper: float | None = None
     order_col: str | None = None
     required: tuple[str, ...] = ()
+    # referential only: dimension-join ladder rung + salt count
+    # (operators/referential.dim_join)
+    strategy: str = "broadcast"
+    salts: int = 16
 
 
 # -- spec constructors (the public vocabulary) ------------------------------
@@ -70,9 +74,16 @@ def unique(key_col: str) -> CheckSpec:
     return CheckSpec("unique", column=key_col)
 
 
-def referential(column: str, dim: DataFrame, dim_column: str | None = None) -> CheckSpec:
+def referential(
+    column: str,
+    dim: DataFrame,
+    dim_column: str | None = None,
+    strategy: str = "broadcast",
+    salts: int = 16,
+) -> CheckSpec:
     return CheckSpec("referential", column=column, dim=dim,
-                     dim_column=dim_column or column)
+                     dim_column=dim_column or column,
+                     strategy=strategy, salts=salts)
 
 
 def finite(column: str) -> CheckSpec:
@@ -151,13 +162,18 @@ def run_suite(
         key_col = uniq_specs[0].column if uniq_specs else None
 
         if ref is not None:
-            dim = F.broadcast(
-                ref.dim.select(
-                    F.col(ref.dim_column).alias(ref.column),
-                    F.lit(True).alias("_known"),
-                ).distinct()
-            )
-            flagged = keyed.join(dim, ref.column, "left").withColumn(
+            from anomalydetector_spark.operators.referential import dim_join
+
+            flagged = dim_join(
+                keyed,
+                ref.dim,
+                ref.column,
+                ref.dim_column,
+                how="left",
+                strategy=ref.strategy,
+                salts=ref.salts,
+                salt_on=F.col(key_col) if key_col else None,
+            ).withColumn(
                 "_ok",
                 F.col(ref.column).isNull() | F.col("_known").isNotNull(),
             )

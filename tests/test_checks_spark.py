@@ -136,6 +136,79 @@ def test_referential_check(spark):
     assert len(viol) == 1 and viol[0].domain == "dX"
 
 
+def test_referential_strategy_ladder(spark):
+    """All four dim-join rungs (broadcast / auto / shuffle /
+    shuffle_salted) return identical verdicts and violation row sets —
+    the salted rung replicates the dim once per salt, so match/no-match
+    per fact row is provably unchanged — and each rung's physical plan is
+    the one asked for."""
+    import pyspark.sql.functions as F2
+
+    n, hot = 20_000, 10_000  # one domain owns 50% of rows (north-rule skew)
+    child = spark.range(n).select(
+        F2.concat(F2.lit("u"), F2.col("id").cast("string")).alias("k"),
+        F2.when(F2.col("id") < hot, F2.lit("hot.example.com"))
+        .when(F2.col("id") % 7 == 0, F2.lit("dangling.example.com"))
+        .when(F2.col("id") % 11 == 0, F2.lit(None).cast("string"))
+        .otherwise(F2.concat(F2.lit("d"), (F2.col("id") % 50).cast("string")))
+        .alias("domain"),
+    )
+    parent = spark.createDataFrame(
+        [("hot.example.com",)] + [(f"d{i}",) for i in range(50)],
+        "domain string",
+    )
+
+    results = {}
+    for strategy in ("broadcast", "auto", "shuffle", "shuffle_salted"):
+        res = check_referential(
+            child, "domain", parent, "domain",
+            strategy=strategy, salts=8, salt_on="k",
+        )
+        v = _one(res.verdicts)
+        viol = sorted(r.domain for r in res.violations.collect())
+        results[strategy] = (v.passed, v.violation_count, v.rows_scanned, viol)
+
+        plan = res.violations._jdf.queryExecution().executedPlan().toString()
+        if strategy == "broadcast":
+            assert "BroadcastHashJoin" in plan
+        elif strategy in ("shuffle", "shuffle_salted"):
+            assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+    base = results["broadcast"]
+    assert all(r == base for r in results.values())
+    assert base[1] > 0 and all(d == "dangling.example.com" for d in base[3])
+
+    with pytest.raises(ValueError, match="strategy"):
+        check_referential(child, "domain", parent, "domain", strategy="bogus")
+
+
+def test_engine_ref_strategy_parity(spark):
+    """run_validation under ref_strategy='shuffle_salted' emits the same
+    verdicts and violations as the default broadcast path (the cube _ok
+    flag AND the violation-extraction tag both route through dim_join)."""
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.engine import ValidationConfig, run_validation
+
+    pages = datagen.generate_pages(spark, n_rows=3_000, seed=11)
+    domains = datagen.domains_dim(spark)
+
+    def snap(cfg):
+        r = run_validation(pages, domains, cfg)
+        verd = sorted(
+            (x.check_name, x.partition_key, x.passed, x.violation_count)
+            for x in r.verdicts.collect()
+        )
+        viol = sorted(
+            (x.check_name, x.partition_key, x.url) for x in r.violations.collect()
+        )
+        r.unpersist()
+        return verd, viol
+
+    assert snap(ValidationConfig()) == snap(
+        ValidationConfig(ref_strategy="shuffle_salted", ref_salts=8)
+    )
+
+
 def test_uniqueness_under_extreme_hot_key(spark):
     """North rule: domain-skewed url partitions. One url carrying 30% of
     all rows must neither stall nor miscount: the positional salt spreads

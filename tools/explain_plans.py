@@ -451,6 +451,29 @@ def main() -> None:
         and "xxhash64" in ss_plan,
     )
 
+    from anomalydetector_spark.operators.referential import check_referential
+
+    ref_plan = plan_of(
+        check_referential(
+            docs.select("doc_id", "lang"),
+            "lang",
+            docs.select("lang"),
+            "lang",
+            strategy="shuffle_salted",
+            salts=8,
+            salt_on="doc_id",
+        ).violations
+    )
+    ok &= check(
+        "referential shuffle_salted rung: ShuffledHashJoin on (key, salt), "
+        "dim never broadcast, no sort, no Python",
+        "ShuffledHashJoin" in ref_plan
+        and "BroadcastHashJoin" not in ref_plan
+        and "BroadcastExchange" not in ref_plan
+        and "_ref_salt" in ref_plan
+        and "EvalPython" not in ref_plan,
+    )
+
     from anomalydetector_spark.operators.profile import profile_columns
 
     prof_plan = plan_of(profile_columns(docs.select("doc_id", "text")))
