@@ -283,6 +283,43 @@ def q_referential_anti_shuffle(spark, sf_dir):
     )
 
 
+def q_fd_check(spark, sf_dir):
+    """Generic functional-dependency check (checks.check_functional_dependency):
+    l_partkey → l_suppkey per returnflag. TPC-H supplies each part from ~4
+    suppliers, so violations are plentiful — the point is the exact
+    per-partition counts under the hash-encoded dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = C.check_functional_dependency(li, "l_partkey", "l_suppkey", "l_returnflag")
+    return r.verdicts.select(
+        F.col("partition_key").alias("l_returnflag"),
+        "violation_count",
+        "rows_scanned",
+    )
+
+
+def q_quarantine_rows(spark, sf_dir):
+    """Row-level quarantine split (operators/quarantine.tag_rows): every
+    doc tagged with the sorted list of failed checks + clean/quarantined
+    status — one pure codegen projection, the one-scan dead-letter flow."""
+    from anomalydetector_spark.operators.asserts import RowAssert
+    from anomalydetector_spark.operators.quarantine import (
+        STATUS_COL,
+        VIOLATED_COL,
+        tag_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = tag_rows(
+        docs,
+        [RowAssert("min_len", "n_chars >= 60"), RowAssert("max_len", "n_chars <= 400")],
+    )
+    return tagged.select(
+        "doc_id",
+        F.col(STATUS_COL).alias("validation_status"),
+        F.array_join(F.col(VIOLATED_COL), ",").alias("violated"),
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """LEFT SEMI (EXISTS) per nation (SURVEY §2.3)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1488,6 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_bounds": q_value_bounds,
         "referential_anti": q_referential_anti,
         "referential_anti_shuffle": q_referential_anti_shuffle,
+        "fd_check": q_fd_check,
+        "quarantine_rows": q_quarantine_rows,
         "semi_join": q_semi_join,
         "lang_histogram": q_lang_histogram,
         "length_quantiles": q_length_quantiles,
@@ -1874,6 +1913,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS rows_scanned
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "fd_check": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT AS violation_count,
+                   sum(n)::BIGINT AS rows_scanned
+            FROM (
+                SELECT l_returnflag, l_partkey,
+                       count(DISTINCT l_suppkey)
+                         + CASE WHEN bool_or(l_suppkey IS NULL) THEN 1 ELSE 0 END AS nv,
+                       count(*) AS n
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        """,
+        "quarantine_rows": """
+            SELECT doc_id,
+                   CASE WHEN n_chars < 60 OR n_chars > 400
+                        THEN 'quarantined' ELSE 'clean' END AS validation_status,
+                   concat_ws(',',
+                       CASE WHEN n_chars > 400 THEN 'assert_max_len' END,
+                       CASE WHEN n_chars < 60 THEN 'assert_min_len' END
+                   ) AS violated
+            FROM documents
         """,
         "semi_join": """
             SELECT c_nationkey, count(*) AS n_customers_with_orders

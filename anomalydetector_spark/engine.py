@@ -77,6 +77,13 @@ class ValidationResult:
     stat_series: DataFrame  # long-format per-window stats
     drift_scored: DataFrame  # SR-scored stat series
     drift_verdicts: DataFrame  # per-(partition, stat) pass/fail
+    # input rows + violated_checks array + validation_status — the
+    # quarantine split (operators/quarantine.py). Shares the violation
+    # extraction's one-scan DAG (so it covers the row-addressable checks:
+    # null ts, duplicate key, dangling dim, row asserts — not the opt-in
+    # html byte-identity pair, which scans separately by design); sink
+    # clean+quarantined in one pass with quarantine.write_split.
+    row_status: DataFrame | None = None
     cached: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
@@ -263,6 +270,22 @@ def run_validation(
         F.explode(hit).alias("check_name"), "partition_key", cfg.unique_key
     )
 
+    # quarantine view over the SAME tagged frame: every input row with
+    # the sorted array of checks it violates + clean/quarantined status
+    from anomalydetector_spark.operators import quarantine as Q
+
+    base_cols = [c for c in pages.columns if c in tagged.columns]
+    row_status = tagged.select(
+        *base_cols,
+        "partition_key",
+        F.array_sort(hit).alias(Q.VIOLATED_COL),
+    ).withColumn(
+        Q.STATUS_COL,
+        F.when(F.size(Q.VIOLATED_COL) > 0, F.lit(Q.QUARANTINED)).otherwise(
+            F.lit(Q.CLEAN)
+        ),
+    )
+
     if cfg.verify_text_extraction:
         # byte-identity invariant (north rule): text == extract_text(html)
         # per row, and rows sharing a url agree on text bytes. These are
@@ -323,5 +346,6 @@ def run_validation(
         stat_series=stat_series,
         drift_scored=scored,
         drift_verdicts=dverdicts,
+        row_status=row_status,
         cached=[cube, profile, stat_series, scored],
     )

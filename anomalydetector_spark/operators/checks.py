@@ -373,6 +373,46 @@ def check_text_extraction(
     )
 
 
+def check_functional_dependency(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    partition_by: Column | str | None = None,
+) -> CheckResult:
+    """Generic functional-dependency check: every non-null ``determinant``
+    value must map to exactly one ``dependent`` value (generalizes
+    check_key_text_consistency to any column pair — url → domain,
+    snapshot_id → partition_spec, …).
+
+    Scale shape: the dependent is collapsed per row to a 256-bit hash of
+    its JSON encoding BEFORE the shuffle (``to_json(struct(col))`` is
+    injective per type, handles any column type incl. binary via base64,
+    and encodes NULL distinctly — so a determinant mapping to {x, NULL}
+    counts as two values), one hash-aggregate on the determinant, then a
+    tiny per-partition rollup. Violations are the offending DETERMINANT
+    keys (callers semi-join for full rows)."""
+    name = f"fd_{determinant}_{dependent}"
+    p = _part(df, partition_by).filter(F.col(determinant).isNotNull())
+    enc = F.sha2(F.to_json(F.struct(F.col(dependent))), 256)
+    per_key = p.groupBy("partition_key", determinant).agg(
+        F.count_distinct(enc).alias("_nv"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    counted = per_key.groupBy("partition_key").agg(
+        F.sum((F.col("_nv") > 1).cast("long")).alias("violation_count"),
+        F.sum("_rows").alias("rows_scanned"),
+    )
+    bad_keys = per_key.filter(F.col("_nv") > 1).select(
+        F.lit(name).alias("check_name"), "partition_key", determinant
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.FD_VIOLATION.format(determinant, dependent)
+        ),
+        bad_keys,
+    )
+
+
 def check_key_text_consistency(
     df: DataFrame,
     key_col: str = "url",

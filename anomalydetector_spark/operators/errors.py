@@ -27,3 +27,4 @@ TEXT_EXTRACTION_MISMATCH = (
     'Column "{0}" is not byte-identical to the text extracted from "{1}".'
 )
 INCONSISTENT_KEY_TEXT = 'Rows sharing the same "{0}" disagree on text bytes.'
+FD_VIOLATION = 'Functional dependency "{0}" -> "{1}" violated: some "{0}" values map to multiple "{1}" values.'

@@ -136,6 +136,33 @@ def test_referential_check(spark):
     assert len(viol) == 1 and viol[0].domain == "dX"
 
 
+def test_functional_dependency_check(spark):
+    """fd: non-null determinants must map to one dependent value; a
+    NULL dependent counts as a value (so {x, NULL} violates); NULL
+    determinants are out of scope (referential-style)."""
+    df = spark.createDataFrame(
+        [
+            ("p", "a", "s1"), ("p", "a", "s1"),          # consistent
+            ("p", "b", "s1"), ("p", "b", "s2"),          # violates
+            ("p", "c", "s1"), ("p", "c", None),          # {x, NULL} violates
+            ("p", "d", None), ("p", "d", None),          # consistent (all NULL)
+            ("p", None, "s9"),                            # null determinant: skipped
+        ],
+        "part string, det string, dep string",
+    )
+    res = C.check_functional_dependency(df, "det", "dep", "part")
+    v = _one(res.verdicts)
+    assert not v.passed
+    assert v.violation_count == 2 and v.rows_scanned == 8
+    assert errors.FD_VIOLATION.format("det", "dep") == v.error_message
+    assert sorted(r.det for r in res.violations.collect()) == ["b", "c"]
+
+    ok = C.check_functional_dependency(
+        df.filter(F.col("det").isin("a", "d")), "det", "dep", "part"
+    )
+    assert _one(ok.verdicts).passed
+
+
 def test_referential_strategy_ladder(spark):
     """All four dim-join rungs (broadcast / auto / shuffle /
     shuffle_salted) return identical verdicts and violation row sets —

@@ -474,6 +474,41 @@ def main() -> None:
         and "EvalPython" not in ref_plan,
     )
 
+    from anomalydetector_spark.operators.asserts import RowAssert
+    from anomalydetector_spark.operators.quarantine import tag_rows
+
+    quar_plan = plan_of(
+        tag_rows(
+            docs.select("doc_id", "n_chars"),
+            [RowAssert("min_len", "n_chars >= 60")],
+        )
+    )
+    ok &= check(
+        "quarantine tagging is a pure codegen projection (no shuffle, no "
+        "join, no Python)",
+        "Exchange" not in quar_plan
+        and "Join" not in quar_plan
+        and "EvalPython" not in quar_plan,
+    )
+
+    from anomalydetector_spark.operators.checks import (
+        check_functional_dependency,
+    )
+
+    fd_plan = plan_of(
+        check_functional_dependency(
+            docs.select("doc_id", "lang", "text"), "doc_id", "text"
+        ).verdicts
+    )
+    ok &= check(
+        "functional-dependency check: dependent hashed to 256 bits "
+        "BEFORE the shuffle (text never crosses), partial aggregation "
+        "map-side, no Python",
+        "sha2" in fd_plan
+        and "partial_count" in fd_plan
+        and "EvalPython" not in fd_plan,
+    )
+
     from anomalydetector_spark.operators.profile import profile_columns
 
     prof_plan = plan_of(profile_columns(docs.select("doc_id", "text")))
