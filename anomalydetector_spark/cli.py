@@ -240,6 +240,13 @@ def cmd_validate(args, spark: SparkSession) -> None:
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
 
+    if getattr(args, "quarantine", False):
+        # dead-letter flow: ONE scan writes rows/validation_status=clean
+        # (the training corpus) and =quarantined (+ violated_checks tags)
+        from anomalydetector_spark.operators.quarantine import write_split
+
+        write_split(res.row_status, f"{out}/rows")
+
     snapshot = table_version(spark, args.input_path)
     if args.manifest:
         merged = M.run_with_resume(spark, res.verdicts, snapshot, args.manifest)
@@ -755,6 +762,10 @@ def main(argv=None):
     v.add_argument("--drift-margin", action="store_true",
                    help="score drift in AnomalyAndMargin mode (expected "
                         "value + boundaries per window)")
+    v.add_argument("--quarantine", action="store_true",
+                   help="also write every input row under rows/"
+                        "validation_status={clean,quarantined} (one scan, "
+                        "quarantined rows carry their violated_checks)")
 
     s = sub.add_parser(
         "stream-validate",

@@ -68,6 +68,14 @@ class ValidationConfig:
     # hot-domain spreading over ref_salts tasks).
     ref_strategy: str = "broadcast"
     ref_salts: int = 16
+    # generic functional dependencies: (determinant, dependent) column
+    # pairs — every non-null determinant value must map to exactly one
+    # dependent value (checks.check_functional_dependency). Each pair is
+    # one hash-aggregate on its own shuffle key; the (rare) violating
+    # keys are broadcast back onto the shared violation-extraction scan,
+    # so FD violations surface as full rows in row_status/violations
+    # like every other row-addressable check.
+    functional_deps: tuple = ()  # tuple[tuple[str, str], ...]
 
 
 @dataclass
@@ -247,6 +255,27 @@ def run_validation(
         F.when(F.col("_is_dup"), F.lit(uniq_name)),
         *A.row_assert_tags(row_asserts),
     ]
+    for i, (det, dep) in enumerate(cfg.functional_deps):
+        fd = C.check_functional_dependency(
+            keyed, det, dep, partition_by=F.col("partition_key")
+        )
+        verdict_frames.append(fd.verdicts)
+        # violating determinant keys are rare by assumption (same as the
+        # duplicate-key set above) — broadcast them onto the shared scan;
+        # the join is per (partition_key, determinant) because a key may
+        # violate in one partition and not another
+        bad = fd.violations.select(
+            F.col("partition_key").alias(f"_fd_pk_{i}"),
+            F.col(det).alias(f"_fd_k_{i}"),
+            F.lit(True).alias(f"_fd_hit_{i}"),
+        )
+        tagged = tagged.join(
+            F.broadcast(bad),
+            (F.col("partition_key") == F.col(f"_fd_pk_{i}"))
+            & (F.col(det) == F.col(f"_fd_k_{i}")),
+            "left",
+        ).drop(f"_fd_pk_{i}", f"_fd_k_{i}")
+        tags.append(F.when(F.col(f"_fd_hit_{i}"), F.lit(f"fd_{det}_{dep}")))
     if domains is not None:
         from anomalydetector_spark.operators.referential import dim_join
 

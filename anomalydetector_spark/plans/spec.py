@@ -19,6 +19,7 @@ Example::
       "shape_drift": true,
       "schema": {"url": "string", "warc_ts": "timestamp",
                  "html": "binary", "text": "string", "lang": "string"},
+      "functional_deps": [["url", "lang"]],
       "asserts": [
         {"name": "text_nonempty", "expr": "length(text) > 0",
          "max_violation_fraction": 0.001},
@@ -97,6 +98,25 @@ def config_from_dict(spec: dict) -> ValidationConfig:
         elif field in cfg_fields:
             if field == "langs":
                 value = tuple(value)
+            elif field == "functional_deps":
+                if not isinstance(value, list):
+                    raise ValueError(
+                        '"functional_deps" must be a list of '
+                        "[determinant, dependent] pairs"
+                    )
+                pairs = []
+                for j, pair in enumerate(value):
+                    if (
+                        not isinstance(pair, (list, tuple))
+                        or len(pair) != 2
+                        or not all(isinstance(c, str) for c in pair)
+                    ):
+                        raise ValueError(
+                            f'"functional_deps"[{j}] must be a '
+                            "[determinant, dependent] pair of column names"
+                        )
+                    pairs.append(tuple(pair))
+                value = tuple(pairs)
             kwargs[field] = value
         else:
             valid = sorted(set(_TOP_ALIASES) | (set(cfg_fields) - {"sr"}))
@@ -118,6 +138,7 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
     d["drift"] = d.pop("sr")
     d["schema"] = d.pop("expected_schema")
     d["langs"] = list(d["langs"])
+    d["functional_deps"] = [list(p) for p in d["functional_deps"]]
     d["asserts"] = [dict(a) for a in d["asserts"]]
     d["agg_asserts"] = [dict(a) for a in d["agg_asserts"]]
     return d

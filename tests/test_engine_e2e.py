@@ -52,6 +52,42 @@ def test_run_validation_end_to_end(spark, pages):
     assert dv["lang_frac_de"].verdict == "pass"
 
 
+def test_functional_dependency_in_engine(spark):
+    """cfg.functional_deps surfaces as a per-partition verdict AND as
+    row-level violations/quarantine tags on the shared extraction scan."""
+    pages = datagen.generate_pages(spark, n_rows=2_000, seed=11)
+    # re-emit 3 rows with a different lang → each url now maps to 2 langs
+    poisoned = pages.unionByName(
+        pages.orderBy("url").limit(3).withColumn("lang", F.lit("xx"))
+    )
+    cfg = ValidationConfig(functional_deps=(("url", "lang"),))
+    res = run_validation(poisoned, datagen.domains_dim(spark), cfg)
+
+    fd = res.verdicts.filter("check_name = 'fd_url_lang'").collect()
+    assert fd and not all(r.passed for r in fd)
+    assert sum(r.violation_count for r in fd) == 3  # violating KEYS
+
+    v = res.violations.filter("check_name = 'fd_url_lang'")
+    urls = [r.url for r in v.select("url").distinct().collect()]
+    assert len(urls) == 3
+    assert v.count() >= 6  # every row of a violating key is tagged
+
+    tagged = res.row_status.filter(
+        F.array_contains("violated_checks", "fd_url_lang")
+    )
+    assert tagged.count() == v.count()
+    res.unpersist()
+
+    # clean config on clean data: FD on (url, text) passes everywhere
+    # (byte-identical text per url is the datagen invariant)
+    ok = run_validation(
+        pages, None, ValidationConfig(functional_deps=(("url", "text"),))
+    )
+    fd_ok = ok.verdicts.filter("check_name = 'fd_url_text'").collect()
+    assert fd_ok and all(r.passed for r in fd_ok)
+    ok.unpersist()
+
+
 def test_text_byte_identity_per_url(pages):
     """north-star invariant: extracted text is byte-identical per url —
     duplicate-url rows must agree on text and html."""

@@ -60,6 +60,25 @@ def test_round_trip():
     assert config_from_dict(suite_to_dict(cfg)) == cfg
 
 
+def test_functional_deps_translate_and_round_trip():
+    cfg = config_from_dict(
+        {"functional_deps": [["url", "lang"], ["domain", "tld"]]}
+    )
+    assert cfg.functional_deps == (("url", "lang"), ("domain", "tld"))
+    # JSON round-trip: tuples freeze to lists and come back as tuples
+    thawed = config_from_dict(json.loads(json.dumps(suite_to_dict(cfg))))
+    assert thawed == cfg
+
+
+def test_functional_deps_bad_shapes_rejected():
+    with pytest.raises(ValueError, match="must be a list"):
+        config_from_dict({"functional_deps": "url->lang"})
+    with pytest.raises(ValueError, match=r"\[0\] must be a"):
+        config_from_dict({"functional_deps": [["url"]]})
+    with pytest.raises(ValueError, match=r"\[1\] must be a"):
+        config_from_dict({"functional_deps": [["a", "b"], ["a", 3]]})
+
+
 def test_cli_validate_with_suite(spark, tmp_path, capsys):
     from anomalydetector_spark import cli, datagen
 
@@ -82,6 +101,46 @@ def test_cli_validate_with_suite(spark, tmp_path, capsys):
     assert "validated " in capsys.readouterr().out
     verdicts = spark.read.parquet(f"{out}/verdicts")
     assert verdicts.filter("check_name = 'min_row_count'").count() > 0
+
+
+def test_cli_validate_quarantine_and_fd_suite(spark, tmp_path, capsys):
+    """--quarantine writes the dead-letter split under rows/, and a suite
+    file can declare functional_deps (full file → CLI → engine path)."""
+    import os
+
+    from anomalydetector_spark import cli, datagen
+
+    pages = datagen.generate_pages(spark, 4000)
+    src = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(src)
+    suite = {
+        "window": "1 day",
+        "min_points": 2,
+        "functional_deps": [["url", "text"]],
+        "drift": {"threshold": 0.5},
+    }
+    spath = str(tmp_path / "suite.json")
+    with open(spath, "w") as fh:
+        json.dump(suite, fh)
+    out = str(tmp_path / "out")
+    cli.main([
+        "validate", "--input-path", src, "--output-path", out,
+        "--suite", spath, "--quarantine",
+    ])
+    capsys.readouterr()
+    # FD verdict rows exist (url → text holds by datagen invariant)
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    fd = verdicts.filter("check_name = 'fd_url_text'")
+    assert fd.count() > 0 and fd.filter("NOT passed").count() == 0
+    # quarantine split: both status dirs, total rows == input rows
+    subdirs = sorted(
+        d for d in os.listdir(f"{out}/rows")
+        if d.startswith("validation_status=")
+    )
+    assert subdirs == [
+        "validation_status=clean", "validation_status=quarantined"
+    ]
+    assert spark.read.parquet(f"{out}/rows").count() == pages.count()
 
 
 def test_schema_types_check(spark):
