@@ -70,9 +70,11 @@ class ValidationConfig:
     ref_salts: int = 16
     # generic functional dependencies: (determinant, dependent) column
     # pairs — every non-null determinant value must map to exactly one
-    # dependent value (checks.check_functional_dependency). Each pair is
-    # one hash-aggregate on its own shuffle key; the (rare) violating
-    # keys are broadcast back onto the shared violation-extraction scan,
+    # dependent value (checks.check_functional_dependency). Each pair
+    # costs ONE hash-aggregate scan per run: the (rare) violating keys
+    # are persisted, the per-partition verdict rides the shared rollup
+    # projection as a broadcast count of that cached frame, and the same
+    # frame is broadcast back onto the shared violation-extraction scan,
     # so FD violations surface as full rows in row_status/violations
     # like every other row-addressable check.
     functional_deps: tuple = ()  # tuple[tuple[str, str], ...]
@@ -210,6 +212,31 @@ def run_validation(
                 E.DANGLING_REFERENCE.format("domain", "domain"),
             )
         )
+    # functional dependencies: ONE hash-aggregate scan per pair fills a
+    # persisted frame of the (rare) violating determinant keys; both the
+    # per-partition verdict (a broadcast count of that frame riding the
+    # shared rollup projection) and the row tags below reuse the cache —
+    # no second pass over the input per pair.
+    fd_bad: list[DataFrame] = []
+    for i, (det, dep) in enumerate(cfg.functional_deps):
+        fd = C.check_functional_dependency(
+            keyed, det, dep, partition_by=F.col("partition_key")
+        )
+        bad = fd.violations.select(
+            "partition_key", F.col(det).alias(f"_fd_k_{i}")
+        ).persist()
+        fd_bad.append(bad)
+        counts = bad.groupBy("partition_key").agg(
+            F.count(F.lit(1)).alias(f"_fd_viol_{i}")
+        )
+        enriched = enriched.join(F.broadcast(counts), "partition_key", "left")
+        verdict_structs.append(
+            _verdict_struct(
+                f"fd_{det}_{dep}",
+                F.coalesce(F.col(f"_fd_viol_{i}"), F.lit(0)),
+                E.FD_VIOLATION.format(det, dep),
+            )
+        )
     rollup_verdicts = enriched.select(
         "partition_key", "rows_scanned", F.inline(F.array(*verdict_structs))
     ).select(
@@ -256,17 +283,12 @@ def run_validation(
         *A.row_assert_tags(row_asserts),
     ]
     for i, (det, dep) in enumerate(cfg.functional_deps):
-        fd = C.check_functional_dependency(
-            keyed, det, dep, partition_by=F.col("partition_key")
-        )
-        verdict_frames.append(fd.verdicts)
-        # violating determinant keys are rare by assumption (same as the
-        # duplicate-key set above) — broadcast them onto the shared scan;
+        # reuse the persisted violating-key frame from the verdict pass;
         # the join is per (partition_key, determinant) because a key may
         # violate in one partition and not another
-        bad = fd.violations.select(
+        bad = fd_bad[i].select(
             F.col("partition_key").alias(f"_fd_pk_{i}"),
-            F.col(det).alias(f"_fd_k_{i}"),
+            f"_fd_k_{i}",
             F.lit(True).alias(f"_fd_hit_{i}"),
         )
         tagged = tagged.join(
@@ -376,5 +398,5 @@ def run_validation(
         drift_scored=scored,
         drift_verdicts=dverdicts,
         row_status=row_status,
-        cached=[cube, profile, stat_series, scored],
+        cached=[cube, profile, stat_series, scored, *fd_bad],
     )

@@ -127,6 +127,29 @@ def main() -> None:
     )
     res.unpersist()
 
+    # functional dependencies in the ENGINE: the persisted violating-key
+    # frame is the ONLY extra pass — after the verdict action fills the
+    # caches, the violations (tagging) plan still reads the input exactly
+    # once, with the FD keys coming from InMemoryTableScan + broadcast.
+    # (The standalone check's own plan properties are asserted below.)
+    fd_res = run_validation(
+        pages,
+        domains,
+        ValidationConfig(functional_deps=(("url", "lang"), ("url", "text"))),
+    )
+    fd_res.verdicts.collect()
+    fd_viol_plan = plan_of(fd_res.violations)
+    fd_scans = _executed_parquet_scans(fd_viol_plan)
+    ok &= check(
+        "FD tagging rides the one-scan extraction: cached keys, broadcast "
+        "join, no input re-read per pair",
+        fd_scans == 1
+        and "InMemoryTableScan" in fd_viol_plan
+        and "Broadcast" in fd_viol_plan,
+        f"{fd_scans} executed parquet scans with 2 FD pairs configured",
+    )
+    fd_res.unpersist()
+
     # user-defined constraints: row asserts must ride the SAME cube scan
     # (identical executed-scan count with and without a suite of asserts)
     from anomalydetector_spark.operators.asserts import RowAssert
