@@ -1414,6 +1414,16 @@ def q_partition_churn(spark, sf_dir):
         partition_digests,
     )
 
+    docs, new = _snapshot_pair(spark, sf_dir)
+    return changed_partitions(
+        partition_digests(docs, "source"), partition_digests(new, "source")
+    )
+
+
+def _snapshot_pair(spark, sf_dir):
+    """(snapshot A, snapshot B) over documents — B drops the src0
+    partition, edits one doc-in-13 of src1, adds srcNEW (the regimes
+    q_partition_churn / q_incremental_rows both diff)."""
     docs = _t(spark, sf_dir, "documents").select(
         "source", "doc_id", "lang", "n_chars", "text"
     )
@@ -1434,8 +1444,41 @@ def q_partition_churn(spark, sf_dir):
             )
         )
     )
-    return changed_partitions(
+    return docs, new
+
+
+def q_incremental_rows(spark, sf_dir):
+    """Incremental re-validation gate (incremental.py
+    incremental_validate / churned_partition_condition): digest both
+    snapshots at partition granularity (one aggregation per side, no
+    per-key join), then return exactly the rows an incremental run
+    validates — every row of snapshot B whose partition is added or
+    changed (src1's edit and the brand-new srcNEW; src2+ skip). At 10^12
+    docs this predicate prunes untouched partitions from the scan. The
+    oracle recomputes the churn statuses with the same digest arithmetic
+    in DuckDB and joins them back onto B."""
+    from anomalydetector_spark.incremental import (
+        churned_partition_condition,
+    )
+    from anomalydetector_spark.operators.snapshot import (
+        changed_partitions,
+        partition_digests,
+    )
+
+    docs, new = _snapshot_pair(spark, sf_dir)
+    churn = changed_partitions(
         partition_digests(docs, "source"), partition_digests(new, "source")
+    )
+    todo = sorted(
+        r.partition
+        for r in churn.filter(F.col("status").isin("added", "changed")).collect()
+    )
+    return (
+        new.filter(churned_partition_condition(todo, "source"))
+        .select(
+            "source", "doc_id", F.length("text").cast("long").alias("text_len")
+        )
+        .orderBy("source", "doc_id")
     )
 
 
@@ -1581,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "partition_churn": q_partition_churn,
+        "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
@@ -2961,6 +3005,54 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM oa FULL OUTER JOIN na ON oa.source = na.source
+        """,
+        "incremental_rows": """
+            WITH old AS (
+              SELECT source, doc_id, lang, n_chars, text FROM documents),
+            new AS (
+              SELECT source, doc_id, lang, n_chars,
+                     CASE WHEN source = 'src1' AND doc_id % 13 = 0
+                          THEN text || ' edited v2' ELSE text END AS text
+              FROM documents WHERE source <> 'src0'
+              UNION ALL
+              SELECT 'srcNEW', doc_id + 100000, lang, n_chars, text
+              FROM documents WHERE doc_id % 23 = 0),
+            oh AS (
+              SELECT source, md5(
+                   '6:' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR
+                || '4:' || length(lang) || ':' || lang
+                || '7:' || length(n_chars::VARCHAR) || ':' || n_chars::VARCHAR
+                || '4:' || length(text) || ':' || text) AS h
+              FROM old),
+            nh AS (
+              SELECT source, md5(
+                   '6:' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR
+                || '4:' || length(lang) || ':' || lang
+                || '7:' || length(n_chars::VARCHAR) || ':' || n_chars::VARCHAR
+                || '4:' || length(text) || ':' || text) AS h
+              FROM new),
+            oa AS (
+              SELECT source, count(*) AS c,
+                     sum(('0x' || substr(h, 1, 15))::BIGINT::HUGEINT) AS a,
+                     sum(('0x' || substr(h, 16, 15))::BIGINT::HUGEINT) AS b
+              FROM oh GROUP BY 1),
+            na AS (
+              SELECT source, count(*) AS c,
+                     sum(('0x' || substr(h, 1, 15))::BIGINT::HUGEINT) AS a,
+                     sum(('0x' || substr(h, 16, 15))::BIGINT::HUGEINT) AS b
+              FROM nh GROUP BY 1),
+            churn AS (
+              SELECT coalesce(oa.source, na.source) AS part,
+                     CASE WHEN oa.source IS NULL THEN 'added'
+                          WHEN na.source IS NULL THEN 'removed'
+                          WHEN oa.c = na.c AND oa.a = na.a AND oa.b = na.b
+                            THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM oa FULL OUTER JOIN na ON oa.source = na.source)
+            SELECT n.source, n.doc_id, length(n.text)::BIGINT AS text_len
+            FROM new n JOIN churn c ON n.source = c.part
+            WHERE c.status IN ('added', 'changed')
+            ORDER BY n.source, n.doc_id
         """,
         "snapshot_diff": """
             WITH old AS (SELECT doc_id, text, lang FROM documents),

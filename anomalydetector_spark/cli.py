@@ -261,6 +261,86 @@ def cmd_validate(args, spark: SparkSession) -> None:
     )
 
 
+def cmd_incremental_validate(args, spark: SparkSession) -> None:
+    """Incremental re-validation (incremental.py): digest both snapshots
+    at partition granularity, validate ONLY added ∪ changed partitions of
+    the new one, and carry unchanged partitions' manifest verdicts forward
+    under the new snapshot id — the daily-append workflow where re-running
+    the engine over 10^12 docs for 2% churn would waste 98% of the scan."""
+    from anomalydetector_spark import manifest as M
+    from anomalydetector_spark.engine import ValidationConfig
+    from anomalydetector_spark.incremental import (
+        carry_forward_manifest,
+        incremental_validate,
+    )
+    from anomalydetector_spark.sources.tables import read_table, table_version
+
+    old = read_table(spark, args.old_path)
+    new = read_table(spark, args.new_path)
+    domains = read_table(spark, args.domains) if args.domains else None
+    if args.suite:
+        from anomalydetector_spark.plans.spec import load_suite
+
+        cfg = load_suite(args.suite)
+    else:
+        cfg = ValidationConfig(window_duration=args.window)
+
+    t0 = time.time()
+    inc = incremental_validate(
+        old, new, args.partition_column, domains=domains, config=cfg
+    )
+    out = args.output_path.rstrip("/")
+    inc.churn.write.mode("overwrite").parquet(f"{out}/partitions")
+    counts = dict(
+        (r["status"], r["count"])
+        for r in inc.churn.groupBy("status").count().collect()
+    )
+    new_snapshot = table_version(spark, args.new_path)
+    if args.manifest:
+        carry_forward_manifest(
+            spark,
+            args.manifest,
+            table_version(spark, args.old_path),
+            new_snapshot,
+            inc.churn,
+        )
+
+    if inc.result is None:
+        inc.unpersist()
+        print(
+            f"incremental: 0 of {counts.get('unchanged', 0)} partitions "
+            f"churned — nothing to validate (snapshot={new_snapshot}); "
+            f"churn → {out}/partitions"
+        )
+        return
+
+    res = inc.result
+    res.violations.write.mode("overwrite").partitionBy("check_name").parquet(
+        f"{out}/violations"
+    )
+    res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
+    res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
+    if getattr(args, "quarantine", False):
+        from anomalydetector_spark.operators.quarantine import write_split
+
+        write_split(res.row_status, f"{out}/rows")
+    if args.manifest:
+        merged = M.run_with_resume(
+            spark, res.verdicts, new_snapshot, args.manifest
+        )
+        merged.write.mode("overwrite").parquet(f"{out}/verdicts")
+    else:
+        res.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    dt = time.time() - t0
+    inc.unpersist()
+    print(
+        f"incremental: validated {len(inc.todo)} churned partitions "
+        f"({counts.get('added', 0)} added, {counts.get('changed', 0)} "
+        f"changed, {counts.get('unchanged', 0)} unchanged skipped) in "
+        f"{dt:.1f}s; snapshot={new_snapshot}; outputs under {out}/"
+    )
+
+
 def cmd_profile(args, spark: SparkSession) -> None:
     """Column profiling workflow (operators/profile.py): write the
     long-format profile; optionally diff against a prior profile parquet
@@ -838,6 +918,32 @@ def main(argv=None):
                          "of this column, one aggregation per side (the "
                          "cheap incremental-skip gate)")
 
+    iv = sub.add_parser(
+        "incremental-validate",
+        help="validate only the partitions that changed between two "
+             "snapshots; unchanged partitions' manifest verdicts are "
+             "carried forward under the new snapshot id",
+    )
+    iv.add_argument("--old-path", required=True,
+                    help="previously-validated snapshot (table ref or "
+                         "parquet path)")
+    iv.add_argument("--new-path", required=True, help="new snapshot")
+    iv.add_argument("--partition-column", required=True,
+                    help="churn + verdict granularity (manifest "
+                         "partition_spec)")
+    iv.add_argument("--output-path", required=True)
+    iv.add_argument("--domains", default=None)
+    iv.add_argument("--window", default="1 day")
+    iv.add_argument("--suite", default=None,
+                    help="JSON check-suite spec (partition_by is "
+                         "overridden by --partition-column)")
+    iv.add_argument("--manifest", default=None,
+                    help="checkpoint manifest directory: carry unchanged "
+                         "partitions forward + resume/append churned ones")
+    iv.add_argument("--quarantine", action="store_true",
+                    help="also write the validated subset's rows under "
+                         "rows/validation_status={clean,quarantined}")
+
     p = sub.add_parser(
         "prep-corpus",
         help="training-corpus prep: exact dedup + quality gate + features",
@@ -924,6 +1030,8 @@ def main(argv=None):
             cmd_prep_corpus(args, spark)
         elif args.cmd == "snapshot-diff":
             cmd_snapshot_diff(args, spark)
+        elif args.cmd == "incremental-validate":
+            cmd_incremental_validate(args, spark)
         elif args.cmd == "evaluate":
             cmd_evaluate(args, spark)
         elif args.cmd == "profile":

@@ -1,0 +1,149 @@
+"""Incremental re-validation: validate ONLY the partitions that changed
+between two table snapshots, carrying unchanged partitions' verdicts
+forward in the checkpoint manifest.
+
+The 100-TB shape (a daily Common-Crawl-style append): re-running the full
+engine over 10^12 docs because 2% of partitions changed wastes 98% of the
+scan. Instead:
+
+1. one aggregation pass per snapshot builds order-insensitive per-
+   partition content digests (``operators/snapshot.partition_digests`` —
+   count + two independent 60-bit md5 sums, no per-key join),
+2. the tiny digest frames full-outer join into added/removed/changed/
+   unchanged statuses (``changed_partitions``),
+3. the NEW snapshot is filtered to added ∪ changed partitions — the
+   collected partition list is bounded by #partitions (not rows) and the
+   ``IN``/``IS NULL`` predicate pushes into the scan, so a table laid out
+   by the partition column prunes untouched data entirely,
+4. ``engine.run_validation`` runs on the subset with
+   ``partition_by = partition_column``, so verdicts / manifest rows align
+   with churn granularity,
+5. unchanged partitions' manifest rows are re-labelled to the new
+   snapshot id (a copy of a tiny frame) — the merged manifest view covers
+   EVERY partition of the new snapshot: fresh verdicts for churned ones,
+   carried lineage (stats digest + metrics) for untouched ones.
+
+On an Iceberg catalog, step 1's old-side scan is replaceable by snapshot
+metadata (the manifest files record per-data-file partition values and
+row counts); the parquet path digests both sides because plain
+directories carry no trustworthy lineage. Either way steps 2-5 are
+identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.engine import (
+    ValidationConfig,
+    ValidationResult,
+    run_validation,
+)
+from anomalydetector_spark.operators.snapshot import (
+    changed_partitions,
+    partition_digests,
+)
+
+# partition_digests maps a NULL single-column partition value to this
+# sentinel so the full-outer join can match it across snapshots
+NULL_PART = "<NULL>"
+
+
+def churned_partition_condition(
+    parts: list[str], partition_column: str
+) -> Column:
+    """Filter predicate selecting the given partition-key values on the
+    raw table — ``IN`` on the string-cast column plus ``IS NULL`` when
+    the sentinel is present, both pushdown-friendly. Empty list → FALSE
+    (nothing churned)."""
+    vals = [p for p in parts if p != NULL_PART]
+    cond = F.lit(False)
+    if vals:
+        cond = F.col(partition_column).cast("string").isin(vals)
+    if NULL_PART in parts:
+        cond = cond | F.col(partition_column).isNull()
+    return cond
+
+
+@dataclass
+class IncrementalResult:
+    # (partition, status) for every partition of either side — PERSISTED
+    # (it is read for the todo list, the sink, and the manifest carry)
+    churn: DataFrame
+    todo: list[str]  # added ∪ changed partition keys (bounded: #partitions)
+    result: ValidationResult | None  # None when nothing churned
+
+    def unpersist(self) -> None:
+        self.churn.unpersist()
+        if self.result is not None:
+            self.result.unpersist()
+
+
+def incremental_validate(
+    old: DataFrame,
+    new: DataFrame,
+    partition_column: str,
+    domains: DataFrame | None = None,
+    config: ValidationConfig | None = None,
+    compare_cols: list[str] | None = None,
+) -> IncrementalResult:
+    """Validate only the added/changed partitions of ``new`` vs ``old``.
+
+    ``config.partition_by`` is forced to ``partition_column`` so the
+    engine's verdicts (and manifest rows) land at churn granularity.
+    Returns ``result=None`` when no partition churned — the caller keeps
+    the previous snapshot's verdicts wholesale (carry them forward with
+    :func:`carry_forward_manifest`)."""
+    cfg = dataclasses.replace(
+        config or ValidationConfig(), partition_by=partition_column
+    )
+    churn = changed_partitions(
+        partition_digests(old, partition_column, compare_cols),
+        partition_digests(new, partition_column, compare_cols),
+    ).persist()
+    todo = sorted(
+        r.partition
+        for r in churn.filter(
+            F.col("status").isin("added", "changed")
+        ).collect()
+    )
+    if not todo:
+        return IncrementalResult(churn, [], None)
+    subset = new.filter(
+        churned_partition_condition(todo, partition_column)
+    )
+    return IncrementalResult(
+        churn, todo, run_validation(subset, domains, cfg)
+    )
+
+
+def carry_forward_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    old_snapshot: str,
+    new_snapshot: str,
+    churn: DataFrame,
+) -> DataFrame:
+    """Re-label the latest manifest rows of UNCHANGED partitions from the
+    old snapshot to the new one (lineage: stats digest + metrics carried,
+    ``completed_at`` refreshed so ``latest_verdicts`` prefers them over
+    stale rows), append, and return the appended rows. The frames involved
+    are manifest-sized (partitions × checks), never input-sized."""
+    from anomalydetector_spark import manifest as M
+
+    manifest = M.read_manifest(spark, manifest_path)
+    unchanged = churn.filter(F.col("status") == "unchanged").select(
+        F.col("partition").alias("partition_spec")
+    )
+    carried = (
+        M.latest_verdicts(manifest, old_snapshot)
+        .join(F.broadcast(unchanged), "partition_spec")
+        .withColumn("snapshot_id", F.lit(new_snapshot))
+        .withColumn("completed_at", F.current_timestamp())
+    )
+    M.append_manifest(carried, manifest_path)
+    return carried

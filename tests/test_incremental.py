@@ -1,0 +1,180 @@
+"""Incremental re-validation (incremental.py): churn-gated subset
+validation, manifest carry-forward, and the CLI workflow."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetector_spark import datagen
+from anomalydetector_spark import manifest as M
+from anomalydetector_spark.engine import ValidationConfig
+from anomalydetector_spark.incremental import (
+    NULL_PART,
+    carry_forward_manifest,
+    churned_partition_condition,
+    incremental_validate,
+)
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    """(old, new, changed_dom, added_dom, removed_dom): one domain's text
+    edited, one brand-new domain, one domain dropped; the rest untouched."""
+    old = datagen.generate_pages(spark, 2_000, seed=3)
+    # pick the three largest domains — tiny (dangling) ones can be all-
+    # null-text, where a concat edit is a no-op and churn would miss
+    doms = [
+        r.domain
+        for r in old.groupBy("domain")
+        .count()
+        .orderBy(F.desc("count"), "domain")
+        .limit(3)
+        .collect()
+    ]
+    changed, removed, seed_dom = doms[0], doms[1], doms[2]
+    added = "brand-new.example"
+    new = (
+        old.filter(F.col("domain") != removed)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("domain") == changed,
+                F.concat(F.col("text"), F.lit(" edited v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("domain") == seed_dom)
+            .withColumn("domain", F.lit(added))
+            .withColumn("url", F.concat(F.lit("http://x/"), F.col("url")))
+        )
+    )
+    return old, new, changed, added, removed
+
+
+def test_churned_partition_condition(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3)], "part string, v int"
+    )
+    got = df.filter(
+        churned_partition_condition(["a", NULL_PART], "part")
+    ).collect()
+    assert sorted(r.v for r in got) == [1, 3]
+    assert df.filter(churned_partition_condition([], "part")).count() == 0
+
+
+def test_incremental_validates_only_churned(spark, snapshots):
+    old, new, changed, added, removed = snapshots
+    inc = incremental_validate(
+        old, new, "domain", config=ValidationConfig(min_points=1)
+    )
+    status = {r.partition: r.status for r in inc.churn.collect()}
+    assert status[changed] == "changed"
+    assert status[added] == "added"
+    assert status[removed] == "removed"
+    assert set(status.values()) == {"added", "removed", "changed", "unchanged"}
+    assert inc.todo == sorted([changed, added])
+
+    # verdicts exist ONLY for churned partitions, and the validated row
+    # count is exactly the churned partitions' rows in the new snapshot
+    res = inc.result
+    parts = {
+        r.partition_key
+        for r in res.verdicts.select("partition_key").distinct().collect()
+    }
+    # column_presence is schema-level and keyed 'global' by design
+    assert parts - {"global"} == {changed, added}
+    expect = new.filter(F.col("domain").isin(changed, added)).count()
+    got = dict(
+        res.verdicts.filter("check_name = 'min_row_count'")
+        .select("partition_key", "rows_scanned")
+        .collect()
+    )
+    assert sum(got.values()) == expect
+    inc.unpersist()
+
+
+def test_incremental_no_churn_skips_validation(spark):
+    pages = datagen.generate_pages(spark, 1_000, seed=9)
+    inc = incremental_validate(pages, pages, "domain")
+    assert inc.todo == [] and inc.result is None
+    assert inc.churn.filter("status <> 'unchanged'").count() == 0
+    inc.unpersist()
+
+
+def test_manifest_carry_forward(spark, snapshots, tmp_path):
+    """After a full run on snapshot A, the incremental run on snapshot B
+    leaves the manifest covering EVERY partition of B: fresh rows for
+    churned partitions, carried (re-labelled) rows for unchanged ones."""
+    old, new, changed, added, removed = snapshots
+    cfg = ValidationConfig(min_points=1, partition_by="domain")
+    mpath = str(tmp_path / "manifest")
+
+    from anomalydetector_spark.engine import run_validation
+
+    res_a = run_validation(old, None, cfg)
+    M.append_manifest(
+        M.verdicts_to_manifest_rows(res_a.verdicts, "snapA"), mpath
+    )
+    res_a.unpersist()
+
+    inc = incremental_validate(old, new, "domain", config=cfg)
+    carried = carry_forward_manifest(
+        spark, mpath, "snapA", "snapB", inc.churn
+    )
+    carried_parts = {
+        r.partition_spec
+        for r in carried.select("partition_spec").distinct().collect()
+    }
+    unchanged = {
+        r.partition
+        for r in inc.churn.filter("status = 'unchanged'").collect()
+    }
+    assert carried_parts == unchanged  # never the churned or removed ones
+
+    merged = M.run_with_resume(spark, inc.result.verdicts, "snapB", mpath)
+    merged_parts = {
+        r.partition_spec
+        for r in merged.select("partition_spec").distinct().collect()
+    }
+    new_parts = {r.domain for r in new.select("domain").distinct().collect()}
+    # full coverage of snapshot B (global = schema-level column_presence)
+    assert merged_parts - {"global"} == new_parts
+    assert removed not in merged_parts
+    # churned partitions carry fresh verdicts (present in the incremental
+    # run's own verdict frame), unchanged ones the carried lineage
+    assert {changed, added} <= merged_parts
+    inc.unpersist()
+
+
+def test_cli_incremental_validate(spark, snapshots, tmp_path, capsys):
+    from anomalydetector_spark import cli
+
+    old, new, changed, added, removed = snapshots
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.mode("overwrite").parquet(old_p)
+    new.write.mode("overwrite").parquet(new_p)
+    mpath = str(tmp_path / "manifest")
+    out_a = str(tmp_path / "outA")
+    cli.main([
+        "validate", "--input-path", old_p, "--output-path", out_a,
+        "--partition-by", "domain", "--manifest", mpath,
+    ])
+    out_b = str(tmp_path / "outB")
+    cli.main([
+        "incremental-validate", "--old-path", old_p, "--new-path", new_p,
+        "--partition-column", "domain", "--output-path", out_b,
+        "--manifest", mpath,
+    ])
+    said = capsys.readouterr().out
+    assert "validated 2 churned partitions" in said
+
+    churn = spark.read.parquet(f"{out_b}/partitions")
+    assert churn.filter("status = 'changed'").count() == 1
+    verdicts = spark.read.parquet(f"{out_b}/verdicts")
+    covered = {
+        r.partition_spec
+        for r in verdicts.select("partition_spec").distinct().collect()
+    }
+    new_parts = {r.domain for r in new.select("domain").distinct().collect()}
+    assert covered - {"global"} == new_parts and removed not in covered
