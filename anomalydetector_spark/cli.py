@@ -202,6 +202,35 @@ def cmd_detect(args, spark: SparkSession) -> None:
     print(f"wrote {args.output_path}")
 
 
+def _write_violations(violations, out: str, args) -> None:
+    """Violation sink shared by validate / incremental-validate. With
+    --max-violations-per-check N, a deterministic salted cap keeps the N
+    smallest-hash rows per (check_name, partition_key) — at 10^12 docs a
+    single failing check can emit billions of rows, and a diagnostic
+    sample is what a triage workflow reads; the verdict COUNTS stay exact
+    either way (they come from the aggregate pass, not this sink). The
+    cap is nested (the cap-100 set contains the cap-10 set) and
+    retry-stable, so re-runs and widened samples agree."""
+    cap = getattr(args, "max_violations_per_check", None)
+    if cap:
+        from anomalydetector_spark.operators.sampling import cap_per_key
+
+        id_col = next(
+            c for c in violations.columns
+            if c not in ("check_name", "partition_key")
+        )
+        violations = cap_per_key(
+            violations,
+            ["check_name", "partition_key"],
+            cap,
+            id_col=id_col,
+            salts=16,
+        )
+    violations.write.mode("overwrite").partitionBy("check_name").parquet(
+        f"{out}/violations"
+    )
+
+
 def cmd_validate(args, spark: SparkSession) -> None:
     from anomalydetector_spark import manifest as M
     from anomalydetector_spark.engine import ValidationConfig, run_validation
@@ -234,9 +263,7 @@ def cmd_validate(args, spark: SparkSession) -> None:
     # violations are read back selectively ("show me the unique_url rows
     # for partition X") — physical partitioning makes those reads prune
     # instead of scanning the full violation set
-    res.violations.write.mode("overwrite").partitionBy("check_name").parquet(
-        f"{out}/violations"
-    )
+    _write_violations(res.violations, out, args)
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
 
@@ -315,9 +342,7 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
         return
 
     res = inc.result
-    res.violations.write.mode("overwrite").partitionBy("check_name").parquet(
-        f"{out}/violations"
-    )
+    _write_violations(res.violations, out, args)
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
     if getattr(args, "quarantine", False):
@@ -846,6 +871,11 @@ def main(argv=None):
                    help="also write every input row under rows/"
                         "validation_status={clean,quarantined} (one scan, "
                         "quarantined rows carry their violated_checks)")
+    v.add_argument("--max-violations-per-check", type=int, default=None,
+                   help="cap the violation SINK at N deterministic sample "
+                        "rows per (check, partition) — verdict counts stay "
+                        "exact; at web scale a failing check can emit "
+                        "billions of rows and triage reads a sample")
 
     s = sub.add_parser(
         "stream-validate",
@@ -943,6 +973,10 @@ def main(argv=None):
     iv.add_argument("--quarantine", action="store_true",
                     help="also write the validated subset's rows under "
                          "rows/validation_status={clean,quarantined}")
+    iv.add_argument("--max-violations-per-check", type=int, default=None,
+                    help="cap the violation sink at N deterministic sample "
+                         "rows per (check, partition); verdict counts stay "
+                         "exact")
 
     p = sub.add_parser(
         "prep-corpus",

@@ -158,14 +158,17 @@ def corpus_mix(
 
 def cap_per_key(
     df: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     k: int,
     id_col: str = "doc_id",
     seed: int = 0,
     salts: int = 0,
 ) -> DataFrame:
     """Keep at most ``k`` rows per ``key_col`` (per-domain caps — the
-    standard guard against one host dominating a web corpus), chosen as
+    standard guard against one host dominating a web corpus; a LIST of
+    columns caps per composite key, e.g. ``(check_name, partition_key)``
+    for violation-sample sinks — multi-column windows need no key
+    concatenation, so there is no null-skip/delimiter hazard), chosen as
     the ``k`` SMALLEST ``U(id, seed)`` values so selection is
     deterministic, retry-stable, and nested in ``k`` (the cap-5 set is a
     subset of the cap-10 set), with ``id_col`` as a total tie-break.
@@ -184,8 +187,9 @@ def cap_per_key(
     select the IDENTICAL set — ``salts`` is a physical knob only, which
     the equivalence test asserts.
     """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     u = hash_uniform(F.col(id_col), seed)
-    w_key = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
+    w_key = Window.partitionBy(*keys).orderBy(u.asc(), F.col(id_col).asc())
     if salts <= 1:
         return (
             df.withColumn("_rn", F.row_number().over(w_key))
@@ -193,7 +197,7 @@ def cap_per_key(
             .drop("_rn")
         )
     salt = (md5_long(F.concat(F.col(id_col).cast("string"), F.lit("#salt"))) % salts)
-    w_salted = Window.partitionBy(F.col(key_col), salt).orderBy(
+    w_salted = Window.partitionBy(*[F.col(c) for c in keys], salt).orderBy(
         u.asc(), F.col(id_col).asc()
     )
     pruned = (

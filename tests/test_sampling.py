@@ -128,6 +128,27 @@ def test_cap_per_key_salted_identical(docs):
         assert _cap_ids(cap_per_key(docs, "lang", 100, salts=s)) == plain
 
 
+def test_cap_per_composite_key(docs):
+    """A LIST of key columns caps per composite key (the violation-sample
+    sink shape) — salted path selects the identical set, cap honored per
+    (key1, key2) group, and a composite cap never exceeds k per group."""
+    import pyspark.sql.functions as F
+
+    from anomalydetector_spark.operators.sampling import cap_per_key
+
+    keyed = docs.withColumn("bucket", (F.col("doc_id") % 3).cast("string"))
+    capped = cap_per_key(keyed, ["lang", "bucket"], 40)
+    counts = capped.groupBy("lang", "bucket").count().collect()
+    assert counts and all(r["count"] <= 40 for r in counts)
+    # en has 500 rows per bucket → every en group is exactly at the cap
+    assert all(r["count"] == 40 for r in counts if r.lang == "en")
+    plain = _cap_ids(capped)
+    assert _cap_ids(cap_per_key(keyed, ["lang", "bucket"], 40, salts=8)) == plain
+    # composite is strictly finer than the single-key cap of the same k
+    single = _cap_ids(cap_per_key(keyed, "lang", 40))
+    assert len(plain) > len(single)
+
+
 def test_zero_weight_drops_stratum(docs):
     # weight 0 = drop: no ANSI divide-by-zero, stratum excluded from the
     # binding min and emitted with fraction 0

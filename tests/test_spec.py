@@ -143,6 +143,31 @@ def test_cli_validate_quarantine_and_fd_suite(spark, tmp_path, capsys):
     assert spark.read.parquet(f"{out}/rows").count() == pages.count()
 
 
+def test_cli_validate_violation_cap(spark, tmp_path, capsys):
+    """--max-violations-per-check caps the violation SINK per
+    (check, partition) while verdict counts stay exact."""
+    from anomalydetector_spark import cli, datagen
+
+    pages = datagen.generate_pages(spark, 4000)
+    src = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    cli.main([
+        "validate", "--input-path", src, "--output-path", out,
+        "--max-violations-per-check", "5",
+    ])
+    capsys.readouterr()
+    viol = spark.read.parquet(f"{out}/violations")
+    per_group = viol.groupBy("check_name", "partition_key").count().collect()
+    assert per_group and all(r["count"] <= 5 for r in per_group)
+    # the dup burst yields far more than 5 duplicate urls — the exact
+    # verdict count must exceed the capped sample
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    dup = verdicts.filter("check_name = 'unique_url'").first()
+    assert dup.violation_count > 5
+    assert viol.filter("check_name = 'unique_url'").count() == 5
+
+
 def test_schema_types_check(spark):
     """Schema-evolution verdicts: missing column, wrong type, extras in
     locked mode — all named in the error message; matching schema passes."""
