@@ -222,8 +222,13 @@ def run_validation(
         fd = C.check_functional_dependency(
             keyed, det, dep, partition_by=F.col("partition_key")
         )
+        det_cols = C.fd_cols(det)
         bad = fd.violations.select(
-            "partition_key", F.col(det).alias(f"_fd_k_{i}")
+            "partition_key",
+            *[
+                F.col(c).alias(f"_fd_k_{i}_{j}")
+                for j, c in enumerate(det_cols)
+            ],
         ).persist()
         fd_bad.append(bad)
         counts = bad.groupBy("partition_key").agg(
@@ -232,9 +237,9 @@ def run_validation(
         enriched = enriched.join(F.broadcast(counts), "partition_key", "left")
         verdict_structs.append(
             _verdict_struct(
-                f"fd_{det}_{dep}",
+                f"fd_{C.fd_label(det)}_{C.fd_label(dep)}",
                 F.coalesce(F.col(f"_fd_viol_{i}"), F.lit(0)),
-                E.FD_VIOLATION.format(det, dep),
+                E.FD_VIOLATION.format(C.fd_label(det), C.fd_label(dep)),
             )
         )
     rollup_verdicts = enriched.select(
@@ -284,20 +289,27 @@ def run_validation(
     ]
     for i, (det, dep) in enumerate(cfg.functional_deps):
         # reuse the persisted violating-key frame from the verdict pass;
-        # the join is per (partition_key, determinant) because a key may
-        # violate in one partition and not another
+        # the join is per (partition_key, determinant tuple) because a
+        # key may violate in one partition and not another
+        det_cols = C.fd_cols(det)
+        key_aliases = [f"_fd_k_{i}_{j}" for j in range(len(det_cols))]
         bad = fd_bad[i].select(
             F.col("partition_key").alias(f"_fd_pk_{i}"),
-            f"_fd_k_{i}",
+            *key_aliases,
             F.lit(True).alias(f"_fd_hit_{i}"),
         )
-        tagged = tagged.join(
-            F.broadcast(bad),
-            (F.col("partition_key") == F.col(f"_fd_pk_{i}"))
-            & (F.col(det) == F.col(f"_fd_k_{i}")),
-            "left",
-        ).drop(f"_fd_pk_{i}", f"_fd_k_{i}")
-        tags.append(F.when(F.col(f"_fd_hit_{i}"), F.lit(f"fd_{det}_{dep}")))
+        cond = F.col("partition_key") == F.col(f"_fd_pk_{i}")
+        for c, a in zip(det_cols, key_aliases):
+            cond = cond & (F.col(c) == F.col(a))
+        tagged = tagged.join(F.broadcast(bad), cond, "left").drop(
+            f"_fd_pk_{i}", *key_aliases
+        )
+        tags.append(
+            F.when(
+                F.col(f"_fd_hit_{i}"),
+                F.lit(f"fd_{C.fd_label(det)}_{C.fd_label(dep)}"),
+            )
+        )
     if domains is not None:
         from anomalydetector_spark.operators.referential import dim_join
 

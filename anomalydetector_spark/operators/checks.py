@@ -373,28 +373,50 @@ def check_text_extraction(
     )
 
 
+def fd_cols(side: str | list[str] | tuple) -> list[str]:
+    """Normalize one side of a functional dependency to a column list."""
+    return [side] if isinstance(side, str) else list(side)
+
+
+def fd_label(side: str | list[str] | tuple) -> str:
+    """Human/check-name label for one FD side: single column keeps its
+    bare name (stable check names for existing suites), composites join
+    with '+'."""
+    cols = fd_cols(side)
+    return cols[0] if len(cols) == 1 else "+".join(cols)
+
+
 def check_functional_dependency(
     df: DataFrame,
-    determinant: str,
-    dependent: str,
+    determinant: str | list[str],
+    dependent: str | list[str],
     partition_by: Column | str | None = None,
 ) -> CheckResult:
-    """Generic functional-dependency check: every non-null ``determinant``
-    value must map to exactly one ``dependent`` value (generalizes
-    check_key_text_consistency to any column pair — url → domain,
-    snapshot_id → partition_spec, …).
+    """Generic functional-dependency check: every fully-non-null
+    ``determinant`` value must map to exactly one ``dependent`` value
+    (generalizes check_key_text_consistency to any column pair — url →
+    domain, snapshot_id → partition_spec, …). Either side may be a LIST
+    of columns: a composite determinant groups on the column tuple
+    directly (no key concatenation — no delimiter/null hazard), a
+    composite dependent hashes the struct of all its columns; rows with
+    ANY determinant column null are skipped, matching the single-column
+    non-null rule.
 
     Scale shape: the dependent is collapsed per row to a 256-bit hash of
-    its JSON encoding BEFORE the shuffle (``to_json(struct(col))`` is
+    its JSON encoding BEFORE the shuffle (``to_json(struct(cols))`` is
     injective per type, handles any column type incl. binary via base64,
     and encodes NULL distinctly — so a determinant mapping to {x, NULL}
     counts as two values), one hash-aggregate on the determinant, then a
     tiny per-partition rollup. Violations are the offending DETERMINANT
     keys (callers semi-join for full rows)."""
-    name = f"fd_{determinant}_{dependent}"
-    p = _part(df, partition_by).filter(F.col(determinant).isNotNull())
-    enc = F.sha2(F.to_json(F.struct(F.col(dependent))), 256)
-    per_key = p.groupBy("partition_key", determinant).agg(
+    dets, deps = fd_cols(determinant), fd_cols(dependent)
+    det_l, dep_l = fd_label(determinant), fd_label(dependent)
+    name = f"fd_{det_l}_{dep_l}"
+    p = _part(df, partition_by)
+    for c in dets:
+        p = p.filter(F.col(c).isNotNull())
+    enc = F.sha2(F.to_json(F.struct(*[F.col(c) for c in deps])), 256)
+    per_key = p.groupBy("partition_key", *dets).agg(
         F.count_distinct(enc).alias("_nv"),
         F.count(F.lit(1)).alias("_rows"),
     )
@@ -403,11 +425,11 @@ def check_functional_dependency(
         F.sum("_rows").alias("rows_scanned"),
     )
     bad_keys = per_key.filter(F.col("_nv") > 1).select(
-        F.lit(name).alias("check_name"), "partition_key", determinant
+        F.lit(name).alias("check_name"), "partition_key", *dets
     )
     return CheckResult(
         _verdict_from_violation_count(
-            counted, name, errors.FD_VIOLATION.format(determinant, dependent)
+            counted, name, errors.FD_VIOLATION.format(det_l, dep_l)
         ),
         bad_keys,
     )

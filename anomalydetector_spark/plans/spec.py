@@ -19,7 +19,7 @@ Example::
       "shape_drift": true,
       "schema": {"url": "string", "warc_ts": "timestamp",
                  "html": "binary", "text": "string", "lang": "string"},
-      "functional_deps": [["url", "lang"]],
+      "functional_deps": [["url", "lang"], [["domain", "lang"], "text"]],
       "asserts": [
         {"name": "text_nonempty", "expr": "length(text) > 0",
          "max_violation_fraction": 0.001},
@@ -106,16 +106,29 @@ def config_from_dict(spec: dict) -> ValidationConfig:
                     )
                 pairs = []
                 for j, pair in enumerate(value):
-                    if (
-                        not isinstance(pair, (list, tuple))
-                        or len(pair) != 2
-                        or not all(isinstance(c, str) for c in pair)
-                    ):
+                    if not isinstance(pair, (list, tuple)) or len(pair) != 2:
                         raise ValueError(
                             f'"functional_deps"[{j}] must be a '
-                            "[determinant, dependent] pair of column names"
+                            "[determinant, dependent] pair; each side is "
+                            "a column name or a list of column names"
                         )
-                    pairs.append(tuple(pair))
+                    sides = []
+                    for side in pair:
+                        if isinstance(side, str):
+                            sides.append(side)
+                        elif (
+                            isinstance(side, (list, tuple))
+                            and side
+                            and all(isinstance(c, str) for c in side)
+                        ):
+                            sides.append(tuple(side))
+                        else:
+                            raise ValueError(
+                                f'"functional_deps"[{j}] must be a '
+                                "[determinant, dependent] pair; each side "
+                                "is a column name or a list of column names"
+                            )
+                    pairs.append(tuple(sides))
                 value = tuple(pairs)
             kwargs[field] = value
         else:
@@ -138,7 +151,10 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
     d["drift"] = d.pop("sr")
     d["schema"] = d.pop("expected_schema")
     d["langs"] = list(d["langs"])
-    d["functional_deps"] = [list(p) for p in d["functional_deps"]]
+    d["functional_deps"] = [
+        [list(side) if isinstance(side, tuple) else side for side in pair]
+        for pair in d["functional_deps"]
+    ]
     d["asserts"] = [dict(a) for a in d["asserts"]]
     d["agg_asserts"] = [dict(a) for a in d["agg_asserts"]]
     return d

@@ -163,6 +163,34 @@ def test_functional_dependency_check(spark):
     assert _one(ok.verdicts).passed
 
 
+def test_functional_dependency_composite(spark):
+    """Composite sides: determinant lists group on the tuple (no key
+    concatenation — ('a','b|c') vs ('a|b','c') stay distinct), dependent
+    lists hash the struct of all columns; any-null determinant skipped."""
+    df = spark.createDataFrame(
+        [
+            ("p", "a", "b|c", "s1", "t1"),
+            ("p", "a|b", "c", "s1", "t1"),     # distinct tuple, same texts
+            ("p", "a", "b|c", "s1", "t2"),     # t differs → (d1,d2)→(s,t) violates
+            ("p", "x", "y", "s1", "t1"),
+            ("p", "x", "y", "s1", "t1"),       # consistent pair
+            ("p", None, "y", "s9", "t9"),      # null in determinant: skipped
+        ],
+        "part string, d1 string, d2 string, s string, t string",
+    )
+    res = C.check_functional_dependency(df, ["d1", "d2"], ["s", "t"], "part")
+    v = _one(res.verdicts)
+    assert not v.passed and v.violation_count == 1 and v.rows_scanned == 5
+    assert errors.FD_VIOLATION.format("d1+d2", "s+t") == v.error_message
+    bad = res.violations.collect()
+    assert [(r.d1, r.d2) for r in bad] == [("a", "b|c")]
+    assert bad[0].check_name == "fd_d1+d2_s+t"
+    # composite dependent alone: (d1)→(s,t): 'a' maps to one (s,t)? no —
+    # ('s1','t1') and ('s1','t2') → violates; 'a|b' and 'x' consistent
+    res2 = C.check_functional_dependency(df, "d1", ["s", "t"], "part")
+    assert _one(res2.verdicts).violation_count == 1
+
+
 def test_referential_strategy_ladder(spark):
     """All four dim-join rungs (broadcast / auto / shuffle /
     shuffle_salted) return identical verdicts and violation row sets —

@@ -79,12 +79,23 @@ def test_functional_dependency_in_engine(spark):
     res.unpersist()
 
     # clean config on clean data: FD on (url, text) passes everywhere
-    # (byte-identical text per url is the datagen invariant)
+    # (byte-identical text per url is the datagen invariant), and a
+    # COMPOSITE pair rides the same engine path — (url, domain) → html
+    # also holds by construction
     ok = run_validation(
-        pages, None, ValidationConfig(functional_deps=(("url", "text"),))
+        pages,
+        None,
+        ValidationConfig(
+            functional_deps=(("url", "text"), (("url", "domain"), "html"))
+        ),
     )
-    fd_ok = ok.verdicts.filter("check_name = 'fd_url_text'").collect()
-    assert fd_ok and all(r.passed for r in fd_ok)
+    fd_ok = ok.verdicts.filter(
+        "check_name IN ('fd_url_text', 'fd_url+domain_html')"
+    ).collect()
+    assert {r.check_name for r in fd_ok} == {
+        "fd_url_text", "fd_url+domain_html"
+    }
+    assert all(r.passed for r in fd_ok)
     ok.unpersist()
 
 

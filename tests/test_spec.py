@@ -70,6 +70,19 @@ def test_functional_deps_translate_and_round_trip():
     assert thawed == cfg
 
 
+def test_functional_deps_composite_sides():
+    cfg = config_from_dict(
+        {"functional_deps": [[["domain", "lang"], "text"],
+                             ["url", ["lang", "text"]]]}
+    )
+    assert cfg.functional_deps == (
+        (("domain", "lang"), "text"),
+        ("url", ("lang", "text")),
+    )
+    thawed = config_from_dict(json.loads(json.dumps(suite_to_dict(cfg))))
+    assert thawed == cfg
+
+
 def test_functional_deps_bad_shapes_rejected():
     with pytest.raises(ValueError, match="must be a list"):
         config_from_dict({"functional_deps": "url->lang"})
