@@ -280,6 +280,20 @@ def cmd_validate(args, spark: SparkSession) -> None:
         merged.write.mode("overwrite").parquet(f"{out}/verdicts")
     else:
         res.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    if args.manifest and getattr(args, "store_digests", False) and cfg.partition_by:
+        # seed the digest store so the FIRST incremental-validate run
+        # against this snapshot never rescans its content
+        from anomalydetector_spark.incremental import (
+            read_partition_digests,
+            write_partition_digests,
+        )
+        from anomalydetector_spark.operators.snapshot import partition_digests
+
+        store = f"{args.manifest}_digests"
+        if read_partition_digests(spark, store, snapshot) is None:
+            write_partition_digests(
+                partition_digests(pages, cfg.partition_by), store, snapshot
+            )
     n = pages.count()
     dt = time.time() - t0
     print(
@@ -299,6 +313,8 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     from anomalydetector_spark.incremental import (
         carry_forward_manifest,
         incremental_validate,
+        read_partition_digests,
+        write_partition_digests,
     )
     from anomalydetector_spark.sources.tables import read_table, table_version
 
@@ -313,8 +329,24 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
         cfg = ValidationConfig(window_duration=args.window)
 
     t0 = time.time()
+    # steady state: yesterday's digests are in the store, so yesterday's
+    # DATA is never rescanned — one digest pass over the new snapshot
+    # plus the engine on the churned subset is the whole job
+    old_snapshot = table_version(spark, args.old_path)
+    new_snapshot = table_version(spark, args.new_path)
+    digest_store = f"{args.manifest}_digests" if args.manifest else None
+    old_digests = (
+        read_partition_digests(spark, digest_store, old_snapshot)
+        if digest_store
+        else None
+    )
     inc = incremental_validate(
-        old, new, args.partition_column, domains=domains, config=cfg
+        old,
+        new,
+        args.partition_column,
+        domains=domains,
+        config=cfg,
+        old_digests=old_digests,
     )
     out = args.output_path.rstrip("/")
     inc.churn.write.mode("overwrite").parquet(f"{out}/partitions")
@@ -322,22 +354,24 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
         (r["status"], r["count"])
         for r in inc.churn.groupBy("status").count().collect()
     )
-    new_snapshot = table_version(spark, args.new_path)
+    reused = "reused stored digests" if old_digests is not None else (
+        "digested both sides (cold start)"
+    )
+    if digest_store and read_partition_digests(
+        spark, digest_store, new_snapshot
+    ) is None:
+        write_partition_digests(inc.new_digests, digest_store, new_snapshot)
     if args.manifest:
         carry_forward_manifest(
-            spark,
-            args.manifest,
-            table_version(spark, args.old_path),
-            new_snapshot,
-            inc.churn,
+            spark, args.manifest, old_snapshot, new_snapshot, inc.churn
         )
 
     if inc.result is None:
         inc.unpersist()
         print(
             f"incremental: 0 of {counts.get('unchanged', 0)} partitions "
-            f"churned — nothing to validate (snapshot={new_snapshot}); "
-            f"churn → {out}/partitions"
+            f"churned — nothing to validate ({reused}; "
+            f"snapshot={new_snapshot}); churn → {out}/partitions"
         )
         return
 
@@ -361,8 +395,9 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     print(
         f"incremental: validated {len(inc.todo)} churned partitions "
         f"({counts.get('added', 0)} added, {counts.get('changed', 0)} "
-        f"changed, {counts.get('unchanged', 0)} unchanged skipped) in "
-        f"{dt:.1f}s; snapshot={new_snapshot}; outputs under {out}/"
+        f"changed, {counts.get('unchanged', 0)} unchanged skipped; "
+        f"{reused}) in {dt:.1f}s; snapshot={new_snapshot}; "
+        f"outputs under {out}/"
     )
 
 
@@ -876,6 +911,11 @@ def main(argv=None):
                         "rows per (check, partition) — verdict counts stay "
                         "exact; at web scale a failing check can emit "
                         "billions of rows and triage reads a sample")
+    v.add_argument("--store-digests", action="store_true",
+                   help="with --manifest and --partition-by: also store "
+                        "per-partition content digests so the first "
+                        "incremental-validate against this snapshot skips "
+                        "the old-side scan")
 
     s = sub.add_parser(
         "stream-validate",

@@ -76,20 +76,27 @@ class IncrementalResult:
     churn: DataFrame
     todo: list[str]  # added ∪ changed partition keys (bounded: #partitions)
     result: ValidationResult | None  # None when nothing churned
+    # the NEW snapshot's partition digests — PERSISTED; store them (see
+    # write_partition_digests) so the NEXT incremental run never rescans
+    # this snapshot's content
+    new_digests: DataFrame | None = None
 
     def unpersist(self) -> None:
         self.churn.unpersist()
+        if self.new_digests is not None:
+            self.new_digests.unpersist()
         if self.result is not None:
             self.result.unpersist()
 
 
 def incremental_validate(
-    old: DataFrame,
+    old: DataFrame | None,
     new: DataFrame,
     partition_column: str,
     domains: DataFrame | None = None,
     config: ValidationConfig | None = None,
     compare_cols: list[str] | None = None,
+    old_digests: DataFrame | None = None,
 ) -> IncrementalResult:
     """Validate only the added/changed partitions of ``new`` vs ``old``.
 
@@ -97,14 +104,25 @@ def incremental_validate(
     engine's verdicts (and manifest rows) land at churn granularity.
     Returns ``result=None`` when no partition churned — the caller keeps
     the previous snapshot's verdicts wholesale (carry them forward with
-    :func:`carry_forward_manifest`)."""
+    :func:`carry_forward_manifest`).
+
+    Pass ``old_digests`` (the previous run's ``new_digests``, stored via
+    :func:`write_partition_digests`) to skip the old-side content scan
+    entirely — the steady-state daily job then scans yesterday's data
+    ZERO times: one digest pass over the new snapshot plus the engine on
+    the churned subset. Without it, ``old`` is digested here (cold
+    start). ``compare_cols`` must match the stored digests' columns."""
     cfg = dataclasses.replace(
         config or ValidationConfig(), partition_by=partition_column
     )
-    churn = changed_partitions(
-        partition_digests(old, partition_column, compare_cols),
-        partition_digests(new, partition_column, compare_cols),
+    if old_digests is None:
+        if old is None:
+            raise ValueError("need either old or old_digests")
+        old_digests = partition_digests(old, partition_column, compare_cols)
+    new_digests = partition_digests(
+        new, partition_column, compare_cols
     ).persist()
+    churn = changed_partitions(old_digests, new_digests).persist()
     todo = sorted(
         r.partition
         for r in churn.filter(
@@ -112,13 +130,40 @@ def incremental_validate(
         ).collect()
     )
     if not todo:
-        return IncrementalResult(churn, [], None)
+        return IncrementalResult(churn, [], None, new_digests)
     subset = new.filter(
         churned_partition_condition(todo, partition_column)
     )
     return IncrementalResult(
-        churn, todo, run_validation(subset, domains, cfg)
+        churn, todo, run_validation(subset, domains, cfg), new_digests
     )
+
+
+def write_partition_digests(
+    digests: DataFrame, path: str, snapshot_id: str
+) -> None:
+    """Append a snapshot's partition digests to the digest store (a
+    parquet directory beside the manifest, partitioned by snapshot so the
+    next run's read prunes to one snapshot's rows — #partitions, tiny)."""
+    digests.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
+        "append"
+    ).partitionBy("snapshot_id").parquet(path)
+
+
+def read_partition_digests(
+    spark: SparkSession, path: str, snapshot_id: str
+) -> DataFrame | None:
+    """Load one snapshot's stored digests, or None if absent."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    stored = spark.read.parquet(path).filter(
+        F.col("snapshot_id") == snapshot_id
+    ).drop("snapshot_id")
+    if not stored.head(1):
+        return None
+    return stored
 
 
 def carry_forward_manifest(

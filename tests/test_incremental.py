@@ -147,6 +147,38 @@ def test_manifest_carry_forward(spark, snapshots, tmp_path):
     inc.unpersist()
 
 
+def test_digest_store_reuse_equivalence(spark, snapshots, tmp_path):
+    """Stored digests replace the old-side content scan: churn from
+    (old frame) and churn from (stored digests) are identical."""
+    from anomalydetector_spark.incremental import (
+        read_partition_digests,
+        write_partition_digests,
+    )
+    from anomalydetector_spark.operators.snapshot import partition_digests
+
+    old, new, changed, added, removed = snapshots
+    store = str(tmp_path / "digests")
+    assert read_partition_digests(spark, store, "snapA") is None
+    write_partition_digests(partition_digests(old, "domain"), store, "snapA")
+    stored = read_partition_digests(spark, store, "snapA")
+    assert stored is not None
+    # other snapshots stay invisible
+    assert read_partition_digests(spark, store, "snapZ") is None
+
+    scan = incremental_validate(old, new, "domain")
+    cached = incremental_validate(
+        None, new, "domain", old_digests=stored
+    )
+    a = sorted(map(tuple, scan.churn.collect()))
+    b = sorted(map(tuple, cached.churn.collect()))
+    assert a == b and scan.todo == cached.todo
+    scan.unpersist()
+    cached.unpersist()
+
+    with pytest.raises(ValueError, match="old or old_digests"):
+        incremental_validate(None, new, "domain")
+
+
 def test_cli_incremental_validate(spark, snapshots, tmp_path, capsys):
     from anomalydetector_spark import cli
 
@@ -158,7 +190,7 @@ def test_cli_incremental_validate(spark, snapshots, tmp_path, capsys):
     out_a = str(tmp_path / "outA")
     cli.main([
         "validate", "--input-path", old_p, "--output-path", out_a,
-        "--partition-by", "domain", "--manifest", mpath,
+        "--partition-by", "domain", "--manifest", mpath, "--store-digests",
     ])
     out_b = str(tmp_path / "outB")
     cli.main([
@@ -168,6 +200,19 @@ def test_cli_incremental_validate(spark, snapshots, tmp_path, capsys):
     ])
     said = capsys.readouterr().out
     assert "validated 2 churned partitions" in said
+    # the full run seeded the digest store → old side never rescanned
+    assert "reused stored digests" in said
+
+    # steady state: next day with no changes — stored digests for the
+    # new snapshot short-circuit everything
+    out_c = str(tmp_path / "outC")
+    cli.main([
+        "incremental-validate", "--old-path", new_p, "--new-path", new_p,
+        "--partition-column", "domain", "--output-path", out_c,
+        "--manifest", mpath,
+    ])
+    said_c = capsys.readouterr().out
+    assert "0 of" in said_c and "reused stored digests" in said_c
 
     churn = spark.read.parquet(f"{out_b}/partitions")
     assert churn.filter("status = 'changed'").count() == 1
