@@ -340,12 +340,18 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
         if digest_store
         else None
     )
+    compare = (
+        [c.strip() for c in args.compare_columns.split(",") if c.strip()]
+        if getattr(args, "compare_columns", None)
+        else None
+    )
     inc = incremental_validate(
         old,
         new,
         args.partition_column,
         domains=domains,
         config=cfg,
+        compare_cols=compare,
         old_digests=old_digests,
     )
     out = args.output_path.rstrip("/")
@@ -1017,6 +1023,11 @@ def main(argv=None):
                     help="cap the violation sink at N deterministic sample "
                          "rows per (check, partition); verdict counts stay "
                          "exact")
+    iv.add_argument("--compare-columns", default=None,
+                    help="comma-separated content columns the churn digest "
+                         "compares (default: every non-partition column; "
+                         "excluding bulky columns like html cuts the digest "
+                         "scan ~1.5x — must match the stored digests')")
 
     p = sub.add_parser(
         "prep-corpus",

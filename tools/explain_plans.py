@@ -150,6 +150,23 @@ def main() -> None:
     )
     fd_res.unpersist()
 
+    # incremental re-validation gate: the churned-partition predicate
+    # (IN + IS NULL on the raw column) pushes into the parquet scan, so a
+    # table laid out by the partition column prunes untouched data
+    from anomalydetector_spark.incremental import churned_partition_condition
+
+    inc_plan = plan_of(
+        pages.filter(
+            churned_partition_condition(["siteA", "siteB", "<NULL>"], "domain")
+        ).select("url", "domain")
+    )
+    ok &= check(
+        "incremental churn filter pushes In/IsNull to the parquet scan",
+        "PushedFilters" in inc_plan
+        and "In(domain" in inc_plan
+        and "IsNull(domain" in inc_plan,
+    )
+
     # user-defined constraints: row asserts must ride the SAME cube scan
     # (identical executed-scan count with and without a suite of asserts)
     from anomalydetector_spark.operators.asserts import RowAssert
