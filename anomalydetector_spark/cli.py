@@ -212,7 +212,7 @@ def _write_violations(violations, out: str, args) -> None:
     cap is nested (the cap-100 set contains the cap-10 set) and
     retry-stable, so re-runs and widened samples agree."""
     cap = getattr(args, "max_violations_per_check", None)
-    if cap:
+    if cap is not None:
         from anomalydetector_spark.operators.sampling import cap_per_key
 
         id_col = next(
@@ -290,9 +290,15 @@ def cmd_validate(args, spark: SparkSession) -> None:
         from anomalydetector_spark.operators.snapshot import partition_digests
 
         store = f"{args.manifest}_digests"
-        if read_partition_digests(spark, store, snapshot) is None:
+        if read_partition_digests(
+            spark, store, snapshot, cfg.partition_by, None
+        ) is None:
             write_partition_digests(
-                partition_digests(pages, cfg.partition_by), store, snapshot
+                partition_digests(pages, cfg.partition_by),
+                store,
+                snapshot,
+                cfg.partition_by,
+                None,
             )
     n = pages.count()
     dt = time.time() - t0
@@ -335,14 +341,19 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     old_snapshot = table_version(spark, args.old_path)
     new_snapshot = table_version(spark, args.new_path)
     digest_store = f"{args.manifest}_digests" if args.manifest else None
-    old_digests = (
-        read_partition_digests(spark, digest_store, old_snapshot)
-        if digest_store
-        else None
-    )
     compare = (
         [c.strip() for c in args.compare_columns.split(",") if c.strip()]
         if getattr(args, "compare_columns", None)
+        else None
+    )
+    # stored digests are provenance-checked: a different partition column
+    # or compare-column set falls back to a cold start instead of marking
+    # every partition changed
+    old_digests = (
+        read_partition_digests(
+            spark, digest_store, old_snapshot, args.partition_column, compare
+        )
+        if digest_store
         else None
     )
     inc = incremental_validate(
@@ -363,21 +374,41 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     reused = "reused stored digests" if old_digests is not None else (
         "digested both sides (cold start)"
     )
-    if digest_store and read_partition_digests(
-        spark, digest_store, new_snapshot
-    ) is None:
-        write_partition_digests(inc.new_digests, digest_store, new_snapshot)
-    if args.manifest:
-        carry_forward_manifest(
-            spark, args.manifest, old_snapshot, new_snapshot, inc.churn
-        )
+    removed_note = (
+        f"; WARNING {counts['removed']} partitions REMOVED"
+        if counts.get("removed")
+        else ""
+    )
+
+    def _commit_digests() -> None:
+        # digests are written LAST — they are the marker the next run
+        # trusts to skip this snapshot's content, so a crash anywhere
+        # earlier leaves the store un-advanced and the next run redoes
+        # the work instead of silently skipping churned partitions
+        if digest_store and read_partition_digests(
+            spark, digest_store, new_snapshot, args.partition_column, compare
+        ) is None:
+            write_partition_digests(
+                inc.new_digests,
+                digest_store,
+                new_snapshot,
+                args.partition_column,
+                compare,
+            )
 
     if inc.result is None:
+        if args.manifest:
+            carry_forward_manifest(
+                spark, args.manifest, old_snapshot, new_snapshot, inc.churn
+            )
+        _commit_digests()
         inc.unpersist()
+        n_total = sum(counts.values())
         print(
-            f"incremental: 0 of {counts.get('unchanged', 0)} partitions "
-            f"churned — nothing to validate ({reused}; "
-            f"snapshot={new_snapshot}); churn → {out}/partitions"
+            f"incremental: 0 of {n_total} partitions churned — nothing to "
+            f"validate ({counts.get('unchanged', 0)} unchanged"
+            f"{removed_note}; {reused}; snapshot={new_snapshot}); "
+            f"churn → {out}/partitions"
         )
         return
 
@@ -390,19 +421,25 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
 
         write_split(res.row_status, f"{out}/rows")
     if args.manifest:
+        # carry unchanged partitions first so the merged view below
+        # covers every partition of the new snapshot
+        carry_forward_manifest(
+            spark, args.manifest, old_snapshot, new_snapshot, inc.churn
+        )
         merged = M.run_with_resume(
             spark, res.verdicts, new_snapshot, args.manifest
         )
         merged.write.mode("overwrite").parquet(f"{out}/verdicts")
     else:
         res.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    _commit_digests()
     dt = time.time() - t0
     inc.unpersist()
     print(
         f"incremental: validated {len(inc.todo)} churned partitions "
         f"({counts.get('added', 0)} added, {counts.get('changed', 0)} "
-        f"changed, {counts.get('unchanged', 0)} unchanged skipped; "
-        f"{reused}) in {dt:.1f}s; snapshot={new_snapshot}; "
+        f"changed, {counts.get('unchanged', 0)} unchanged skipped"
+        f"{removed_note}; {reused}) in {dt:.1f}s; snapshot={new_snapshot}; "
         f"outputs under {out}/"
     )
 

@@ -124,6 +124,16 @@ def run_validation(
     row_asserts = tuple(cfg.asserts)
     agg_asserts = tuple(cfg.agg_asserts)
     A._check_names_unique(row_asserts + agg_asserts)
+    fd_names = [
+        f"fd_{C.fd_label(d)}_{C.fd_label(p)}" for d, p in cfg.functional_deps
+    ]
+    if len(set(fd_names)) != len(fd_names):
+        dupes = sorted({n for n in fd_names if fd_names.count(n) > 1})
+        raise ValueError(
+            f"duplicate functional_deps check name(s) {dupes} — each "
+            "(determinant, dependent) pair must be unique (a repeated "
+            "pair would double-tag every violating row)"
+        )
 
     scans = fused.build_fused_scans(
         keyed,

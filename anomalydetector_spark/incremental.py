@@ -54,16 +54,29 @@ NULL_PART = "<NULL>"
 
 
 def churned_partition_condition(
-    parts: list[str], partition_column: str
+    parts: list[str], partition_column: str, dtype=None
 ) -> Column:
     """Filter predicate selecting the given partition-key values on the
-    raw table — ``IN`` on the string-cast column plus ``IS NULL`` when
-    the sentinel is present, both pushdown-friendly. Empty list → FALSE
-    (nothing churned)."""
+    raw table — ``IN`` plus ``IS NULL`` when the sentinel is present,
+    both pushdown-friendly. Empty list → FALSE (nothing churned).
+
+    Pass the column's ``dtype`` (``df.schema[col].dataType``) for
+    non-string partition columns: the stringified digest keys are then
+    cast back to typed LITERALS (constant-folded), keeping the column
+    bare so the ``In`` predicate still reaches the scan —
+    ``cast(col as string) IN (...)`` would block row-group/partition
+    pruning for int/date columns, defeating the incremental win."""
+    from pyspark.sql.types import StringType
+
     vals = [p for p in parts if p != NULL_PART]
     cond = F.lit(False)
     if vals:
-        cond = F.col(partition_column).cast("string").isin(vals)
+        col = F.col(partition_column)
+        if dtype is not None and not isinstance(dtype, StringType):
+            cond = col.isin(*[F.lit(v).cast(dtype) for v in vals])
+        else:
+            # identity cast on a string column — Catalyst removes it
+            cond = col.cast("string").isin(vals)
     if NULL_PART in parts:
         cond = cond | F.col(partition_column).isNull()
     return cond
@@ -132,35 +145,66 @@ def incremental_validate(
     if not todo:
         return IncrementalResult(churn, [], None, new_digests)
     subset = new.filter(
-        churned_partition_condition(todo, partition_column)
+        churned_partition_condition(
+            todo, partition_column, new.schema[partition_column].dataType
+        )
     )
     return IncrementalResult(
         churn, todo, run_validation(subset, domains, cfg), new_digests
     )
 
 
+def _digest_meta(partition_column: str | None, compare_cols) -> str:
+    """Digest-provenance tag: digests are only comparable when computed
+    over the same partition column AND compare columns."""
+    cc = "*" if not compare_cols else ",".join(sorted(compare_cols))
+    return f"{partition_column or '*'}|{cc}"
+
+
 def write_partition_digests(
-    digests: DataFrame, path: str, snapshot_id: str
+    digests: DataFrame,
+    path: str,
+    snapshot_id: str,
+    partition_column: str | None = None,
+    compare_cols: list[str] | None = None,
 ) -> None:
     """Append a snapshot's partition digests to the digest store (a
     parquet directory beside the manifest, partitioned by snapshot so the
-    next run's read prunes to one snapshot's rows — #partitions, tiny)."""
-    digests.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
+    next run's read prunes to one snapshot's rows — #partitions, tiny).
+    The (partition column, compare columns) provenance is stored with the
+    rows so a later read with different settings cannot silently compare
+    apples to oranges."""
+    digests.withColumn(
+        "digest_meta", F.lit(_digest_meta(partition_column, compare_cols))
+    ).withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
         "append"
     ).partitionBy("snapshot_id").parquet(path)
 
 
 def read_partition_digests(
-    spark: SparkSession, path: str, snapshot_id: str
+    spark: SparkSession,
+    path: str,
+    snapshot_id: str,
+    partition_column: str | None = None,
+    compare_cols: list[str] | None = None,
 ) -> DataFrame | None:
-    """Load one snapshot's stored digests, or None if absent."""
+    """Load one snapshot's stored digests, or None if absent OR computed
+    with a different partition column / compare-column set (a mismatched
+    reuse would mark every partition 'changed' — full revalidation
+    silently masquerading as incremental)."""
     import os
 
     if not os.path.isdir(path):
         return None
     stored = spark.read.parquet(path).filter(
         F.col("snapshot_id") == snapshot_id
-    ).drop("snapshot_id")
+    )
+    if "digest_meta" in stored.columns:
+        stored = stored.filter(
+            F.col("digest_meta")
+            == _digest_meta(partition_column, compare_cols)
+        ).drop("digest_meta")
+    stored = stored.drop("snapshot_id")
     if not stored.head(1):
         return None
     return stored
@@ -181,12 +225,22 @@ def carry_forward_manifest(
     from anomalydetector_spark import manifest as M
 
     manifest = M.read_manifest(spark, manifest_path)
+    # churn keys stringify a NULL partition value to the '<NULL>'
+    # sentinel, but the engine's partition_key (and so the manifest's
+    # partition_spec) keeps SQL NULL — translate back and join null-safe,
+    # or an unchanged null partition would silently lose its coverage
     unchanged = churn.filter(F.col("status") == "unchanged").select(
-        F.col("partition").alias("partition_spec")
+        F.when(F.col("partition") == NULL_PART, F.lit(None))
+        .otherwise(F.col("partition"))
+        .alias("_unchanged_spec")
     )
+    latest = M.latest_verdicts(manifest, old_snapshot)
     carried = (
-        M.latest_verdicts(manifest, old_snapshot)
-        .join(F.broadcast(unchanged), "partition_spec")
+        latest.join(
+            F.broadcast(unchanged),
+            latest["partition_spec"].eqNullSafe(F.col("_unchanged_spec")),
+        )
+        .drop("_unchanged_spec")
         .withColumn("snapshot_id", F.lit(new_snapshot))
         .withColumn("completed_at", F.current_timestamp())
     )

@@ -179,6 +179,120 @@ def test_digest_store_reuse_equivalence(spark, snapshots, tmp_path):
         incremental_validate(None, new, "domain")
 
 
+def test_typed_partition_column_condition(spark):
+    """Non-string partition columns: digest keys are stringified, so the
+    filter must cast the LITERALS back to the column type (a cast on the
+    column would block predicate pushdown)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "d")], "day int, v string"
+    )
+    dt = df.schema["day"].dataType
+    got = df.filter(
+        churned_partition_condition(["2", "3", NULL_PART], "day", dt)
+    )
+    assert sorted(r.v for r in got.collect()) == ["b", "c", "d"]
+    # the column stays bare in the plan (no Cast wrapping 'day')
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cast(day" not in plan.lower()
+
+
+def test_null_partition_carry_forward(spark, tmp_path):
+    """An unchanged NULL-valued partition keeps its manifest coverage:
+    churn stringifies NULL to the '<NULL>' sentinel, the manifest keeps
+    SQL NULL — the carry join must bridge the two (null-safe)."""
+    old = spark.createDataFrame(
+        [(None, "u1", "t1"), (None, "u2", "t2"), ("p", "u3", "t3")],
+        "part string, url string, text string",
+    )
+    mpath = str(tmp_path / "m")
+    rows = spark.createDataFrame(
+        [(None, True, None, 0, 2), ("p", True, None, 0, 1)],
+        "partition_key string, passed boolean, error_message string, "
+        "violation_count long, rows_scanned long",
+    ).withColumn("check_name", F.lit("c1"))
+    M.append_manifest(M.verdicts_to_manifest_rows(rows, "snapA"), mpath)
+
+    inc = incremental_validate(old, old, "part")  # nothing churned
+    assert inc.result is None
+    carried = carry_forward_manifest(spark, mpath, "snapA", "snapB", inc.churn)
+    specs = [r.partition_spec for r in carried.collect()]
+    assert sorted(specs, key=str) == [None, "p"]  # NULL partition carried
+    inc.unpersist()
+
+
+def test_digest_provenance_mismatch_falls_back(spark, snapshots, tmp_path):
+    """Digests stored with one (partition column, compare columns) pair
+    are invisible to a read with another — a silent mismatch would mark
+    every partition changed."""
+    from anomalydetector_spark.incremental import (
+        read_partition_digests,
+        write_partition_digests,
+    )
+    from anomalydetector_spark.operators.snapshot import partition_digests
+
+    old = snapshots[0]
+    store = str(tmp_path / "digests")
+    write_partition_digests(
+        partition_digests(old, "domain", ["url", "text"]),
+        store, "snapA", "domain", ["url", "text"],
+    )
+    assert read_partition_digests(
+        spark, store, "snapA", "domain", ["url", "text"]
+    ) is not None
+    # compare-column order must not matter
+    assert read_partition_digests(
+        spark, store, "snapA", "domain", ["text", "url"]
+    ) is not None
+    assert read_partition_digests(spark, store, "snapA", "domain", None) is None
+    assert read_partition_digests(
+        spark, store, "snapA", "lang", ["url", "text"]
+    ) is None
+
+
+def test_duplicate_fd_pairs_rejected(spark):
+    from anomalydetector_spark.engine import run_validation
+
+    pages = datagen.generate_pages(spark, 500, seed=1)
+    with pytest.raises(ValueError, match="duplicate functional_deps"):
+        run_validation(
+            pages,
+            None,
+            ValidationConfig(
+                functional_deps=(("url", "lang"), ("url", "lang"))
+            ),
+        )
+
+
+def test_violation_cap_zero_suppresses_sink(spark, tmp_path):
+    """--max-violations-per-check 0 means NO violation rows sink (the
+    falsy-zero trap would instead disable the cap entirely)."""
+    import argparse
+
+    from anomalydetector_spark.cli import _write_violations
+
+    viol = spark.createDataFrame(
+        [("c1", "p", "u1"), ("c1", "p", "u2")],
+        "check_name string, partition_key string, url string",
+    )
+    out = str(tmp_path / "o")
+    args = argparse.Namespace(max_violations_per_check=0)
+    _write_violations(viol, out, args)
+    # an empty partitioned write leaves no data files (only _SUCCESS)
+    import os
+
+    data_files = [
+        f
+        for root, _, files in os.walk(f"{out}/violations")
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert data_files == []
+    # and a positive cap still sinks rows through the same path
+    args2 = argparse.Namespace(max_violations_per_check=1)
+    _write_violations(viol, str(tmp_path / "o2"), args2)
+    assert spark.read.parquet(f"{tmp_path}/o2/violations").count() == 1
+
+
 def test_cli_incremental_validate(spark, snapshots, tmp_path, capsys):
     from anomalydetector_spark import cli
 

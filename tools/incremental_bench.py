@@ -2,8 +2,9 @@
 vs incremental_validate(A, B) at a small partition-churn rate.
 
 Builds a pages table (datagen, deterministic), writes snapshot A, derives
-snapshot B by editing the text of N domains (of ~121) and adding one new
-domain, then times, warm and min-of-reps:
+snapshot B by editing the text of 3 mid-size domains (of ~128 — the
+'changed' regime; added/removed churn is covered functionally by
+tests/test_incremental.py), then times, warm and min-of-reps:
 
 * FULL:        run_validation(B, partition_by=domain) — what a naive
                daily job pays,
