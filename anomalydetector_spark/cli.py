@@ -884,8 +884,42 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
             .outputMode("append")
         )
 
+    w4 = None
+    if getattr(args, "quarantine", False):
+        # streaming dead-letter split: the batch engine's tag_rows is a
+        # pure codegen projection, so it streams as-is; only STATELESS
+        # checks apply per-row here (null ts + suite row asserts) —
+        # duplicate keys are the dedup stage's job, cross-partition
+        # checks remain batch. parquet sink + checkpoint = exactly-once
+        # per input file; partitionBy splits clean/quarantined in the
+        # same single pass as the batch path.
+        from anomalydetector_spark.operators import quarantine as Q
+
+        st_asserts = ()
+        if getattr(args, "suite", None):
+            from anomalydetector_spark.plans.spec import load_suite
+
+            st_asserts = tuple(load_suite(args.suite).asserts)
+        tagged = Q.tag_rows(
+            pages,
+            st_asserts,
+            extra_tags=[
+                F.when(F.col("warc_ts").isNull(), F.lit("not_null_warc_ts"))
+            ],
+        )
+        w4 = (
+            tagged.writeStream.format("parquet")
+            .partitionBy(Q.STATUS_COL)
+            .option("path", f"{out}/rows")
+            .option("checkpointLocation", f"{ckpt}/rows")
+            .outputMode("append")
+        )
+
     if args.available_now:
         q1 = w1.trigger(availableNow=True).start()
+        if w4 is not None:
+            q4 = w4.trigger(availableNow=True).start()
+            q4.awaitTermination()
         q1.awaitTermination()
         q2 = w2.trigger(availableNow=True).start()
         if w3 is not None:
@@ -902,6 +936,8 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
         w2.start()
         if w3 is not None:
             w3.start()
+        if w4 is not None:
+            w4.start()
         print(f"streaming validation running; outputs under {out}/")
         spark.streams.awaitAnyTermination()
 
@@ -983,6 +1019,14 @@ def main(argv=None):
                         "(dropDuplicatesWithinWatermark keyed on url; "
                         "state bounded by the watermark) so duplicates "
                         "never reach the window stats")
+    s.add_argument("--quarantine", action="store_true",
+                   help="also stream every input row into rows/"
+                        "validation_status={clean,quarantined} (stateless "
+                        "checks: null ts + suite row asserts; exactly-once "
+                        "per input file via its own checkpoint)")
+    s.add_argument("--suite", default=None,
+                   help="JSON check-suite spec — its row asserts become "
+                        "streaming quarantine tags")
 
     e = sub.add_parser(
         "evaluate",

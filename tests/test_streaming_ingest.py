@@ -202,3 +202,49 @@ def test_stream_validate_cli_shape_drift(spark, tmp_path):
     for w, js in got.items():
         assert abs(js - exp[w]) < 1e-9, (w, js, exp[w])
     pages.unpersist()
+
+
+def test_stream_validate_cli_quarantine(spark, tmp_path):
+    """--quarantine streams every input row into the clean/quarantined
+    split with stateless tags (null ts + suite row asserts), exactly
+    matching the batch tagger on the same rows."""
+    import json
+
+    from anomalydetector_spark import cli
+    from anomalydetector_spark.operators import quarantine as Q
+
+    pages = datagen.generate_pages(spark, N_ROWS).dropDuplicates(["url"]).cache()
+    pages.count()
+    in_dir = _write_chunks(spark, tmp_path, pages, dup_frac_mod=10**9)
+    suite = {"asserts": [{"name": "text_nonempty",
+                          "expr": "text IS NOT NULL AND length(text) > 0"}]}
+    spath = str(tmp_path / "suite.json")
+    with open(spath, "w") as fh:
+        json.dump(suite, fh)
+    out = str(tmp_path / "out")
+    cli.main([
+        "stream-validate", "--input-path", in_dir, "--output-path", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--available-now",
+        "--quarantine", "--suite", spath,
+    ])
+    rows = spark.read.parquet(f"{out}/rows")
+    n_in = spark.read.parquet(in_dir).count()
+    assert rows.count() == n_in  # every delivered row exactly once
+    stream_counts = {
+        r[Q.STATUS_COL]: r.n_rows for r in Q.split_counts(rows).collect()
+    }
+    # batch twin over the same delivered rows
+    import pyspark.sql.functions as F  # noqa: F811
+    from anomalydetector_spark.operators.asserts import RowAssert
+
+    batch = Q.tag_rows(
+        spark.read.parquet(in_dir),
+        (RowAssert("text_nonempty", "text IS NOT NULL AND length(text) > 0"),),
+        extra_tags=[F.when(F.col("warc_ts").isNull(),
+                           F.lit("not_null_warc_ts"))],
+    )
+    batch_counts = {
+        r[Q.STATUS_COL]: r.n_rows for r in Q.split_counts(batch).collect()
+    }
+    assert stream_counts == batch_counts
+    assert stream_counts.get(Q.QUARANTINED, 0) > 0  # null-ts regime present
