@@ -284,22 +284,18 @@ def cmd_validate(args, spark: SparkSession) -> None:
         # seed the digest store so the FIRST incremental-validate run
         # against this snapshot never rescans its content
         from anomalydetector_spark.incremental import (
-            read_partition_digests,
-            write_partition_digests,
+            commit_digest_store,
+            resolve_compare_cols,
         )
         from anomalydetector_spark.operators.snapshot import partition_digests
 
         store = f"{args.manifest}_digests"
-        if read_partition_digests(
-            spark, store, snapshot, cfg.partition_by, None
-        ) is None:
-            write_partition_digests(
-                partition_digests(pages, cfg.partition_by),
-                store,
-                snapshot,
-                cfg.partition_by,
-                None,
-            )
+        cols = resolve_compare_cols(pages, cfg.partition_by, None)
+        commit_digest_store(
+            spark, store, snapshot,
+            partition_digests(pages, cfg.partition_by, cols),
+            cfg.partition_by, cols,
+        )
     n = pages.count()
     dt = time.time() - t0
     print(
@@ -318,9 +314,10 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     from anomalydetector_spark.engine import ValidationConfig
     from anomalydetector_spark.incremental import (
         carry_forward_manifest,
+        commit_digest_store,
         incremental_validate,
         read_partition_digests,
-        write_partition_digests,
+        resolve_compare_cols,
     )
     from anomalydetector_spark.sources.tables import read_table, table_version
 
@@ -341,14 +338,17 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     old_snapshot = table_version(spark, args.old_path)
     new_snapshot = table_version(spark, args.new_path)
     digest_store = f"{args.manifest}_digests" if args.manifest else None
-    compare = (
+    compare = resolve_compare_cols(
+        new,
+        args.partition_column,
         [c.strip() for c in args.compare_columns.split(",") if c.strip()]
         if getattr(args, "compare_columns", None)
-        else None
+        else None,
     )
     # stored digests are provenance-checked: a different partition column
-    # or compare-column set falls back to a cold start instead of marking
-    # every partition changed
+    # or compare-column set (incl. schema drift changing the resolved
+    # default) falls back to a cold start instead of marking every
+    # partition changed
     old_digests = (
         read_partition_digests(
             spark, digest_store, old_snapshot, args.partition_column, compare
@@ -385,15 +385,10 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
         # trusts to skip this snapshot's content, so a crash anywhere
         # earlier leaves the store un-advanced and the next run redoes
         # the work instead of silently skipping churned partitions
-        if digest_store and read_partition_digests(
-            spark, digest_store, new_snapshot, args.partition_column, compare
-        ) is None:
-            write_partition_digests(
-                inc.new_digests,
-                digest_store,
-                new_snapshot,
-                args.partition_column,
-                compare,
+        if digest_store:
+            commit_digest_store(
+                spark, digest_store, new_snapshot, inc.new_digests,
+                args.partition_column, compare,
             )
 
     if inc.result is None:
@@ -819,6 +814,11 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     pages = reader.parquet(args.input_path)
+    # quarantine (below) audits EVERY delivered row, so it taps the raw
+    # stream — tagging after the dedup reassignment would silently drop
+    # duplicate rows from the dead-letter ledger (and run a second copy
+    # of the dedup state)
+    raw_pages = pages
     dedup = getattr(args, "dedup_url", False)
     if dedup:
         from anomalydetector_spark.streaming import dedup_ingest_stream
@@ -901,7 +901,7 @@ def cmd_stream_validate(args, spark: SparkSession) -> None:
 
             st_asserts = tuple(load_suite(args.suite).asserts)
         tagged = Q.tag_rows(
-            pages,
+            raw_pages,
             st_asserts,
             extra_tags=[
                 F.when(F.col("warc_ts").isNull(), F.lit("not_null_warc_ts"))

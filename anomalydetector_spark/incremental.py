@@ -49,7 +49,10 @@ from anomalydetector_spark.operators.snapshot import (
 )
 
 # partition_digests maps a NULL single-column partition value to this
-# sentinel so the full-outer join can match it across snapshots
+# sentinel so the full-outer join can match it across snapshots. Known
+# edge: a partition whose STRING value is literally '<NULL>' is
+# indistinguishable from the null partition at churn granularity (both
+# then churn/validate together — over-validation, never under).
 NULL_PART = "<NULL>"
 
 
@@ -128,6 +131,9 @@ def incremental_validate(
     cfg = dataclasses.replace(
         config or ValidationConfig(), partition_by=partition_column
     )
+    # canonical column order: digest sums are order-sensitive, so both
+    # sides (and any stored digests) must hash the same sorted list
+    compare_cols = resolve_compare_cols(new, partition_column, compare_cols)
     if old_digests is None:
         if old is None:
             raise ValueError("need either old or old_digests")
@@ -154,9 +160,26 @@ def incremental_validate(
     )
 
 
+def resolve_compare_cols(
+    df: DataFrame, partition_column: str, compare_cols: list[str] | None
+) -> list[str]:
+    """Canonical compare-column list for a digest run: caller's list
+    SORTED (digest sums concatenate per-column encodings, so order
+    changes the hash — canonicalizing makes ['a','b'] and ['b','a']
+    produce identical, comparable digests), or every non-partition
+    column of ``df`` resolved CONCRETELY (so schema drift between
+    snapshots changes the provenance tag and forces an honest cold
+    start instead of marking every partition changed)."""
+    if compare_cols:
+        return sorted(compare_cols)
+    return sorted(set(df.columns) - {partition_column})
+
+
 def _digest_meta(partition_column: str | None, compare_cols) -> str:
     """Digest-provenance tag: digests are only comparable when computed
-    over the same partition column AND compare columns."""
+    over the same partition column AND compare columns. Callers should
+    pass a RESOLVED column list (resolve_compare_cols); '*' survives
+    only for legacy stores written before resolution existed."""
     cc = "*" if not compare_cols else ",".join(sorted(compare_cols))
     return f"{partition_column or '*'}|{cc}"
 
@@ -191,14 +214,16 @@ def read_partition_digests(
     """Load one snapshot's stored digests, or None if absent OR computed
     with a different partition column / compare-column set (a mismatched
     reuse would mark every partition 'changed' — full revalidation
-    silently masquerading as incremental)."""
-    import os
-
-    if not os.path.isdir(path):
+    silently masquerading as incremental). Absence covers every shape:
+    no store yet, an empty first write (_SUCCESS only), or an
+    object-store path — all read errors degrade to a cold start, never
+    a wedged pipeline."""
+    try:
+        stored = spark.read.parquet(path).filter(
+            F.col("snapshot_id") == snapshot_id
+        )
+    except Exception:
         return None
-    stored = spark.read.parquet(path).filter(
-        F.col("snapshot_id") == snapshot_id
-    )
     if "digest_meta" in stored.columns:
         stored = stored.filter(
             F.col("digest_meta")
@@ -208,6 +233,28 @@ def read_partition_digests(
     if not stored.head(1):
         return None
     return stored
+
+
+def commit_digest_store(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: str,
+    digests: DataFrame,
+    partition_column: str,
+    compare_cols: list[str] | None,
+) -> bool:
+    """Idempotent store commit: append ``digests`` under ``snapshot_id``
+    unless matching-provenance digests are already stored. The single
+    home for the check-then-write pattern (the CLI's seed path and the
+    incremental commit path must never diverge)."""
+    if read_partition_digests(
+        spark, path, snapshot_id, partition_column, compare_cols
+    ) is None:
+        write_partition_digests(
+            digests, path, snapshot_id, partition_column, compare_cols
+        )
+        return True
+    return False
 
 
 def carry_forward_manifest(

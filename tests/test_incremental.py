@@ -249,6 +249,54 @@ def test_digest_provenance_mismatch_falls_back(spark, snapshots, tmp_path):
     ) is None
 
 
+def test_empty_or_missing_digest_store_reads_as_absent(spark, tmp_path):
+    """An empty first write (_SUCCESS only) or a missing path degrades to
+    a cold start — never an AnalysisException-wedged pipeline."""
+    from anomalydetector_spark.incremental import (
+        read_partition_digests,
+        write_partition_digests,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "partition string, n_rows long, digest_sum_a decimal(38,0), "
+        "digest_sum_b decimal(38,0)",
+    )
+    store = str(tmp_path / "d")
+    write_partition_digests(empty, store, "snapA", "domain", None)
+    assert read_partition_digests(spark, store, "snapA", "domain", None) is None
+    assert read_partition_digests(
+        spark, str(tmp_path / "missing"), "s", "domain", None
+    ) is None
+
+
+def test_digest_reuse_order_insensitive_end_to_end(spark, snapshots, tmp_path):
+    """compare-column ORDER must not poison reuse: digests are hashed
+    over the canonically-sorted list, so stored digests from one order
+    produce zero spurious churn when read back with another."""
+    from anomalydetector_spark.incremental import (
+        read_partition_digests,
+        write_partition_digests,
+    )
+
+    old = snapshots[0]
+    store = str(tmp_path / "d")
+    first = incremental_validate(old, old, "domain", compare_cols=["text", "url"])
+    write_partition_digests(
+        first.new_digests, store, "snapA", "domain", ["text", "url"]
+    )
+    stored = read_partition_digests(
+        spark, store, "snapA", "domain", ["url", "text"]  # reversed order
+    )
+    assert stored is not None
+    again = incremental_validate(
+        None, old, "domain", compare_cols=["url", "text"], old_digests=stored
+    )
+    assert again.todo == [] and again.result is None  # zero spurious churn
+    first.unpersist()
+    again.unpersist()
+
+
 def test_duplicate_fd_pairs_rejected(spark):
     from anomalydetector_spark.engine import run_validation
 

@@ -248,3 +248,23 @@ def test_stream_validate_cli_quarantine(spark, tmp_path):
     }
     assert stream_counts == batch_counts
     assert stream_counts.get(Q.QUARANTINED, 0) > 0  # null-ts regime present
+
+
+def test_stream_quarantine_audits_raw_rows_with_dedup(spark, tmp_path):
+    """--dedup-url + --quarantine: the dedup stage feeds the stats, but
+    the quarantine ledger still records EVERY delivered row (duplicates
+    included) — the dead-letter audit must not shrink with dedup."""
+    from anomalydetector_spark import cli
+
+    pages = datagen.generate_pages(spark, 3_000).dropDuplicates(["url"]).cache()
+    pages.count()
+    in_dir = _write_chunks(spark, tmp_path, pages, dup_frac_mod=5)
+    out = str(tmp_path / "out")
+    cli.main([
+        "stream-validate", "--input-path", in_dir, "--output-path", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--available-now",
+        "--dedup-url", "--quarantine",
+    ])
+    n_delivered = spark.read.parquet(in_dir).count()
+    assert n_delivered > pages.count()  # re-deliveries present
+    assert spark.read.parquet(f"{out}/rows").count() == n_delivered
