@@ -1110,6 +1110,30 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Document chunking (operators/chunking.chunk_documents): split
+    each document into 64-token training windows with 8-token overlap —
+    the cleaning→packing bridge step of a pretraining pipeline. Pure
+    codegen projection + posexplode, zero shuffle; every token lands in
+    ≥1 chunk and consecutive chunks share exactly the overlap."""
+    from anomalydetector_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (operators/frequency.vocab_top_k): exact
+    top-50 tokens by occurrence — wordcount with map-side partial
+    combine collapsing each task to its local vocabulary before the one
+    shuffle, then a distributed TakeOrderedAndProject top-k (never a
+    global single-partition window)."""
+    from anomalydetector_spark.operators.frequency import vocab_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_top_k(docs, k=50)
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1611,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "token_counts": q_token_counts,
+        "doc_chunks": q_doc_chunks,
+        "vocab_topk": q_vocab_topk,
         "quality_profile": q_quality_profile,
         "lang_id_agreement": q_lang_id_agreement,
         "fingerprint": q_fingerprint,
@@ -2792,6 +2818,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": f"""
             SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, coalesce({_DUCK_TOKS}, []) AS toks
+              FROM documents),
+            c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            k AS (
+              SELECT doc_id, toks,
+                     CASE WHEN n <= 0 THEN 0
+                          ELSE greatest(CAST(ceil((n - 8) / 56.0) AS INT), 1)
+                     END AS n_chunks
+              FROM c),
+            e AS (
+              SELECT doc_id, toks,
+                     CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+              FROM k)
+            SELECT doc_id, chunk_id,
+                   CAST(len(toks[chunk_id*56 + 1 : chunk_id*56 + 64]) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(toks[chunk_id*56 + 1 : chunk_id*56 + 64], ' ')
+                       AS chunk_text
+            FROM e
+        """,
+        "vocab_topk": """
+            WITH tok AS (
+              SELECT unnest(coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> ''), [])) AS token
+              FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+            r AS (SELECT token, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                  FROM c)
+            SELECT token, cnt, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 50
         """,
         "repetition_profile": """
             WITH t AS (

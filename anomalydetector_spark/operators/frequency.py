@@ -82,6 +82,47 @@ def skew_report(
     )
 
 
+def vocab_top_k(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary head: exact top-k tokens by total occurrence
+    count — ``(token, cnt, rank)``, ties broken by token ascending so
+    the result is deterministic.
+
+    The classic wordcount shape, written so the explode never bloats a
+    shuffle: tokens explode FROM the scan into a hash aggregate whose
+    map-side partial combine collapses each task's token stream to its
+    local distinct vocabulary (Zipf: ~10^5-10^6 distinct tokens per
+    task regardless of row count), so the one shuffle moves vocabulary-
+    sized partials, not the 10^14-token stream. The top-k itself is
+    ``orderBy().limit(k)`` — Spark's ``TakeOrderedAndProject``, a
+    per-partition partial top-k merged on the driver — NOT a global
+    ``row_number`` window, which would single-partition the whole
+    vocabulary table (10^8 rows on one task at web scale). Feeds
+    tokenizer training, stopword-table construction, and corpus-mix
+    sanity checks.
+    """
+    from anomalydetector_spark.functions import tokens
+
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    counts = (
+        docs.select(F.explode(tokens(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+    # rank rides a window over the k-row result only (k is small by
+    # contract), keeping the big aggregate out of any window exchange.
+    rnk = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return counts.withColumn("rank", F.row_number().over(rnk)).select(
+        "token", "cnt", "rank"
+    )
+
+
 def candidate_key_counts(
     df: DataFrame,
     candidates: DataFrame,
