@@ -519,8 +519,10 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
     reach content hashes or fingerprints), optional Gopher hard quality
     gate (operators/quality — on the scrubbed text, before dedup), then
     dedup → quality gate → features
-    (operators/pipeline.prepare_training_corpus), then optional sequence
-    packing of the surviving docs into fixed token budgets
+    (operators/pipeline.prepare_training_corpus), then optional document
+    chunking of the survivors into fixed token windows with overlap
+    (operators/chunking), then optional sequence packing — of the chunks
+    when chunking is on, else of whole docs — into fixed token budgets
     (operators/packing)."""
     from anomalydetector_spark.operators.pipeline import prepare_training_corpus
     from anomalydetector_spark.operators.sampling import (
@@ -602,6 +604,39 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
     corpus = spark.read.parquet(args.output_path)
     n_out = corpus.count()
     print(f"prepared {n_out} docs → {args.output_path}")
+    pack_input, pack_id = corpus, args.id_column
+    if args.chunk_tokens:
+        from anomalydetector_spark.operators.chunking import chunk_documents
+
+        chunks_path = args.output_path.rstrip("/") + "_chunks"
+        # chunk the SURVIVORS' original (scrubbed/redacted) text: the
+        # written corpus is lean (ids + features, no text), so the ids
+        # rejoin the prep input instead of re-running the prep DAG
+        survivors = docs.join(
+            corpus.select(args.id_column), args.id_column, "left_semi"
+        )
+        chunk_documents(
+            survivors,
+            id_col=args.id_column,
+            text_col=args.text_column,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.chunk_overlap,
+        ).withColumn(
+            "chunk_key",
+            F.concat_ws(
+                "#", F.col(args.id_column).cast("string"), F.col("chunk_id")
+            ),
+        ).write.mode("overwrite").parquet(chunks_path)
+        chunks = spark.read.parquet(chunks_path)
+        print(
+            f"chunked into {chunks.count()} windows of "
+            f"≤{args.chunk_tokens} tokens (overlap {args.chunk_overlap}) "
+            f"→ {chunks_path}"
+        )
+        # with chunking on, packing consumes the bounded-size chunks —
+        # the chunk-then-pack pipeline order — so no pack is ever
+        # oversize when pack-budget >= chunk-tokens
+        pack_input, pack_id = chunks, "chunk_key"
     if args.pack_budget:
         from anomalydetector_spark.operators.packing import (
             pack_sequences,
@@ -610,10 +645,10 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
 
         packs_path = args.output_path.rstrip("/") + "_packs"
         packed = pack_sequences(
-            corpus,
+            pack_input,
             budget=args.pack_budget,
             token_col="n_tokens",
-            id_col=args.id_column,
+            id_col=pack_id,
             seed=args.seed,
         )
         packed.write.mode("overwrite").parquet(packs_path)
@@ -1154,6 +1189,13 @@ def main(argv=None):
                    help="target mixture, e.g. 'en=1.0,de=0.5' — strata "
                         "down-sampled to these proportions")
     p.add_argument("--mix-column", default="lang")
+    p.add_argument("--chunk-tokens", type=int, default=None,
+                   help="also split surviving docs into training windows "
+                        "of this many tokens → <output-path>_chunks; with "
+                        "--pack-budget the CHUNKS are packed instead of "
+                        "whole docs (chunk-then-pack order)")
+    p.add_argument("--chunk-overlap", type=int, default=0,
+                   help="tokens shared by consecutive chunks (default 0)")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="also pack surviving docs into sequences of this "
                         "many tokens → <output-path>_packs")

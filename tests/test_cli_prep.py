@@ -183,3 +183,37 @@ def test_prep_corpus_scrub_and_redact(spark, tmp_path, capsys):
     fp_raw = {r.doc_id: r.fingerprint
               for r in spark.read.parquet(out2).collect()}
     assert fp_scrub[2] != fp_raw[2]  # scrubbing changed the hashed content
+
+
+def test_prep_corpus_chunk_then_pack(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    cli.main(
+        [
+            "prep-corpus",
+            "--input-path", DOCS,
+            "--output-path", out,
+            "--chunk-tokens", "32",
+            "--chunk-overlap", "4",
+            "--pack-budget", "64",
+        ]
+    )
+    corpus = spark.read.parquet(out)
+    chunks = spark.read.parquet(out + "_chunks")
+    packed = spark.read.parquet(out + "_packs")
+    # every surviving doc produced >= 1 chunk, and chunk count >= doc
+    # count (long docs split)
+    doc_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    chunk_docs = {r.doc_id for r in chunks.select("doc_id").collect()}
+    assert chunk_docs == doc_ids
+    assert chunks.count() >= corpus.count()
+    # chunks respect the budget and carry a unique composite key
+    assert chunks.filter(F.col("n_tokens") > 32).count() == 0
+    assert (
+        chunks.select("chunk_key").distinct().count() == chunks.count()
+    )
+    # packing consumed the CHUNKS (one packed row per chunk), and with
+    # pack-budget >= chunk-tokens nothing is oversize
+    assert packed.count() == chunks.count()
+    assert packed.filter(F.col("oversize")).count() == 0
+    msg = capsys.readouterr().out
+    assert "chunked into" in msg and "packed into" in msg

@@ -561,6 +561,31 @@ def main() -> None:
         and "EvalPython" not in prof_plan,
     )
 
+    from anomalydetector_spark.operators.chunking import chunk_documents
+
+    chunk_plan = plan_of(
+        chunk_documents(docs.select("doc_id", "text"), chunk_tokens=64, overlap=8)
+    )
+    ok &= check(
+        "document chunking: pure projection + explode — zero shuffle, "
+        "zero Python, one scan",
+        "Exchange" not in chunk_plan
+        and "EvalPython" not in chunk_plan
+        and _executed_parquet_scans(chunk_plan) <= 1,
+    )
+
+    from anomalydetector_spark.operators.frequency import vocab_top_k
+
+    vocab_plan = plan_of(vocab_top_k(docs.select("text"), k=50))
+    ok &= check(
+        "vocab top-k: map-side partial combine before the one shuffle, "
+        "distributed TakeOrderedAndProject (no global single-partition "
+        "window), no Python",
+        "partial_count" in vocab_plan
+        and "TakeOrderedAndProject" in vocab_plan
+        and "EvalPython" not in vocab_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
