@@ -666,6 +666,22 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         )
 
 
+def cmd_ingest_warc(args, spark: SparkSession) -> None:
+    """Archive → table: distributed WARC parse (sources/warc), then —
+    unless ``--raw`` — projection of response records onto the engine's
+    exact input shape with codegen text extraction (the north-rule
+    byte-identity invariant holds by construction) and marker-voting
+    lang id. Output is the table every other command consumes."""
+    from anomalydetector_spark.sources.warc import read_warc, warc_to_pages
+
+    records = read_warc(spark, args.input_path)
+    out = records if args.raw else warc_to_pages(records)
+    out.write.mode("overwrite").parquet(args.output_path)
+    n = spark.read.parquet(args.output_path).count()
+    kind = "records" if args.raw else "pages"
+    print(f"ingested {n} {kind} → {args.output_path}")
+
+
 def cmd_snapshot_diff(args, spark: SparkSession) -> None:
     """Exact churn between two snapshot reads of a keyed table
     (operators/snapshot): per-key added/removed/changed/unchanged
@@ -1225,6 +1241,20 @@ def main(argv=None):
     pr.add_argument("--suggest-tolerance", type=float, default=0.0,
                     help="max_violation_fraction for suggested asserts")
 
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="parse WARC web archives (Common Crawl's raw format) into "
+             "the engine's pages table (url, warc_ts, html, text, lang)",
+    )
+    iw.add_argument("--input-path", required=True,
+                    help="WARC file, .warc.gz, directory, or glob; each "
+                         "FILE parses in one task (CC shards ~1 GB)")
+    iw.add_argument("--output-path", required=True)
+    iw.add_argument("--raw", action="store_true",
+                    help="keep ALL record types with warc/http metadata "
+                         "instead of projecting response records onto "
+                         "the pages shape")
+
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
 
@@ -1244,6 +1274,8 @@ def main(argv=None):
             cmd_evaluate(args, spark)
         elif args.cmd == "profile":
             cmd_profile(args, spark)
+        elif args.cmd == "ingest-warc":
+            cmd_ingest_warc(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:
