@@ -672,10 +672,19 @@ def cmd_ingest_warc(args, spark: SparkSession) -> None:
     exact input shape with codegen text extraction (the north-rule
     byte-identity invariant holds by construction) and marker-voting
     lang id. Output is the table every other command consumes."""
-    from anomalydetector_spark.sources.warc import read_warc, warc_to_pages
+    from anomalydetector_spark.sources.warc import (
+        read_warc,
+        warc_to_pages,
+        wet_to_pages,
+    )
 
     records = read_warc(spark, args.input_path)
-    out = records if args.raw else warc_to_pages(records)
+    if args.raw:
+        out = records
+    elif args.wet:
+        out = wet_to_pages(records)
+    else:
+        out = warc_to_pages(records)
     out.write.mode("overwrite").parquet(args.output_path)
     n = spark.read.parquet(args.output_path).count()
     kind = "records" if args.raw else "pages"
@@ -1254,6 +1263,10 @@ def main(argv=None):
                     help="keep ALL record types with warc/http metadata "
                          "instead of projecting response records onto "
                          "the pages shape")
+    iw.add_argument("--wet", action="store_true",
+                    help="input is WET (extracted-text) archives: project "
+                         "conversion records instead — text is the record "
+                         "payload, html is NULL")
 
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark

@@ -76,7 +76,10 @@ def warc_record_bytes(
         block_type = "application/http; msgtype=response"
     else:
         block = payload
-        block_type = "application/warc-fields"
+        block_type = (
+            "text/plain" if warc_type == "conversion"
+            else "application/warc-fields"
+        )
     head = (
         "WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
@@ -203,5 +206,34 @@ def warc_to_pages(records: DataFrame) -> DataFrame:
     return (
         records.filter(F.col("warc_type") == "response")
         .select("url", "warc_ts", "html", text.alias("text"))
+        .withColumn("lang", lang_id(F.col("text")))
+    )
+
+
+def wet_to_pages(records: DataFrame) -> DataFrame:
+    """WET (extracted-text) records → the pages shape.
+
+    Common Crawl also publishes WET archives whose ``conversion``
+    records carry the ALREADY-extracted page text as the block; many
+    pipelines start there instead of raw WARC. Same output schema as
+    :func:`warc_to_pages` with ``html`` NULL (there is no raw page to
+    re-extract from) and ``text`` the record payload decoded leniently
+    (malformed UTF-8 → NULL text, a per-row violation downstream —
+    never a job-killing ANSI decode error). Note the byte-identity
+    check (``check_text_extraction``) does not apply to WET rows: with
+    no ``html`` there is nothing to re-run the extractor on; rows
+    instead hit the NULL/size checks like any other text column.
+    """
+    from anomalydetector_spark.operators.text import lang_id
+
+    text = F.try_validate_utf8(F.col("html").cast("string"))
+    return (
+        records.filter(F.col("warc_type") == "conversion")
+        .select(
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            text.alias("text"),
+        )
         .withColumn("lang", lang_id(F.col("text")))
     )

@@ -111,3 +111,53 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
     raw = spark.read.parquet(out2)
     assert raw.count() == 3
     assert {"warc_type", "http_status", "record_id"} <= set(raw.columns)
+
+
+def test_wet_to_pages(spark, tmp_path):
+    from anomalydetector_spark.sources.warc import wet_to_pages
+
+    wet = (
+        warc_record_bytes(
+            "urn:warcinfo", "2025-01-01T00:00:00Z", b"fmt: wet\r\n",
+            warc_type="warcinfo", record_id="<urn:uuid:i>",
+        )
+        + warc_record_bytes(
+            "http://a.example/one", "2025-01-02T00:00:00Z",
+            "the extracted text of the page — already plain".encode(),
+            warc_type="conversion", record_id="<urn:uuid:1>",
+        )
+        + warc_record_bytes(
+            "http://bad.example/x", "2025-01-03T00:00:00Z",
+            b"\xff\xfebroken utf8",
+            warc_type="conversion", record_id="<urn:uuid:2>",
+        )
+    )
+    p = tmp_path / "a.warc.wet"
+    p.write_bytes(wet)
+    pages = wet_to_pages(read_warc(spark, str(p)))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r.url: r for r in pages.collect()}
+    assert set(rows) == {"http://a.example/one", "http://bad.example/x"}
+    ok = rows["http://a.example/one"]
+    assert ok.text == "the extracted text of the page — already plain"
+    assert ok.lang == "en"
+    assert ok.html is None
+    # malformed UTF-8 -> NULL text (a downstream violation), never an
+    # ANSI decode error
+    assert rows["http://bad.example/x"].text is None
+
+
+def test_cli_ingest_wet(spark, tmp_path, capsys):
+    wet = warc_record_bytes(
+        "http://a.example/one", "2025-01-02T00:00:00Z",
+        b"plain text body", warc_type="conversion",
+        record_id="<urn:uuid:1>",
+    )
+    (tmp_path / "a.warc.wet.gz").write_bytes(gzip.compress(wet))
+    out = str(tmp_path / "pages")
+    cli.main(["ingest-warc", "--input-path", str(tmp_path / "a.warc.wet.gz"),
+              "--output-path", out, "--wet"])
+    pages = spark.read.parquet(out)
+    assert pages.count() == 1
+    assert pages.first().text == "plain text body"
+    assert "ingested 1 pages" in capsys.readouterr().out
