@@ -591,6 +591,16 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         # before dedup (the Gopher/MassiveText stage order): a pure
         # codegen filter, so it fuses into the preceding projection
         docs = gopher_filter(docs, text_col=args.text_column)
+    if args.chunk_tokens:
+        # the chunking pass below re-reads this frame for the
+        # survivors' text; without persistence that second consumer
+        # would re-execute the whole scrub/decontam/sample lineage over
+        # the full input — at corpus scale, the job's most expensive
+        # stages twice (an intermediate table serves the same purpose
+        # on a real cluster when the cleaned text exceeds cache)
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     out = prepare_training_corpus(
         docs,
         text_col=args.text_column,
@@ -609,9 +619,10 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         from anomalydetector_spark.operators.chunking import chunk_documents
 
         chunks_path = args.output_path.rstrip("/") + "_chunks"
-        # chunk the SURVIVORS' original (scrubbed/redacted) text: the
-        # written corpus is lean (ids + features, no text), so the ids
-        # rejoin the prep input instead of re-running the prep DAG
+        # chunk the SURVIVORS' scrubbed/redacted text: the written
+        # corpus is lean (ids + features, no text), so the ids rejoin
+        # the PERSISTED prep frame (cached above — this replays the
+        # cache, not the scrub/decontam lineage)
         survivors = docs.join(
             corpus.select(args.id_column), args.id_column, "left_semi"
         )
@@ -633,6 +644,7 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
             f"≤{args.chunk_tokens} tokens (overlap {args.chunk_overlap}) "
             f"→ {chunks_path}"
         )
+        docs.unpersist()
         # with chunking on, packing consumes the bounded-size chunks —
         # the chunk-then-pack pipeline order — so no pack is ever
         # oversize when pack-budget >= chunk-tokens
@@ -684,7 +696,7 @@ def cmd_ingest_warc(args, spark: SparkSession) -> None:
     elif args.wet:
         out = wet_to_pages(records)
     else:
-        out = warc_to_pages(records)
+        out = warc_to_pages(records, ok_status_only=not args.keep_errors)
     out.write.mode("overwrite").parquet(args.output_path)
     n = spark.read.parquet(args.output_path).count()
     kind = "records" if args.raw else "pages"
@@ -1259,14 +1271,19 @@ def main(argv=None):
                     help="WARC file, .warc.gz, directory, or glob; each "
                          "FILE parses in one task (CC shards ~1 GB)")
     iw.add_argument("--output-path", required=True)
-    iw.add_argument("--raw", action="store_true",
-                    help="keep ALL record types with warc/http metadata "
-                         "instead of projecting response records onto "
-                         "the pages shape")
-    iw.add_argument("--wet", action="store_true",
-                    help="input is WET (extracted-text) archives: project "
-                         "conversion records instead — text is the record "
-                         "payload, html is NULL")
+    iw_mode = iw.add_mutually_exclusive_group()
+    iw_mode.add_argument("--raw", action="store_true",
+                         help="keep ALL record types with warc/http "
+                              "metadata instead of projecting response "
+                              "records onto the pages shape")
+    iw_mode.add_argument("--wet", action="store_true",
+                         help="input is WET (extracted-text) archives: "
+                              "project conversion records instead — text "
+                              "is the record payload, html is NULL")
+    iw.add_argument("--keep-errors", action="store_true",
+                    help="also project non-2xx responses (default drops "
+                         "404/500/redirect error boilerplate, which the "
+                         "pages shape could not filter later)")
 
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark

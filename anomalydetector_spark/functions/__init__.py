@@ -89,19 +89,23 @@ def is_finite(col: Column) -> Column:
     return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
 
 
-def extract_text(html: Column) -> Column:
-    """Deterministic html → text extraction, entirely JVM-side: UTF-8
-    decode + tag strip. This is the engine's canonical extractor; the
-    per-url byte-identity invariant (north rule) is defined against it —
-    ``check_text_extraction`` re-runs it over stored ``html`` and flags
-    any row whose ``text`` column differs byte-wise. No Python UDF: at
-    10^12 docs the extractor must live inside whole-stage codegen.
+def lenient_utf8(col: Column) -> Column:
+    """Binary → string with malformed UTF-8 becoming NULL rather than an
+    error: under Spark 4's default ANSI mode ``decode(col,'UTF-8')``
+    THROWS on the first bad byte — one corrupt page of 10^12 would kill
+    the job. The lenient binary→string cast + ``try_validate_utf8``
+    turns those rows into per-row violations instead. The ONE decode
+    idiom every text-bearing path shares (extractor, WET ingest), so the
+    decode semantics can never silently diverge between them."""
+    return F.try_validate_utf8(col.cast("string"))
 
-    Malformed UTF-8 yields NULL rather than an error: under Spark 4's
-    default ANSI mode ``decode(html,'UTF-8')`` THROWS on the first bad
-    byte — one corrupt page of 10^12 would kill the job. The lenient
-    binary→string cast + ``try_validate_utf8`` turns those rows into
-    per-row violations instead."""
-    return F.regexp_replace(
-        F.try_validate_utf8(html.cast("string")), "<[^>]+>", ""
-    )
+
+def extract_text(html: Column) -> Column:
+    """Deterministic html → text extraction, entirely JVM-side: lenient
+    UTF-8 decode (:func:`lenient_utf8`) + tag strip. This is the
+    engine's canonical extractor; the per-url byte-identity invariant
+    (north rule) is defined against it — ``check_text_extraction``
+    re-runs it over stored ``html`` and flags any row whose ``text``
+    column differs byte-wise. No Python UDF: at 10^12 docs the extractor
+    must live inside whole-stage codegen."""
+    return F.regexp_replace(lenient_utf8(html), "<[^>]+>", "")

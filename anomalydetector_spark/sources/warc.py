@@ -118,12 +118,17 @@ def _iter_records(data: bytes):
                 )
         try:
             clen = int(headers["content-length"])
-            if clen < 0:
+            # an overstated-but-numeric length (corrupt header) would
+            # otherwise truncate this record AND stop the scan past
+            # EOF, losing every record after it in the shard
+            if clen < 0 or hdr_end + 4 + clen > len(data):
                 raise ValueError
         except (KeyError, ValueError):
             # unrecoverable framing for THIS record only: resync on the
-            # next record magic after the broken header block
-            pos = data.find(b"\r\nWARC/", hdr_end)
+            # next version magic after the broken header block (the
+            # version prefix, not bare 'WARC/', to reduce false
+            # resyncs into payloads that merely mention WARC)
+            pos = data.find(b"\r\nWARC/1.", hdr_end)
             pos = -1 if pos == -1 else pos + 2
             continue
         block = data[hdr_end + 4 : hdr_end + 4 + clen]
@@ -165,7 +170,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def parse_file(rec):
         fname, contents = rec
         data = bytes(contents)
-        if fname.endswith(".gz"):
+        # sniff the gzip magic rather than trusting the file name —
+        # archive directories mix naming conventions
+        if data[:2] == b"\x1f\x8b":
             import gzip
 
             data = gzip.decompress(data)
@@ -189,7 +196,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rdd, WARC_SCHEMA)
 
 
-def warc_to_pages(records: DataFrame) -> DataFrame:
+def warc_to_pages(records: DataFrame, ok_status_only: bool = True) -> DataFrame:
     """Response records → the engine's exact input table
     ``(url, warc_ts, html, text, lang)``.
 
@@ -198,14 +205,24 @@ def warc_to_pages(records: DataFrame) -> DataFrame:
     ingested tables satisfy the invariant by construction; ``lang`` is
     the marker-voting heuristic over that text. Both are pure codegen —
     Python ends at the record parse.
+
+    By default only HTTP 2xx responses become pages — 404/500/redirect
+    bodies are error boilerplate, and the pages shape has no
+    ``http_status`` column to filter them later. ``ok_status_only=
+    False`` keeps every response (the CLI exposes ``--keep-errors``
+    for corpus-forensics runs).
     """
     from anomalydetector_spark.functions import extract_text
     from anomalydetector_spark.operators.text import lang_id
 
+    kept = records.filter(F.col("warc_type") == "response")
+    if ok_status_only:
+        kept = kept.filter(
+            F.col("http_status").between(200, 299)
+        )
     text = extract_text(F.col("html"))
     return (
-        records.filter(F.col("warc_type") == "response")
-        .select("url", "warc_ts", "html", text.alias("text"))
+        kept.select("url", "warc_ts", "html", text.alias("text"))
         .withColumn("lang", lang_id(F.col("text")))
     )
 
@@ -224,9 +241,10 @@ def wet_to_pages(records: DataFrame) -> DataFrame:
     no ``html`` there is nothing to re-run the extractor on; rows
     instead hit the NULL/size checks like any other text column.
     """
+    from anomalydetector_spark.functions import lenient_utf8
     from anomalydetector_spark.operators.text import lang_id
 
-    text = F.try_validate_utf8(F.col("html").cast("string"))
+    text = lenient_utf8(F.col("html"))
     return (
         records.filter(F.col("warc_type") == "conversion")
         .select(

@@ -81,12 +81,20 @@ def test_warc_to_pages_shape_and_extraction(spark, tmp_path):
 
     p = tmp_path / "a.warc"
     p.write_bytes(_archive())
-    pages = warc_to_pages(read_warc(spark, str(p)))
+    records = read_warc(spark, str(p))
+    pages = warc_to_pages(records)
     assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
     rows = {r.url: r for r in pages.collect()}
-    assert set(rows) == {"http://a.example/one", "http://b.example/two"}
+    # the 404 response is error boilerplate — dropped by default
+    assert set(rows) == {"http://a.example/one"}
     assert rows["http://a.example/one"].text == "Hello web page one"
-    assert rows["http://b.example/two"].lang == "en"  # 'the' markers vote
+    # keep-errors variant retains every response
+    all_rows = {r.url: r for r in warc_to_pages(
+        records, ok_status_only=False).collect()}
+    assert set(all_rows) == {
+        "http://a.example/one", "http://b.example/two",
+    }
+    assert all_rows["http://b.example/two"].lang == "en"  # 'the' markers
     # north-rule invariant holds by construction: re-running the
     # canonical extractor over html matches the text column byte-wise
     mism = pages.filter(
@@ -102,8 +110,12 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
               "--output-path", out])
     pages = spark.read.parquet(out)
     assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
-    assert pages.count() == 2
-    assert "ingested 2 pages" in capsys.readouterr().out
+    assert pages.count() == 1  # the 404 is dropped by default
+    assert "ingested 1 pages" in capsys.readouterr().out
+    out_all = str(tmp_path / "pages_all")
+    cli.main(["ingest-warc", "--input-path", str(tmp_path / "a.warc"),
+              "--output-path", out_all, "--keep-errors"])
+    assert spark.read.parquet(out_all).count() == 2
     # --raw keeps every record type with warc/http metadata
     out2 = str(tmp_path / "raw")
     cli.main(["ingest-warc", "--input-path", str(tmp_path / "a.warc"),
@@ -161,3 +173,35 @@ def test_cli_ingest_wet(spark, tmp_path, capsys):
     assert pages.count() == 1
     assert pages.first().text == "plain text body"
     assert "ingested 1 pages" in capsys.readouterr().out
+
+
+def test_overstated_content_length_costs_one_record(spark, tmp_path):
+    """A numeric-but-overstated Content-Length must not swallow the
+    rest of the shard — parse resyncs on the next record magic."""
+    lying = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:liar>\r\n"
+        b"WARC-Target-URI: http://liar.example/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        b"Content-Length: 99999999\r\n\r\n"
+        b"short body\r\n\r\n"
+    )
+    p = tmp_path / "a.warc"
+    p.write_bytes(lying + _archive())
+    rows = read_warc(spark, str(p)).collect()
+    assert {r.record_id for r in rows} == {
+        "<urn:uuid:i>", "<urn:uuid:1>", "<urn:uuid:2>",
+    }
+
+
+def test_gzip_sniffed_by_magic_not_name(spark, tmp_path):
+    (tmp_path / "misnamed.warc").write_bytes(gzip.compress(_archive()))
+    assert read_warc(spark, str(tmp_path / "misnamed.warc")).count() == 3
+
+
+def test_cli_raw_and_wet_mutually_exclusive(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["ingest-warc", "--input-path", "x", "--output-path", "y",
+                  "--raw", "--wet"])
