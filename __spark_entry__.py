@@ -1134,6 +1134,17 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_top_k(docs, k=50)
 
 
+def q_vocab_doc_freq(spark, sf_dir):
+    """Document-frequency vocabulary head (vocab_top_k(doc_freq=True)):
+    top-50 tokens by number of docs containing them — the stopword/IDF
+    feed; per-row array_distinct before the explode so a token-spamming
+    doc counts once."""
+    from anomalydetector_spark.operators.frequency import vocab_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_top_k(docs, k=50, doc_freq=True)
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1637,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_chunks": q_doc_chunks,
         "vocab_topk": q_vocab_topk,
+        "vocab_doc_freq": q_vocab_doc_freq,
         "quality_profile": q_quality_profile,
         "lang_id_agreement": q_lang_id_agreement,
         "fingerprint": q_fingerprint,
@@ -2846,6 +2858,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(coalesce(list_filter(
                          regexp_split_to_array(trim(lower(text)), '\\s+'),
                          t -> t <> ''), [])) AS token
+              FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+            r AS (SELECT token, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                  FROM c)
+            SELECT token, cnt, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 50
+        """,
+        "vocab_doc_freq": """
+            WITH tok AS (
+              SELECT unnest(list_distinct(coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> ''), []))) AS token
               FROM documents),
             c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
             r AS (SELECT token, cnt,

@@ -87,10 +87,16 @@ def vocab_top_k(
     text_col: str = "text",
     k: int = 100,
     lowercase: bool = True,
+    doc_freq: bool = False,
 ) -> DataFrame:
     """Corpus vocabulary head: exact top-k tokens by total occurrence
     count — ``(token, cnt, rank)``, ties broken by token ascending so
-    the result is deterministic.
+    the result is deterministic. With ``doc_freq=True``, ``cnt`` is the
+    DOCUMENT frequency (number of docs containing the token — the
+    quantity stopword tables and IDF weights are actually built from):
+    tokens are deduplicated inside the row (``array_distinct``, free in
+    codegen) before the explode, so a token-spamming doc still counts
+    once and the explode emits at most the per-doc vocabulary.
 
     The classic wordcount shape, written so the explode never bloats a
     shuffle: tokens explode FROM the scan into a hash aggregate whose
@@ -108,8 +114,11 @@ def vocab_top_k(
     from anomalydetector_spark.functions import tokens
 
     col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens(col)
+    if doc_freq:
+        toks = F.array_distinct(toks)
     counts = (
-        docs.select(F.explode(tokens(col)).alias("token"))
+        docs.select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token"))

@@ -136,3 +136,20 @@ def test_chunk_plan_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_vocab_doc_freq_counts_once_per_doc(spark):
+    docs = _docs(
+        spark,
+        [
+            ("a", "spam spam spam spam ham"),
+            ("b", "spam eggs"),
+            ("c", None),
+        ],
+    )
+    rows = vocab_top_k(docs, k=10, doc_freq=True).collect()
+    got = {r.token: (r.cnt, r.rank) for r in rows}
+    # 'spam' appears 5 times but in only 2 docs
+    assert got["spam"] == (2, 1)
+    assert got["eggs"] == (1, 2)
+    assert got["ham"] == (1, 3)
