@@ -1676,6 +1676,12 @@ _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), "
     "i -> array_to_string({toks}[i:i+2], ' ')))"
 )
+# Known tokenizer-class divergence (applies to every token oracle
+# below): Java-regex \s (Spark split) matches vertical tab \x0B, RE2 \s
+# (DuckDB) does not — a text containing \x0B would tokenize differently
+# on the two sides. The synthetic test tables contain no \x0B, so
+# parity is exact; oracles are correctness fixtures for that data, not
+# a claim the two regex engines agree on all byte streams.
 _DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 _DUCK_MD5L = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
