@@ -1330,6 +1330,28 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    """Unigram-LM pseudo-perplexity quality gate (operators/lm_quality —
+    CCNet-style filtering, Wenzek et al. 2020): train a smoothed unigram
+    model on a deterministic md5 half of documents, score the other
+    half, gate at ppl <= 31.0. Per-token log-probs are quantized to
+    integer micro-nats BEFORE aggregation so every sum is exact and the
+    DuckDB twin hashes identically regardless of partitioning. Plan:
+    one explode -> broadcast model join -> hash agg; no shuffle join."""
+    from anomalydetector_spark.operators.lm_quality import (
+        score_documents,
+        train_unigram_lm,
+    )
+    from anomalydetector_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_ref = hash_uniform(F.col("doc_id"), seed=17) < 0.5
+    lm, oov = train_unigram_lm(docs.filter(is_ref), min_count=2)
+    return score_documents(
+        docs.filter(~is_ref), lm, oov, max_pseudo_perplexity=31.0
+    )
+
+
 def q_asof_join_events(spark, sf_dir):
     """As-of join (operators/temporal.asof_join): each click event joined
     to the user's latest purchase at-or-before it — the one-shuffle
@@ -1664,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
+        "lm_quality": q_lm_quality,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -3312,6 +3335,65 @@ def oracle_sql() -> dict[str, str]:
                 AND (alpha_words / nw1 >= 0.8)
                 AND (stop_hits >= 2) AS keep
             FROM m
+        """,
+        "lm_quality": r"""
+            WITH split AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < 0.5 AS is_ref
+              FROM documents),
+            tok_ref AS (
+              SELECT unnest(coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), [])) AS token
+              FROM split WHERE is_ref),
+            counts AS (
+              SELECT token, count(*)::BIGINT AS cnt FROM tok_ref
+              GROUP BY 1 HAVING count(*) >= 2),
+            totals AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM counts),
+            lm AS (
+              SELECT token,
+                     CAST(round(ln((CAST(cnt AS DOUBLE) + 0.5)
+                                   / (t + 0.5 * (v + 1.0))) * 1e6)
+                          AS BIGINT) AS lp
+              FROM counts, totals),
+            oovlp AS (
+              SELECT CAST(round(ln(0.5 / (t + 0.5 * (v + 1.0))) * 1e6)
+                          AS BIGINT) AS lp
+              FROM totals),
+            tok_eval AS (
+              SELECT doc_id, unnest(coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), [])) AS token
+              FROM split WHERE NOT is_ref),
+            j AS (
+              SELECT e.doc_id,
+                     coalesce(lm.lp, (SELECT lp FROM oovlp)) AS lp,
+                     CASE WHEN lm.token IS NULL THEN 1 ELSE 0 END AS is_oov
+              FROM tok_eval e LEFT JOIN lm ON e.token = lm.token),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     CAST(sum(lp) AS BIGINT) AS sum_lp,
+                     CAST(sum(is_oov) AS BIGINT) AS oov_tokens
+              FROM j GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.oov_tokens, 0) AS oov_tokens,
+                   round(CAST(s.oov_tokens AS DOUBLE) / s.n_tokens, 6)
+                     AS oov_rate,
+                   round(-CAST(s.sum_lp AS DOUBLE) / 1e6 / s.n_tokens, 6)
+                     AS cross_entropy,
+                   round(exp(-CAST(s.sum_lp AS DOUBLE) / 1e6 / s.n_tokens), 3)
+                     AS pseudo_perplexity,
+                   coalesce(
+                     round(exp(-CAST(s.sum_lp AS DOUBLE) / 1e6 / s.n_tokens), 3)
+                       <= 31.0,
+                     FALSE) AS keep
+            FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
+            LEFT JOIN s USING (doc_id)
         """,
         "fingerprint": f"""
             SELECT doc_id,

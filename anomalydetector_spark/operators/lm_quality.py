@@ -1,0 +1,233 @@
+"""Unigram language-model quality scoring (pseudo-perplexity filter).
+
+CCNet-style corpus filtering scores every document with a language model
+trained on a trusted reference corpus and drops the high-perplexity tail
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+Web Crawl Data", LREC 2020 — public method). A KenLM 5-gram is out of
+scope for this container; the distributed reformulation here is a
+Laplace-smoothed UNIGRAM model, which preserves the exact pipeline shape
+(train on trusted slice → broadcast model → score everything →
+threshold) and — unlike an n-gram LM — is fully SQL-expressible, so the
+entire path is oracle-verifiable value-for-value.
+
+Scale notes (10^12 docs):
+
+* Training is one explode → hash ``groupBy(token)``. Map-side partial
+  aggregation collapses each task's token stream to its local
+  vocabulary (Zipf: ~10^5-10^6 distinct tokens per task regardless of
+  row count), so the single shuffle moves vocabulary-sized partials,
+  not the 10^14-token stream — the same shape as
+  :func:`~anomalydetector_spark.operators.frequency.vocab_top_k`.
+* ``min_count`` pruning keeps the model broadcastable: the Zipf tail is
+  hapax-dominated (dropping ``cnt < 2`` roughly halves the vocabulary),
+  and pruned mass is absorbed by the OOV bucket.
+* Scoring joins the exploded token stream against the model with a
+  BROADCAST hash join — never a shuffle join: token keys are maximally
+  skewed (stopwords are the hottest keys imaginable; a shuffle join
+  would put every occurrence of "the" on one task). The following
+  ``groupBy(doc_id)`` partial-aggregates in-task (a document's tokens
+  never span tasks after the explode), so the only shuffle moves
+  doc-count-sized partials.
+* Hash-exactness: per-token log-probabilities are quantized to integer
+  **micro-nats** (``round(ln(p) * 1e6)`` as BIGINT) *before*
+  aggregation, so every sum is an exact integer — independent of
+  partition count and aggregation order, and bit-identical to a
+  single-threaded DuckDB oracle. The only post-aggregation float ops
+  are one exact-integer division (identical on both sides) and the
+  final ``exp``, whose libm last-ulp risk is absorbed by rounding the
+  perplexity to 3dp.
+
+Reference scope: the reference repo (msanomalydetector) has no corpus-LM
+stage; this operator belongs to the beyond-reference training-data
+pipeline family (dedup/decontam/quality/sampling) mandated for the
+100 TB target.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.functions import tokens
+
+#: Laplace pseudo-count: p(tok) = (cnt + ALPHA) / (T + ALPHA * (V + 1)).
+DEFAULT_ALPHA = 0.5
+
+
+def _micro_nats(logprob_col):
+    """Quantize a natural-log probability to integer micro-nats.
+
+    HALF_UP on a value whose fraction is never an exact binary .5 (it
+    comes out of ``ln``), so Spark's BigDecimal rounding and DuckDB's
+    ``round()`` agree."""
+    return F.round(logprob_col * F.lit(1e6), 0).cast("long")
+
+
+def train_unigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+    alpha: float = DEFAULT_ALPHA,
+) -> Tuple[DataFrame, DataFrame]:
+    """Train a smoothed unigram LM on a reference corpus.
+
+    Returns ``(lm, oov)``:
+
+    * ``lm`` — one row per kept token: ``(token, cnt, logprob_micro)``
+      where ``logprob_micro = round(ln((cnt + alpha) / (T + alpha *
+      (V + 1))) * 1e6)`` (BIGINT micro-nats), ``T`` the total kept-token
+      occurrences and ``V`` the kept vocabulary size.
+    * ``oov`` — exactly one row ``(t_tokens, v_vocab,
+      oov_logprob_micro)`` with the shared out-of-vocabulary bucket
+      ``ln(alpha / (T + alpha * (V + 1)))`` in the same units.
+
+    Tokens with ``cnt < min_count`` are pruned *before* totals are
+    taken, so the kept model is a proper distribution over V tokens +
+    one OOV bucket. Both frames are lazy; neither triggers an action.
+    The totals ride a broadcast 1-row cross join (the same
+    broadcast-literal pattern as the threshold sweep)."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    counts = (
+        ref_docs.select(F.explode(tokens(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    # denom is built in one fixed association order — mirrored verbatim
+    # by the oracle SQL so both sides compute the identical double.
+    denom = F.col("t_tokens").cast("double") + F.lit(alpha) * (
+        F.col("v_vocab").cast("double") + F.lit(1.0)
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "cnt",
+        _micro_nats(
+            F.log((F.col("cnt").cast("double") + F.lit(alpha)) / denom)
+        ).alias("logprob_micro"),
+    )
+    oov = totals.select(
+        "t_tokens",
+        "v_vocab",
+        _micro_nats(F.log(F.lit(alpha) / denom)).alias("oov_logprob_micro"),
+    )
+    return lm, oov
+
+
+def score_documents(
+    docs: DataFrame,
+    lm: DataFrame,
+    oov: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    max_pseudo_perplexity: Optional[float] = None,
+) -> DataFrame:
+    """Per-document pseudo-perplexity under a trained unigram LM.
+
+    Emits every input document (token-less documents included, with
+    NULL entropy and ``keep = false`` — a quality gate must decide on
+    every row): ``(id_col, n_tokens, oov_tokens, oov_rate,
+    cross_entropy, pseudo_perplexity[, keep])``.
+
+    * ``cross_entropy`` — mean negative log-probability in nats,
+      rounded to 6dp. Deterministic to the bit: the mean is an exact
+      integer micro-nat sum divided by an exact count.
+    * ``pseudo_perplexity`` — ``exp(cross_entropy_unrounded)``, rounded
+      to 3dp (the one libm-exposed value, see module docstring).
+    * ``keep`` (only when ``max_pseudo_perplexity`` is given) —
+      ``pseudo_perplexity <= max_pseudo_perplexity``, compared on the
+      rounded value so the gate is as deterministic as the hash.
+
+    Token-less documents survive via ``explode_outer`` (one NULL-token
+    row instead of being dropped), so the whole operator is a single
+    scan → broadcast join → hash aggregate; there is no completion join
+    against the id list (which would be a 10^12 × 10^12 sort-merge
+    join at target scale)."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(tokens(col)).alias("token")
+    )
+    per_doc = (
+        tok.join(F.broadcast(lm.select("token", "logprob_micro")), "token", "left")
+        .crossJoin(F.broadcast(oov.select("oov_logprob_micro")))
+        .select(
+            id_col,
+            "token",
+            # NULL token = the doc's explode_outer placeholder, not OOV
+            F.when(F.col("token").isNull(), F.lit(0))
+            .otherwise(F.coalesce("logprob_micro", "oov_logprob_micro"))
+            .alias("lp"),
+            (F.col("token").isNotNull() & F.col("logprob_micro").isNull())
+            .cast("int")
+            .alias("is_oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum("lp").alias("sum_lp_micro"),
+            F.sum("is_oov").cast("long").alias("oov_tokens"),
+        )
+    )
+    # exact-integer mean: (-sum) / 1e6 / n — fixed operation order.
+    mean_nats = (
+        -F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_tokens")
+    )
+    nonempty = F.col("n_tokens") > 0
+    out = per_doc.select(
+        id_col,
+        "n_tokens",
+        "oov_tokens",
+        F.when(
+            nonempty, F.round(F.col("oov_tokens") / F.col("n_tokens"), 6)
+        ).alias("oov_rate"),
+        F.when(nonempty, F.round(mean_nats, 6)).alias("cross_entropy"),
+        F.when(nonempty, F.round(F.exp(mean_nats), 3)).alias(
+            "pseudo_perplexity"
+        ),
+    )
+    if max_pseudo_perplexity is not None:
+        out = out.withColumn(
+            "keep",
+            F.coalesce(
+                F.col("pseudo_perplexity") <= F.lit(max_pseudo_perplexity),
+                F.lit(False),
+            ),
+        )
+    return out
+
+
+def lm_quality_filter(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    max_pseudo_perplexity: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    min_count: int = 1,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """One-call composition: train on ``ref_docs``, score ``docs``,
+    gate on ``max_pseudo_perplexity``. Returns the scored frame with
+    ``keep`` (see :func:`score_documents`)."""
+    lm, oov = train_unigram_lm(
+        ref_docs,
+        text_col=text_col,
+        lowercase=lowercase,
+        min_count=min_count,
+        alpha=alpha,
+    )
+    return score_documents(
+        docs,
+        lm,
+        oov,
+        text_col=text_col,
+        id_col=id_col,
+        lowercase=lowercase,
+        max_pseudo_perplexity=max_pseudo_perplexity,
+    )
