@@ -1352,6 +1352,26 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (operators/normalize): per-doc
+    normalized text + changed flag. The Arrow pandas_udf runs CPython's
+    unicodedata; the oracle is DuckDB's utf8proc nfc_normalize — the
+    hash covers the full normalized text, so parity certifies
+    byte-identical NFC output across the two independent Unicode
+    implementations (stability-policy pin)."""
+    from anomalydetector_spark.operators.normalize import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = normalize_unicode(docs, form="NFC", output_col="nfc_text")
+    return out.select(
+        "doc_id",
+        "nfc_text",
+        (
+            F.encode("nfc_text", "UTF-8") != F.encode("text", "UTF-8")
+        ).alias("changed"),
+    )
+
+
 def q_asof_join_events(spark, sf_dir):
     """As-of join (operators/temporal.asof_join): each click event joined
     to the user's latest purchase at-or-before it — the one-shuffle
@@ -1687,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
         "lm_quality": q_lm_quality,
+        "unicode_nfc": q_unicode_nfc,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -3394,6 +3415,12 @@ def oracle_sql() -> dict[str, str]:
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)
+        """,
+        "unicode_nfc": """
+            SELECT doc_id,
+                   nfc_normalize(text) AS nfc_text,
+                   nfc_normalize(text) <> text AS changed
+            FROM documents
         """,
         "fingerprint": f"""
             SELECT doc_id,

@@ -47,6 +47,11 @@ class ValidationConfig:
     # full ``text`` bytes (north-rule byte-identity invariant). Off by
     # default so the standard suite never scans html.
     verify_text_extraction: bool = False
+    # opt-in: Unicode normalization-form check (operators/normalize) —
+    # like verify_text_extraction it must move full text bytes (one
+    # Arrow round-trip for the pandas normalizer), so off by default.
+    # Set to 'NFC' / 'NFKC' / 'NFD' / 'NFKD' to enable.
+    unicode_form: str | None = None
     # schema-evolution check: expected column → Spark simple type; catches
     # the silent type change P3's presence check misses. None = off.
     expected_schema: dict | None = None
@@ -377,6 +382,22 @@ def run_validation(
             consistency.violations.select(
                 "check_name", "partition_key", cfg.unique_key
             )
+        )
+
+    if cfg.unicode_form:
+        from anomalydetector_spark.operators.normalize import (
+            check_unicode_normalization,
+        )
+
+        un = check_unicode_normalization(
+            keyed,
+            form=cfg.unicode_form,
+            partition_by=F.col("partition_key"),
+            keep=[cfg.unique_key],
+        )
+        verdict_frames.append(un.verdicts)
+        violations = violations.unionByName(
+            un.violations.select("check_name", "partition_key", cfg.unique_key)
         )
 
     stat_series = fused.stats_from_cube(cube, langs=cfg.langs).unionByName(
