@@ -1352,6 +1352,40 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """K-means corpus clustering (operators/similarity.
+    kmeans_cluster_profile): seeded sample-trained centroids (metadata
+    row count, no sizing scan), one Arrow assignment pass, cell-sized
+    aggregation. Centroid training is numpy-seeded (non-SQL), so the
+    oracle hashes the derived invariant frame: exact vector-count
+    preservation (any dropped/duplicated vector breaks the hash) plus
+    honesty booleans computed from the real profile."""
+    from anomalydetector_spark.operators.similarity import (
+        approx_parquet_row_count,
+        kmeans_cluster_profile,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    prof = kmeans_cluster_profile(
+        emb, n_cells=8, seed=42,
+        approx_count=approx_parquet_row_count(
+            spark, f"{sf_dir}/embeddings.parquet"
+        ),
+    )
+    return prof.agg(
+        F.sum("n_vectors").cast("long").alias("total_assigned"),
+        ((F.count(F.lit(1)) >= 1) & (F.count(F.lit(1)) <= 8)).alias("cells_ok"),
+        (F.min("n_vectors") >= 1).alias("counts_positive"),
+        (
+            (F.min("mean_cos") >= -1.0)
+            & (F.max("mean_cos") <= 1.0)
+            & F.every(F.col("min_cos") <= F.col("mean_cos"))
+        ).alias("cos_ok"),
+    )
+
+
 def q_unicode_nfc(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize): per-doc
     normalized text + changed flag. The Arrow pandas_udf runs CPython's
@@ -1708,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "lm_quality": q_lm_quality,
         "unicode_nfc": q_unicode_nfc,
+        "embedding_clusters": q_embedding_clusters,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -3415,6 +3450,13 @@ def oracle_sql() -> dict[str, str]:
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)
+        """,
+        "embedding_clusters": """
+            SELECT count(*)::BIGINT AS total_assigned,
+                   true AS cells_ok,
+                   true AS counts_positive,
+                   true AS cos_ok
+            FROM embeddings
         """,
         "unicode_nfc": """
             SELECT doc_id,

@@ -386,3 +386,127 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def cluster_assignments(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment for every vector: ``(id_col,
+    [keep_cols...,] cell, cos_to_centroid)``.
+
+    ``keep_cols`` ride the projection (no join needed to re-attach
+    metadata afterwards — at 10^12 vectors a re-attach join is a second
+    corpus-wide shuffle).
+
+    One Arrow-batched pass — the centroid matrix lives in the UDF
+    closure (tiny: n_cells × dim floats, shipped with the task like the
+    LSH planes), one numpy matmul per batch, no shuffle. This is the
+    same assignment geometry as IVF cell routing but also surfaces the
+    cosine to the owning centroid so callers can profile cluster
+    tightness."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("struct<cell:int, cos_to_centroid:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy())
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = xn @ cn.T
+        cell = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "cos_to_centroid": sims[np.arange(len(cell)), cell],
+            }
+        )
+
+    extra = keep_cols or []
+    return corpus.select(
+        id_col, *extra, assign(F.col(vec_col)).alias("_a")
+    ).select(id_col, *extra, "_a.cell", "_a.cos_to_centroid")
+
+
+def kmeans_cluster_profile(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    approx_count: int | None = None,
+) -> DataFrame:
+    """Corpus clustering profile: seeded k-means (the IVF coarse
+    quantizer — sample-train on the driver, broadcast-assign) plus one
+    aggregation — ``(cell, n_vectors, mean_cos, min_cos[,
+    majority_label, majority_frac])``, one row per non-empty cell.
+
+    The standard corpus-understanding op for training-data curation
+    (domain discovery, cluster-balanced mixing, semantic dedup
+    scoping): at 10^12 vectors the only full-corpus work is the single
+    assignment scan and a cell-count-sized shuffle; training touches at
+    most ``MAX_TRAIN_SAMPLE`` vectors regardless of corpus size (pass
+    ``approx_count`` from table metadata to avoid the sizing count()).
+
+    With ``label_col``, each cell also reports its majority label and
+    purity — the external-validity check when any ground-truth or
+    heuristic labeling exists. The label mode rides the same
+    aggregation (a two-level groupBy of cell-count-sized frames), never
+    a second corpus scan."""
+    cent = train_ivf_centroids(
+        corpus,
+        n_cells=n_cells,
+        n_iter=n_iter,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        approx_count=approx_count,
+    )
+    assigned = cluster_assignments(
+        corpus,
+        cent,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=[label_col] if label_col else None,
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cos_to_centroid"), 6).alias("mean_cos"),
+        F.round(F.min("cos_to_centroid"), 6).alias("min_cos"),
+    )
+    if not label_col:
+        return stats.orderBy("cell")
+    by_label = assigned.groupBy("cell", label_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col(label_col).asc()
+    )
+    top = (
+        by_label.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "cell",
+            F.col(label_col).alias("majority_label"),
+            F.col("n").alias("_top_n"),
+        )
+    )
+    return (
+        stats.join(top, "cell")
+        .select(
+            "cell",
+            "n_vectors",
+            "mean_cos",
+            "min_cos",
+            "majority_label",
+            F.round(F.col("_top_n") / F.col("n_vectors"), 6).alias(
+                "majority_frac"
+            ),
+        )
+        .orderBy("cell")
+    )
