@@ -586,6 +586,50 @@ def main() -> None:
         and "EvalPython" not in vocab_plan,
     )
 
+    from anomalydetector_spark.operators.lm_quality import (
+        score_documents,
+        train_unigram_lm,
+    )
+
+    lm, oov = train_unigram_lm(docs.select("text"), min_count=2)
+    lm_plan = plan_of(score_documents(docs.select("doc_id", "text"), lm, oov))
+    ok &= check(
+        "LM quality scoring: model join is broadcast (token keys are "
+        "maximally skewed — stopwords), no shuffle join anywhere, no Python",
+        "BroadcastHashJoin" in lm_plan
+        and "SortMergeJoin" not in lm_plan
+        and "ShuffledHashJoin" not in lm_plan
+        and "EvalPython" not in lm_plan,
+    )
+
+    from anomalydetector_spark.operators.normalize import normalize_unicode
+
+    norm_plan = plan_of(normalize_unicode(docs.select("doc_id", "text")))
+    ok &= check(
+        "unicode normalization: pure Arrow projection — zero shuffle, "
+        "zero join, one scan",
+        "Exchange" not in norm_plan
+        and "Join" not in norm_plan
+        and "ArrowEvalPython" in norm_plan
+        and _executed_parquet_scans(norm_plan) <= 1,
+    )
+
+    from anomalydetector_spark.operators.similarity import (
+        cluster_assignments,
+        train_ivf_centroids,
+    )
+
+    cent = train_ivf_centroids(emb, n_cells=4, approx_count=50)
+    cl_plan = plan_of(cluster_assignments(emb, cent))
+    ok &= check(
+        "k-means assignment: centroids in the UDF closure — zero shuffle, "
+        "zero join, one Arrow pass over one scan",
+        "Exchange" not in cl_plan
+        and "Join" not in cl_plan
+        and "ArrowEvalPython" in cl_plan
+        and _executed_parquet_scans(cl_plan) <= 1,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
