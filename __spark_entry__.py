@@ -1352,6 +1352,22 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_span_removal(spark, sf_dir):
+    """Exact duplicated-span REMOVAL with keep-first semantics
+    (operators/substring_dedup.drop_duplicated_spans — Lee et al. 2022
+    substring dedup as distributed rolling-hash windows): every 10-token
+    span occurring twice+ keeps only its smallest-(doc_id,pos)
+    occurrence; covered tokens are dropped in-row. Byte-exact oracle:
+    DuckDB replays the whole pipeline grouping on span TEXT (also
+    certifying the xxhash64 grouping collision-free at test scale)."""
+    from anomalydetector_spark.operators.substring_dedup import (
+        drop_duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return drop_duplicated_spans(docs, n=10, min_occurrences=2)
+
+
 def q_embedding_clusters(spark, sf_dir):
     """K-means corpus clustering (operators/similarity.
     kmeans_cluster_profile): seeded sample-trained centroids (metadata
@@ -1743,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
+        "span_removal": q_span_removal,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
@@ -3450,6 +3467,65 @@ def oracle_sql() -> dict[str, str]:
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)
+        """,
+        "span_removal": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     coalesce(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> ''), []) AS toks
+              FROM documents),
+            spans AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+9], ' ') AS span
+              FROM t, unnest(range(1, greatest(len(toks) - 10 + 1, 0) + 1))
+                       AS u(i)),
+            marked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY span) AS occ,
+                     row_number() OVER (PARTITION BY span
+                                        ORDER BY doc_id, pos) AS rn
+              FROM spans),
+            m2 AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos >= coalesce(max(pos + 10) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM m2),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(new_island) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS island
+              FROM isl),
+            rng AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 10 AS e
+              FROM isl2 GROUP BY 1, 2),
+            drops AS (
+              SELECT doc_id, list({'s': s, 'e': e}) AS dr
+              FROM rng GROUP BY 1),
+            kept AS (
+              SELECT t.doc_id, t.text, t.toks, d.dr,
+                     CASE WHEN d.dr IS NULL THEN t.toks
+                          ELSE list_filter(t.toks, (x, i) ->
+                               len(list_filter(d.dr, r ->
+                                   i - 1 >= r.s AND i - 1 < r.e)) = 0)
+                     END AS kt
+              FROM t LEFT JOIN drops d USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN dr IS NULL THEN text
+                        -- array_to_string([]) is NULL in DuckDB; a fully
+                        -- removed doc must surface as '' like Spark's
+                        -- array_join
+                        ELSE coalesce(array_to_string(kt, ' '), '') END
+                     AS text,
+                   CAST(CASE WHEN dr IS NULL THEN 0
+                             ELSE len(toks) - len(kt) END AS INT)
+                     AS dropped_tokens,
+                   CAST(len(toks) AS INT) AS total_tokens
+            FROM kept
         """,
         "embedding_clusters": """
             SELECT count(*)::BIGINT AS total_assigned,

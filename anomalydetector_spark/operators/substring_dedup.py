@@ -160,3 +160,88 @@ def substring_dedup_profile(
     return out.withColumn(
         "keep", F.col("dup_token_fraction") <= max_dup_fraction
     )
+
+
+def drop_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    stride: int = 1,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Remove every duplicated n-token span, keeping the FIRST corpus
+    occurrence — the exact-substring-dedup REMOVAL rule of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better",
+    public), reformulated from suffix arrays to distributed rolling-hash
+    windows.
+
+    "First" is the occurrence with the smallest ``(id_col, pos)`` pair
+    (lexicographic struct min — a total, deterministic order); every
+    other occurrence of a span seen ``min_occurrences``+ times has its
+    ``[pos, pos+n)`` token window removal-marked. Overlapping marks are
+    merged per document (running-max island window), the covered tokens
+    are dropped IN-ROW with an index higher-order filter, and the
+    surviving tokens are re-joined with single spaces.
+
+    Returns ``(id_col, text_col, dropped_tokens, total_tokens)`` for
+    EVERY input document — untouched docs keep their original text
+    byte-for-byte (no whitespace canonicalization unless something was
+    actually removed; rebuilt docs are whitespace-collapsed by
+    construction, the standard cost of token-level dedup).
+
+    Scale shape — document text never crosses a shuffle boundary, the
+    same contract as ``drop_boilerplate_lines``: the two shuffles carry
+    (id, pos, 8-byte span hash) tuples and the doc-sized removal-range
+    frame; the range frame (docs with removals only) joins back onto
+    the original scan (AQE broadcasts it when it fits) and removal is
+    an in-row higher-order filter over the token array."""
+    hashes = span_hashes(df, text_col, id_col, n=n, stride=stride)
+    groups = hashes.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+    )
+    dup = groups.filter(F.col("occurrences") >= min_occurrences)
+    marked = hashes.join(dup, "span_hash").filter(
+        ~(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "new_island",
+        F.when(F.col("pos") >= F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    ranges = (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("start"), (F.max("pos") + n).alias("end"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start", "end")).alias("_drop"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_drop"),
+            lambda r: (i >= r["start"]) & (i < r["end"]),
+        ),
+    )
+    return (
+        df.join(ranges, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_drop").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias(text_col),
+            F.when(
+                F.col("_drop").isNull(), F.lit(0)
+            ).otherwise(F.size(toks) - F.size(kept)).alias("dropped_tokens"),
+            F.size(toks).alias("total_tokens"),
+        )
+    )

@@ -586,6 +586,23 @@ def main() -> None:
         and "EvalPython" not in vocab_plan,
     )
 
+    from anomalydetector_spark.operators.substring_dedup import (
+        drop_duplicated_spans,
+    )
+
+    sr_plan = plan_of(
+        drop_duplicated_spans(docs.select("doc_id", "text"), n=10)
+    )
+    ok &= check(
+        "span removal: only hash tuples shuffle (span groupBy "
+        "partial-aggregates map-side), keep-first join is an equi-join, "
+        "removal is in-row (no Python, no cartesian)",
+        "partial" in sr_plan.lower()
+        and "CartesianProduct" not in sr_plan
+        and "BroadcastNestedLoopJoin" not in sr_plan
+        and "EvalPython" not in sr_plan,
+    )
+
     from anomalydetector_spark.operators.lm_quality import (
         score_documents,
         train_unigram_lm,
