@@ -169,6 +169,7 @@ def drop_duplicated_spans(
     n: int = 20,
     stride: int = 1,
     min_occurrences: int = 2,
+    strategy: str = "window",
 ) -> DataFrame:
     """Remove every duplicated n-token span, keeping the FIRST corpus
     occurrence — the exact-substring-dedup REMOVAL rule of Lee et al.
@@ -177,12 +178,13 @@ def drop_duplicated_spans(
     windows.
 
     "First" is the occurrence with the smallest ``(id_col, pos)`` pair
-    (lexicographic struct min — a total, deterministic order); every
-    other occurrence of a span seen ``min_occurrences``+ times has its
-    ``[pos, pos+n)`` token window removal-marked. Overlapping marks are
-    merged per document (running-max island window), the covered tokens
-    are dropped IN-ROW with an index higher-order filter, and the
-    surviving tokens are re-joined with single spaces.
+    (a total, deterministic order — ``id_col`` must be unique per
+    document); every other occurrence of a span seen
+    ``min_occurrences``+ times has its ``[pos, pos+n)`` token window
+    removal-marked. Overlapping marks are merged per document
+    (running-max island window), the covered tokens are dropped IN-ROW
+    with an index higher-order filter, and the surviving tokens are
+    re-joined with single spaces.
 
     Returns ``(id_col, text_col, dropped_tokens, total_tokens)`` for
     EVERY input document — untouched docs keep their original text
@@ -191,23 +193,53 @@ def drop_duplicated_spans(
     construction, the standard cost of token-level dedup).
 
     Scale shape — document text never crosses a shuffle boundary, the
-    same contract as ``drop_boilerplate_lines``: the two shuffles carry
-    (id, pos, 8-byte span hash) tuples and the doc-sized removal-range
-    frame; the range frame (docs with removals only) joins back onto
-    the original scan (AQE broadcasts it when it fits) and removal is
-    an in-row higher-order filter over the token array."""
-    hashes = span_hashes(df, text_col, id_col, n=n, stride=stride)
-    groups = hashes.groupBy("span_hash").agg(
-        F.count(F.lit(1)).alias("occurrences"),
-        F.min(F.struct(id_col, "pos")).alias("_first"),
-    )
-    dup = groups.filter(F.col("occurrences") >= min_occurrences)
-    marked = hashes.join(dup, "span_hash").filter(
-        ~(
-            (F.col(id_col) == F.col(f"_first.{id_col}"))
-            & (F.col("pos") == F.col("_first.pos"))
+    same contract as ``drop_boilerplate_lines``; two strategies for the
+    keep-first marking, measured at 1M pages (BENCH.md):
+
+    * ``strategy='window'`` (default, ~1.5× faster): ONE shuffle of the
+      (id, pos, 8-byte hash) tuples — count + row_number over the
+      span-hash partition mark non-first occurrences in the same pass
+      the hashes are computed, so the tokenize+hash projection runs
+      once. A span duplicated k times sorts k tuples in one task, so a
+      hyper-duplicated boilerplate span (10^8+ occurrences) serializes
+      that group; fine for ordinary corpora.
+    * ``strategy='join'``: skew-robust — occurrence counts and the
+      first occurrence come from a partial-aggregating groupBy (hot
+      spans collapse map-side), and the join-back is an equi-join AQE
+      skew-splits. Costs a second tokenize+hash pass (the frame feeds
+      two plan branches) and a third shuffle.
+
+    Either way the removal-range frame (docs with removals only) joins
+    back onto the original scan (AQE broadcasts it when it fits) and
+    removal is an in-row higher-order filter over the token array."""
+    if strategy not in ("window", "join"):
+        raise ValueError(
+            f"strategy must be 'window' or 'join', got {strategy!r}"
         )
-    )
+    hashes = span_hashes(df, text_col, id_col, n=n, stride=stride)
+    if strategy == "window":
+        wh = Window.partitionBy("span_hash")
+        marked = (
+            hashes.withColumn("_occ", F.count(F.lit(1)).over(wh))
+            .withColumn(
+                "_rn", F.row_number().over(wh.orderBy(id_col, "pos"))
+            )
+            .filter(
+                (F.col("_occ") >= min_occurrences) & (F.col("_rn") > 1)
+            )
+        )
+    else:
+        groups = hashes.groupBy("span_hash").agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.min(F.struct(id_col, "pos")).alias("_first"),
+        )
+        dup = groups.filter(F.col("occurrences") >= min_occurrences)
+        marked = hashes.join(dup, "span_hash").filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -594,13 +594,28 @@ def main() -> None:
         drop_duplicated_spans(docs.select("doc_id", "text"), n=10)
     )
     ok &= check(
-        "span removal: only hash tuples shuffle (span groupBy "
-        "partial-aggregates map-side), keep-first join is an equi-join, "
+        "span removal (window strategy): keep-first marking rides ONE "
+        "span-hash sort (no join-back, no second tokenize branch), "
         "removal is in-row (no Python, no cartesian)",
-        "partial" in sr_plan.lower()
+        sr_plan.count("+- Generate") == 1
         and "CartesianProduct" not in sr_plan
         and "BroadcastNestedLoopJoin" not in sr_plan
         and "EvalPython" not in sr_plan,
+    )
+
+    srj_plan = plan_of(
+        drop_duplicated_spans(
+            docs.select("doc_id", "text"), n=10, strategy="join"
+        )
+    )
+    ok &= check(
+        "span removal (join strategy): span groupBy partial-aggregates "
+        "map-side (skew collapses before the shuffle), keep-first "
+        "join-back is an equi-join, no Python, no cartesian",
+        "partial" in srj_plan.lower()
+        and "CartesianProduct" not in srj_plan
+        and "BroadcastNestedLoopJoin" not in srj_plan
+        and "EvalPython" not in srj_plan,
     )
 
     from anomalydetector_spark.operators.lm_quality import (
