@@ -1145,6 +1145,55 @@ def q_vocab_doc_freq(spark, sf_dir):
     return vocab_top_k(docs, k=50, doc_freq=True)
 
 
+# BPE driver-query parameters, shared by the Spark queries and the
+# DuckDB oracle generators below so both sides replay the identical
+# merge schedule.
+_BPE_NUM_MERGES = 8
+_BPE_MAX_TRAIN_WORDS = 4096
+_BPE_MIN_PAIR_COUNT = 2
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge-table training (operators/bpe.learn_bpe_merges):
+    distributed word-frequency pass (the vocab_top_k shape) feeding the
+    driver-side indexed merge loop over the capped dictionary. The
+    oracle replays every merge step in SQL (one materialized CTE per
+    step, argmax by (count DESC, pair ASC)), so the whole deterministic
+    contract — overlap counting, greedy non-overlapping rewrite, tie
+    order, min-count stop — is hash-gated."""
+    from anomalydetector_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return learn_bpe_merges(
+        docs,
+        num_merges=_BPE_NUM_MERGES,
+        max_train_words=_BPE_MAX_TRAIN_WORDS,
+        min_pair_count=_BPE_MIN_PAIR_COUNT,
+    )
+
+
+def q_bpe_subwords(spark, sf_dir):
+    """BPE application (operators/bpe.bpe_token_counts): segment once
+    per DISTINCT word (dictionary-sized Arrow batch), broadcast the
+    (word, n_subwords) dictionary onto the exploded token stream, and
+    aggregate per document — text never shuffles, Python touches only
+    dictionary rows. Oracled end-to-end: the DuckDB side retrains the
+    merge table AND resegments every word itself."""
+    from anomalydetector_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe_merges(
+        docs,
+        num_merges=_BPE_NUM_MERGES,
+        max_train_words=_BPE_MAX_TRAIN_WORDS,
+        min_pair_count=_BPE_MIN_PAIR_COUNT,
+    )
+    return bpe_token_counts(docs, merges)
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1741,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "vocab_topk": q_vocab_topk,
         "vocab_doc_freq": q_vocab_doc_freq,
+        "bpe_merges": q_bpe_merges,
+        "bpe_subwords": q_bpe_subwords,
         "quality_profile": q_quality_profile,
         "lang_id_agreement": q_lang_id_agreement,
         "fingerprint": q_fingerprint,
@@ -1780,6 +1831,107 @@ _DUCK_SHINGLES = (
 # a claim the two regex engines agree on all byte streams.
 _DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 _DUCK_MD5L = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _bpe_replace_case(i: int) -> str:
+    """One greedy merge step over a double-space-joined symbol string.
+
+    Segmentations are carried as the symbols joined by TWO spaces
+    ('l  o  w'), so the single-space-padded pattern ' lft  rgt '
+    consumes both boundary spaces of the pair and SQL ``replace``'s
+    left-to-right non-overlapping scan lands exactly on the learner's
+    greedy rewrite (' a  a  a ' + (a,a) -> ' aa  a ', one merge, just
+    like ``_merge_word``). When step i learned nothing (b{i} empty —
+    min_pair_count hit), the segmentation passes through unchanged."""
+    return f"""CASE WHEN NOT EXISTS (SELECT 1 FROM b{i}) THEN seq
+                      ELSE trim(replace(' ' || seq || ' ',
+                           ' ' || (SELECT lft FROM b{i}) || '  '
+                               || (SELECT rgt FROM b{i}) || ' ',
+                           ' ' || (SELECT lft FROM b{i})
+                               || (SELECT rgt FROM b{i}) || ' '))
+                 END"""
+
+
+def _bpe_chain_ctes() -> list[str]:
+    """The shared training chain: word dictionary -> capped training
+    set -> (pair counts p{{i}}, argmax b{{i}}, rewritten dictionary
+    s{{i}}) per merge step. Every CTE is MATERIALIZED — each step
+    references its predecessor twice, so inlining would re-derive the
+    chain exponentially."""
+    parts = [
+        f"""
+        w AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS c
+          FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+          GROUP BY 1),
+        s0 AS MATERIALIZED (
+          SELECT word, c,
+                 array_to_string(regexp_extract_all(word, '.'), '  ') AS seq
+          FROM w ORDER BY c DESC, word LIMIT {_BPE_MAX_TRAIN_WORDS})"""
+    ]
+    for i in range(1, _BPE_NUM_MERGES + 1):
+        parts.append(f"""
+        p{i} AS MATERIALIZED (
+          SELECT l[j] AS lft, l[j + 1] AS rgt, sum(c)::BIGINT AS pc
+          FROM (SELECT c, string_split(seq, '  ') AS l FROM s{i - 1}),
+               unnest(range(1, len(l))) AS u(j)
+          GROUP BY 1, 2),
+        b{i} AS MATERIALIZED (
+          SELECT lft, rgt, pc FROM p{i} WHERE pc >= {_BPE_MIN_PAIR_COUNT}
+          ORDER BY pc DESC, lft, rgt LIMIT 1),
+        s{i} AS MATERIALIZED (
+          SELECT word, c, {_bpe_replace_case(i)} AS seq FROM s{i - 1})""")
+    return parts
+
+
+def _bpe_train_oracle() -> str:
+    """Replay the merge schedule and emit the merge table itself."""
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, lft AS \"left\", rgt AS \"right\","
+        f" lft || rgt AS merged, pc AS pair_count FROM b{i}"
+        for i in range(1, _BPE_NUM_MERGES + 1)
+    )
+    return (
+        "WITH " + ",".join(_bpe_chain_ctes()) + f"""
+        SELECT * FROM ({steps}) ORDER BY rank"""
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Retrain AND resegment in SQL: the full dictionary replays every
+    merge step (a{{i}} chain), then per-doc token counts join the
+    (word, n_subwords) dictionary — the same shape as the Spark side's
+    broadcast, with LEFT JOIN keeping token-less documents."""
+    parts = _bpe_chain_ctes()
+    parts.append("""
+        a0 AS MATERIALIZED (
+          SELECT word,
+                 array_to_string(regexp_extract_all(word, '.'), '  ') AS seq
+          FROM w)""")
+    for i in range(1, _BPE_NUM_MERGES + 1):
+        parts.append(f"""
+        a{i} AS MATERIALIZED (
+          SELECT word, {_bpe_replace_case(i)} AS seq FROM a{i - 1})""")
+    parts.append(f"""
+        nsub AS MATERIALIZED (
+          SELECT word, len(string_split(seq, '  '))::BIGINT AS n_sub
+          FROM a{_BPE_NUM_MERGES}),
+        per_doc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(n_sub)::BIGINT AS n_subwords
+          FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents)
+          JOIN nsub USING (word)
+          GROUP BY 1)""")
+    return (
+        "WITH " + ",".join(parts) + """
+        SELECT d.doc_id,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(n_subwords, 0) AS n_subwords,
+               CASE WHEN coalesce(n_tokens, 0) > 0
+                    THEN round(n_subwords / n_tokens, 6) END
+                 AS subwords_per_token
+        FROM documents d LEFT JOIN per_doc USING (doc_id)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3540,6 +3692,8 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) <> text AS changed
             FROM documents
         """,
+        "bpe_merges": _bpe_train_oracle(),
+        "bpe_subwords": _bpe_apply_oracle(),
         "fingerprint": f"""
             SELECT doc_id,
                    list_reduce(

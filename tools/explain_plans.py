@@ -662,6 +662,29 @@ def main() -> None:
         and _executed_parquet_scans(cl_plan) <= 1,
     )
 
+    from anomalydetector_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs_txt = pages.select(
+        F.col("url").alias("doc_id"), F.col("text")
+    ).limit(2_000)
+    merges = learn_bpe_merges(docs_txt, num_merges=4, max_train_words=512)
+    bpe_plan = plan_of(bpe_token_counts(docs_txt, merges))
+    ok &= check(
+        "BPE apply: dictionary-side segmentation broadcasts onto the "
+        "token stream — text segmented once per DISTINCT word, corpus "
+        "side never shuffle-joins",
+        "BroadcastHashJoin" in bpe_plan
+        and "SortMergeJoin" not in bpe_plan
+        and "ArrowEvalPython" in bpe_plan,
+    )
+    ok &= check(
+        "BPE apply: per-doc aggregate partial-combines map-side",
+        "partial_count" in bpe_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
