@@ -1401,6 +1401,46 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier (operators/classifier
+    — the GPT-3/LLaMA classifier-gate pipeline stage, McCallum & Nigam
+    1998 model): train on a deterministic md5 half of documents with
+    lang as the label, classify the other half. Per-token per-class
+    log-conditionals quantize to integer micro-nats BEFORE aggregation
+    (exact integer sums, partitioning-independent); the DuckDB twin
+    retrains the whole model itself. Plan: one explode -> ONE broadcast
+    join of the pivoted model -> C fused codegen sums; no Python."""
+    from anomalydetector_spark.operators.classifier import (
+        classify_documents,
+        train_naive_bayes,
+    )
+    from anomalydetector_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    is_ref = hash_uniform(F.col("doc_id"), seed=29) < 0.5
+    model, priors = train_naive_bayes(docs.filter(is_ref), min_count=2)
+    return classify_documents(docs.filter(~is_ref), model, priors)
+
+
+def q_nb_confusion(spark, sf_dir):
+    """Confusion counts of the NB language classifier on the held-out
+    half (operators/classifier.classification_report): (actual,
+    predicted, n_docs) — the evaluation companion the classifier gate
+    is tuned with."""
+    from anomalydetector_spark.operators.classifier import (
+        classification_report,
+        classify_documents,
+        train_naive_bayes,
+    )
+    from anomalydetector_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    is_ref = hash_uniform(F.col("doc_id"), seed=29) < 0.5
+    model, priors = train_naive_bayes(docs.filter(is_ref), min_count=2)
+    preds = classify_documents(docs.filter(~is_ref), model, priors)
+    return classification_report(docs.filter(~is_ref), preds)
+
+
 def q_span_removal(spark, sf_dir):
     """Exact duplicated-span REMOVAL with keep-first semantics
     (operators/substring_dedup.drop_duplicated_spans — Lee et al. 2022
@@ -1808,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
         "lm_quality": q_lm_quality,
+        "nb_classify": q_nb_classify,
+        "nb_confusion": q_nb_confusion,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
@@ -1831,6 +1873,73 @@ _DUCK_SHINGLES = (
 # a claim the two regex engines agree on all byte streams.
 _DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 _DUCK_MD5L = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# Naive-Bayes oracle: DuckDB retrains the model (md5 split seed 29,
+# min_count=2, alpha=0.5, lowercase) and re-derives every prediction.
+# Micro-nat quantization makes each doc score an exact integer sum, so
+# the hash gate is partitioning-proof. The ranked CTE's (score DESC,
+# label ASC) ordering mirrors the Spark argmax tie-break exactly.
+_NB_CHAIN = r"""
+        split AS (
+          SELECT doc_id, lang,
+                 coalesce(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> ''), []) AS toks,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':29'), 1, 15))::BIGINT
+                   / 1152921504606846976.0 < 0.5 AS is_ref
+          FROM documents),
+        ltok AS (SELECT lang AS label, unnest(toks) AS token
+                 FROM split WHERE is_ref AND lang IS NOT NULL),
+        pcnt AS (SELECT token, label, count(*)::BIGINT AS cnt
+                 FROM ltok GROUP BY 1, 2),
+        kept AS (SELECT token FROM pcnt GROUP BY token
+                 HAVING sum(cnt) >= 2),
+        vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+        ctot AS (SELECT label, CAST(sum(cnt) AS DOUBLE) AS t
+                 FROM pcnt JOIN kept USING (token) GROUP BY 1),
+        pri AS (SELECT lang AS label, count(*)::BIGINT AS n_docs
+                FROM split WHERE is_ref AND lang IS NOT NULL GROUP BY 1),
+        ntotal AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM pri),
+        classes AS (
+          SELECT pri.label,
+                 CAST(round(ln(CAST(n_docs AS DOUBLE) / n) * 1e6)
+                      AS BIGINT) AS prior_micro,
+                 CAST(round(ln(0.5 / (coalesce(t, 0) + 0.5 * (v + 1.0)))
+                            * 1e6) AS BIGINT) AS oov_micro
+          FROM pri LEFT JOIN ctot USING (label), ntotal, vsz),
+        mdl AS (
+          SELECT pc.token, pc.label,
+                 CAST(round(ln((CAST(cnt AS DOUBLE) + 0.5)
+                               / (t + 0.5 * (v + 1.0))) * 1e6)
+                      AS BIGINT) AS lp
+          FROM pcnt pc JOIN kept USING (token)
+               JOIN ctot USING (label), vsz),
+        etok AS (SELECT doc_id, unnest(toks) AS token
+                 FROM split WHERE NOT is_ref),
+        ntok AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+                 FROM etok GROUP BY 1),
+        contrib AS (
+          SELECT e.doc_id, c.label,
+                 CAST(sum(coalesce(m.lp, c.oov_micro)) AS BIGINT) AS s
+          FROM etok e CROSS JOIN classes c
+          LEFT JOIN mdl m ON m.token = e.token AND m.label = c.label
+          GROUP BY 1, 2),
+        scores AS (
+          SELECT d.doc_id, c.label,
+                 c.prior_micro + coalesce(ct.s, 0) AS score
+          FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
+          CROSS JOIN classes c
+          LEFT JOIN contrib ct
+            ON ct.doc_id = d.doc_id AND ct.label = c.label),
+        ranked AS (
+          SELECT doc_id, label, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label) AS rn,
+                 lead(score) OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, label) AS runner
+          FROM scores)
+"""
 
 
 def _bpe_replace_case(i: int) -> str:
@@ -3694,6 +3803,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_train_oracle(),
         "bpe_subwords": _bpe_apply_oracle(),
+        "nb_classify": "WITH " + _NB_CHAIN + """
+            SELECT r.doc_id,
+                   coalesce(n.n_tokens, 0) AS n_tokens,
+                   r.label AS pred_label,
+                   CAST(r.score AS BIGINT) AS log_joint_micro,
+                   CAST(r.score - r.runner AS BIGINT) AS margin_micro
+            FROM ranked r LEFT JOIN ntok n USING (doc_id)
+            WHERE rn = 1
+        """,
+        "nb_confusion": "WITH " + _NB_CHAIN + """
+            SELECT g.lang AS actual, r.label AS predicted,
+                   count(*)::BIGINT AS n_docs
+            FROM ranked r
+            JOIN (SELECT doc_id, lang FROM split WHERE NOT is_ref) g
+              USING (doc_id)
+            WHERE rn = 1
+            GROUP BY 1, 2
+        """,
         "fingerprint": f"""
             SELECT doc_id,
                    list_reduce(

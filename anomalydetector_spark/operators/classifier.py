@@ -1,0 +1,279 @@
+"""Multinomial Naive Bayes document classifier: distributed train +
+pure-codegen scoring.
+
+Classifier-based corpus filtering is the third leg of web-scale quality
+control next to hard rules (Gopher, `operators/quality.py`) and LM
+perplexity (`operators/lm_quality.py`): GPT-3 (Brown et al. 2020,
+appendix A) and LLaMA (Touvron et al. 2023) both gate Common-Crawl text
+with a supervised classifier trained on a trusted positive set. A
+multinomial Naive Bayes (McCallum & Nigam 1998 — public method) is the
+distributed-native choice: training is EXACT count aggregation (no SGD,
+no iterations, no sync barriers), the model is a (token, class) table
+that prunes to broadcastable size by Zipf, and scoring is a single
+broadcast join plus fixed-width integer sums.
+
+Scale shape (10^12 docs):
+
+* **Training is one explode → hash groupBy(token, label)** with
+  map-side partial combine: each task collapses its token stream to its
+  local per-class vocabulary before the shuffle, so the shuffle moves
+  vocabulary×classes-sized partials, never the token stream (the
+  `vocab_top_k` / `lm_quality` shape). `min_count` pruning keeps the
+  model broadcastable (the Zipf tail is hapax-dominated); pruned and
+  unseen tokens share each class's smoothed out-of-vocabulary bucket.
+* **Scoring joins the token stream ONCE** (not once per class): the
+  model pivots to one row per kept token carrying all C per-class
+  log-conditionals, broadcasts, and the per-document aggregate computes
+  C integer sums in the same pass — per-token work is C fused column
+  expressions, fully inside whole-stage codegen, zero Python anywhere.
+  Token keys are maximally skewed (stopwords), so the broadcast is
+  mandatory — a shuffle join would put every "the" on one task.
+* **Hash-exactness** (the `lm_quality` contract): per-token per-class
+  log-probabilities quantize to integer micro-nats (``round(ln(p) *
+  1e6)`` as BIGINT) BEFORE aggregation, so document scores are exact
+  integer sums — independent of partition count and aggregation order,
+  bit-identical to a single-threaded DuckDB oracle that retrains the
+  model itself.
+
+Determinism contract:
+
+* conditionals: ``ln((cnt(t,c) + alpha) / (T_c + alpha * (V + 1)))``
+  where ``T_c`` counts kept-token occurrences in class ``c`` and ``V``
+  is the GLOBAL kept vocabulary (tokens whose total count across
+  classes is ≥ ``min_count``); the ``+1`` is the shared OOV bucket, so
+  each class distribution is proper over V tokens + OOV;
+* OOV bucket: ``ln(alpha / (T_c + alpha * (V + 1)))`` — applied to
+  pruned tokens, unseen tokens, AND kept-token/class pairs with zero
+  observations (algebraically the same value: cnt = 0);
+* priors: ``ln(N_c / N)`` over training documents (MLE, micro-nats);
+* prediction: argmax of ``prior + Σ conditionals`` (exact integer
+  comparison), ties broken by label ascending;
+* documents with a NULL training label are excluded from training;
+  token-less evaluation documents survive with the prior-only argmax.
+
+Reference scope: the reference repo (msanomalydetector) has no
+classifier stage; this operator belongs to the beyond-reference
+training-data pipeline family (dedup/decontam/quality/sampling)
+mandated for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.functions import tokens
+
+#: Laplace pseudo-count (same default as the unigram LM).
+DEFAULT_ALPHA = 0.5
+
+
+def _micro_nats(logprob_col):
+    """Integer micro-nats: HALF_UP round of ``ln(p) * 1e6`` to BIGINT —
+    the fraction never lands on an exact binary .5 (it comes out of
+    ``ln``), so Spark's BigDecimal rounding and DuckDB agree."""
+    return F.round(logprob_col * F.lit(1e6), 0).cast("long")
+
+
+def train_naive_bayes(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+    alpha: float = DEFAULT_ALPHA,
+) -> Tuple[DataFrame, DataFrame]:
+    """Train a multinomial NB model on labeled documents.
+
+    Returns ``(model, priors)``:
+
+    * ``model`` — one row per OBSERVED kept-token/class pair:
+      ``(token, label, cnt, logprob_micro)``. Absent pairs are NOT
+      materialized (they would be V×C rows); scoring fills them with
+      the class OOV bucket, which is algebraically the cnt = 0 value.
+    * ``priors`` — one row per class: ``(label, n_docs, t_tokens,
+      prior_micro, oov_logprob_micro)``.
+
+    Both frames are lazy; totals ride broadcast 1-row / C-row cross
+    joins (the threshold-sweep broadcast-literal pattern). Rows with a
+    NULL label are dropped — a supervised trainer cannot use them."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    labeled = docs.filter(F.col(label_col).isNotNull())
+
+    pair_counts = (
+        labeled.select(
+            F.col(label_col).alias("label"), F.explode(tokens(col)).alias("token")
+        )
+        .groupBy("token", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # global kept vocabulary: total count across classes >= min_count
+    kept = (
+        pair_counts.groupBy("token")
+        .agg(F.sum("cnt").alias("total_cnt"))
+        .filter(F.col("total_cnt") >= min_count)
+        .select("token")
+    )
+    kept_counts = pair_counts.join(kept, "token")
+
+    vocab = kept.agg(F.count(F.lit(1)).alias("v_vocab"))
+    class_tokens = kept_counts.groupBy("label").agg(
+        F.sum("cnt").alias("t_tokens")
+    )
+    doc_counts = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total_docs = doc_counts.agg(F.sum("n_docs").alias("n_total"))
+
+    # fixed association order, mirrored verbatim by the oracle SQL:
+    # denom_c = T_c + alpha * (V + 1)
+    denom = F.col("t_tokens").cast("double") + F.lit(alpha) * (
+        F.col("v_vocab").cast("double") + F.lit(1.0)
+    )
+    model = (
+        kept_counts.join(F.broadcast(class_tokens), "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "label",
+            "cnt",
+            _micro_nats(
+                F.log((F.col("cnt").cast("double") + F.lit(alpha)) / denom)
+            ).alias("logprob_micro"),
+        )
+    )
+    priors = (
+        doc_counts.join(F.broadcast(class_tokens), "label", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "label",
+            "n_docs",
+            F.coalesce(F.col("t_tokens"), F.lit(0)).alias("t_tokens"),
+            _micro_nats(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+            ).alias("prior_micro"),
+            _micro_nats(
+                F.log(
+                    F.lit(alpha)
+                    / (
+                        F.coalesce(F.col("t_tokens"), F.lit(0)).cast("double")
+                        + F.lit(alpha)
+                        * (F.col("v_vocab").cast("double") + F.lit(1.0))
+                    )
+                )
+            ).alias("oov_logprob_micro"),
+        )
+    )
+    return model, priors
+
+
+def classify_documents(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Score every document and emit the argmax class.
+
+    Output: ``(id_col, n_tokens, pred_label, log_joint_micro,
+    margin_micro)`` — ``log_joint_micro`` is the winning class's exact
+    integer score, ``margin_micro`` its lead over the runner-up (NULL
+    when the model has a single class). Every input document is
+    emitted: token-less docs ride ``explode_outer`` and get the
+    prior-only argmax — there is no completion join against the id
+    list.
+
+    The priors frame is collected here (bounded: one row per class —
+    the same bounded-collect contract as IVF centroids / BPE merges);
+    the model pivots to one broadcast row per kept token with all C
+    log-conditionals, so the token stream is joined ONCE and per-class
+    sums are C fused codegen aggregates."""
+    classes = sorted(
+        (r["label"], r["prior_micro"], r["oov_logprob_micro"])
+        for r in priors.select(
+            "label", "prior_micro", "oov_logprob_micro"
+        ).collect()
+    )
+    if not classes:
+        raise ValueError("classify_documents: priors frame has no classes")
+    labels = [c[0] for c in classes]
+
+    wide = (
+        model.groupBy("token")
+        .pivot("label", labels)
+        .agg(F.first("logprob_micro"))
+    )
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(tokens(col)).alias("token")
+    )
+    joined = tok.join(F.broadcast(wide), "token", "left")
+
+    sums = joined.groupBy(id_col).agg(
+        F.count("token").alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.col("token").isNull(), F.lit(0)).otherwise(
+                    F.coalesce(F.col(f"`{label}`"), F.lit(oov_micro))
+                )
+            )
+            .cast("long")
+            .alias(f"_s{i}")
+            for i, (label, _prior, oov_micro) in enumerate(classes)
+        ],
+    )
+    # argmax by exact integer score, ties to the smallest label:
+    # sort (-score, label) ascending and take the head.
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-(F.col(f"_s{i}") + F.lit(prior_micro)))
+                    .cast("long")
+                    .alias("neg"),
+                    F.lit(label).alias("label"),
+                )
+                for i, (label, prior_micro, _oov) in enumerate(classes)
+            ]
+        )
+    )
+    best = F.element_at(ranked, 1)
+    out = sums.select(
+        id_col,
+        "n_tokens",
+        best["label"].alias("pred_label"),
+        (-best["neg"]).cast("long").alias("log_joint_micro"),
+        (
+            # winner minus runner-up: scores are -neg, so the margin is
+            # neg(runner-up) - neg(winner) >= 0
+            (F.element_at(ranked, 2)["neg"] - best["neg"]).cast("long")
+            if len(classes) > 1
+            else F.lit(None).cast("long")
+        ).alias("margin_micro"),
+    )
+    return out
+
+
+def classification_report(
+    docs: DataFrame,
+    predictions: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Confusion counts of predictions against gold labels:
+    ``(actual, predicted, n_docs)``. A plain key join + groupBy — the
+    evaluation companion to :func:`classify_documents`."""
+    gold = docs.select(F.col(id_col), F.col(label_col).alias("actual"))
+    return (
+        gold.join(predictions.select(id_col, "pred_label"), id_col)
+        .groupBy("actual", F.col("pred_label").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

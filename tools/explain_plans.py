@@ -685,6 +685,30 @@ def main() -> None:
         "partial_count" in bpe_plan,
     )
 
+    from anomalydetector_spark.operators.classifier import (
+        classify_documents,
+        train_naive_bayes,
+    )
+
+    nb_train = pages.select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    ).limit(4_000)
+    nb_model, nb_priors = train_naive_bayes(nb_train, min_count=2)
+    nb_plan = plan_of(classify_documents(docs_txt, nb_model, nb_priors))
+    scoring_path = nb_plan.split("BroadcastExchange")[0]
+    ok &= check(
+        "NB classify: pivoted model broadcasts onto the token stream — "
+        "ONE join for all classes, scoring path never shuffle-joins, "
+        "zero Python",
+        "BroadcastHashJoin" in nb_plan
+        and "SortMergeJoin" not in scoring_path
+        and "EvalPython" not in nb_plan,
+    )
+    ok &= check(
+        "NB classify: per-class integer sums partial-combine map-side",
+        "partial_sum" in nb_plan and "partial_count" in nb_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
