@@ -1401,6 +1401,23 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (operators/tfidf — smoothed
+    IDF, Salton & Buckley weighting): IDF table from one in-row-distinct
+    explode (vocabulary-sized shuffle partials), broadcast onto
+    answer-sized per-doc term profiles, top-k as an in-row array_sort +
+    slice (never a global window). Scores are exact integers
+    (tf * idf_micro), so the hash gate is partitioning-proof."""
+    from anomalydetector_spark.operators.tfidf import (
+        inverse_doc_frequencies,
+        tfidf_top_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idf = inverse_doc_frequencies(docs, min_df=2)
+    return tfidf_top_terms(docs, idf, k=5)
+
+
 def q_nb_classify(spark, sf_dir):
     """Multinomial Naive Bayes language classifier (operators/classifier
     — the GPT-3/LLaMA classifier-gate pipeline stage, McCallum & Nigam
@@ -1850,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "nb_classify": q_nb_classify,
         "nb_confusion": q_nb_confusion,
+        "tfidf_keywords": q_tfidf_keywords,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
@@ -3811,6 +3829,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.score - r.runner AS BIGINT) AS margin_micro
             FROM ranked r LEFT JOIN ntok n USING (doc_id)
             WHERE rn = 1
+        """,
+        "tfidf_keywords": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> ''), []) AS toks
+              FROM documents),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            dfreq AS (
+              SELECT token, count(*)::BIGINT AS df
+              FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token
+                    FROM t)
+              GROUP BY 1 HAVING count(*) >= 2),
+            idf AS (
+              SELECT token,
+                     CAST(round((ln((n + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+                                 + 1.0) * 1e6) AS BIGINT) AS idf_micro
+              FROM dfreq, n),
+            tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT doc_id, token, tf,
+                     CAST(tf * idf_micro AS BIGINT) AS score_micro,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf * idf_micro DESC, token) AS rank
+              FROM tf JOIN idf USING (token))
+            SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, score_micro
+            FROM sc WHERE rank <= 5
         """,
         "nb_confusion": "WITH " + _NB_CHAIN + """
             SELECT g.lang AS actual, r.label AS predicted,

@@ -709,6 +709,22 @@ def main() -> None:
         "partial_sum" in nb_plan and "partial_count" in nb_plan,
     )
 
+    from anomalydetector_spark.operators.tfidf import (
+        inverse_doc_frequencies,
+        tfidf_top_terms,
+    )
+
+    ti_idf = inverse_doc_frequencies(docs_txt, min_df=2)
+    ti_plan = plan_of(tfidf_top_terms(docs_txt, ti_idf, k=5))
+    ok &= check(
+        "TF-IDF keywords: IDF joins broadcast, tf partial-aggregates "
+        "map-side, top-k is in-row (no global window), zero Python",
+        "BroadcastHashJoin" in ti_plan
+        and "partial_count" in ti_plan
+        and "Window" not in ti_plan
+        and "EvalPython" not in ti_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
