@@ -1418,6 +1418,30 @@ def q_tfidf_keywords(spark, sf_dir):
     return tfidf_top_terms(docs, idf, k=5)
 
 
+def q_bloom_frontier(spark, sf_dir):
+    """Bloom-filter crawl-frontier seen-set (operators/bloom): build the
+    bitmap on the md5 half of the synthesized URL space, probe EVERY
+    url. Positions use the cross-engine md5-long pattern, so the filter
+    — including its false positives — reproduces bit-exactly in DuckDB:
+    the oracle hashes the full membership verdict, not an invariant.
+    Plan: explode -> map-side partial bit_or (bitmap-sized shuffle),
+    broadcast bitmap -> per-key AND reduction; zero Python."""
+    from anomalydetector_spark.operators.bloom import (
+        bloom_contains,
+        build_bloom,
+    )
+    from anomalydetector_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("https://ex.com/d/"), F.col("doc_id")).alias("url"),
+        "doc_id",
+    )
+    seen = urls.filter(hash_uniform(F.col("doc_id"), seed=31) < 0.5)
+    bloom = build_bloom(seen, m_bits=4096, n_hashes=6)
+    return bloom_contains(urls, bloom, m_bits=4096, n_hashes=6)
+
+
 def q_nb_classify(spark, sf_dir):
     """Multinomial Naive Bayes language classifier (operators/classifier
     — the GPT-3/LLaMA classifier-gate pipeline stage, McCallum & Nigam
@@ -1868,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "nb_confusion": q_nb_confusion,
         "tfidf_keywords": q_tfidf_keywords,
+        "bloom_frontier": q_bloom_frontier,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
@@ -3861,6 +3886,37 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN idf USING (token))
             SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, score_micro
             FROM sc WHERE rank <= 5
+        """,
+        "bloom_frontier": """
+            WITH urls AS (
+              SELECT doc_id, 'https://ex.com/d/' || doc_id AS url
+              FROM documents),
+            seen AS (
+              SELECT url FROM urls
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':31'), 1, 15))::BIGINT
+                    / 1152921504606846976.0 < 0.5),
+            spos AS (
+              SELECT ('0x' || substr(md5(url || ':b0:' || i), 1, 15))::BIGINT
+                       % 4096 AS p
+              FROM seen, unnest(range(0, 6)) AS u(i)),
+            bits AS (
+              SELECT CAST(p // 32 AS INT) AS chunk,
+                     bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+              FROM spos GROUP BY 1),
+            ppos AS (
+              SELECT url,
+                     ('0x' || substr(md5(url || ':b0:' || i), 1, 15))::BIGINT
+                       % 4096 AS p
+              FROM urls, unnest(range(0, 6)) AS u(i)),
+            pj AS (
+              SELECT url,
+                     bool_and(
+                       (coalesce(b.bits, 0)
+                          & (1::BIGINT << CAST(p % 32 AS INT)))
+                       = (1::BIGINT << CAST(p % 32 AS INT))) AS maybe_present
+              FROM ppos LEFT JOIN bits b ON CAST(p // 32 AS INT) = b.chunk
+              GROUP BY 1)
+            SELECT url, maybe_present FROM pj
         """,
         "nb_confusion": "WITH " + _NB_CHAIN + """
             SELECT g.lang AS actual, r.label AS predicted,

@@ -725,6 +725,32 @@ def main() -> None:
         and "EvalPython" not in ti_plan,
     )
 
+    from anomalydetector_spark.operators.bloom import (
+        bloom_contains,
+        build_bloom,
+    )
+
+    bl_keys = pages.select("url")
+    bl = build_bloom(bl_keys, m_bits=1 << 16, n_hashes=6)
+    bl_build_plan = plan_of(bl)
+    bl_probe_plan = plan_of(
+        bloom_contains(bl_keys, bl, m_bits=1 << 16, n_hashes=6)
+    )
+    ok &= check(
+        "Bloom build: bit_or partial-combines map-side — the shuffle "
+        "moves bitmap-sized partials, never the key stream",
+        "partial_bit_or" in bl_build_plan
+        and "EvalPython" not in bl_build_plan,
+    )
+    ok &= check(
+        "Bloom probe: bitmap broadcasts onto the k-exploded probes, "
+        "per-key AND partial-combines map-side, zero Python",
+        # Catalyst rewrites bool_and to min-over-booleans
+        "BroadcastHashJoin" in bl_probe_plan
+        and "partial_min" in bl_probe_plan
+        and "EvalPython" not in bl_probe_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
