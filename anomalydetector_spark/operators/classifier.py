@@ -102,12 +102,20 @@ def train_naive_bayes(
     col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     labeled = docs.filter(F.col(label_col).isNotNull())
 
+    # persisted: every downstream job — the vocabulary, the per-class
+    # totals feeding priors, the model itself, AND classify-time's
+    # bounded priors collect — derives from this frame, so caching it
+    # makes the whole train+classify pipeline cost ONE token-stream
+    # pass instead of one per action. Size is the observed
+    # (token, class) pair table — vocabulary-scale, the same order as
+    # the model that must broadcast anyway.
     pair_counts = (
         labeled.select(
             F.col(label_col).alias("label"), F.explode(tokens(col)).alias("token")
         )
         .groupBy("token", "label")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     # global kept vocabulary: total count across classes >= min_count
     kept = (

@@ -718,10 +718,12 @@ def main() -> None:
     ti_plan = plan_of(tfidf_top_terms(docs_txt, ti_idf, k=5))
     ok &= check(
         "TF-IDF keywords: IDF joins broadcast, tf partial-aggregates "
-        "map-side, top-k is in-row (no global window), zero Python",
+        "map-side, top-k window is DOC-keyed (never a global "
+        "single-partition window), zero Python",
         "BroadcastHashJoin" in ti_plan
         and "partial_count" in ti_plan
-        and "Window" not in ti_plan
+        and "windowspecdefinition(doc_id" in ti_plan
+        and "windowspecdefinition()" not in ti_plan
         and "EvalPython" not in ti_plan,
     )
 
