@@ -703,6 +703,95 @@ def cmd_ingest_warc(args, spark: SparkSession) -> None:
     print(f"ingested {n} {kind} → {args.output_path}")
 
 
+def cmd_tokenize(args, spark: SparkSession) -> None:
+    """Corpus → subword tokenizer artifacts (operators/bpe): learn a
+    BPE merge table from the corpus (distributed word-frequency pass +
+    capped driver merge loop), write it, and — unless ``--merges-only``
+    — write per-document subword statistics under it. The merge table
+    parquet is the reusable artifact: re-apply it to any later corpus
+    snapshot with the same command via ``--merges-path``."""
+    from anomalydetector_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    docs = read_table(spark, args.input_path)
+    if args.merges_path:
+        merges = spark.read.parquet(args.merges_path)
+    else:
+        merges = learn_bpe_merges(
+            docs,
+            text_col=args.text_column,
+            num_merges=args.num_merges,
+            max_train_words=args.max_train_words,
+            min_pair_count=args.min_pair_count,
+            lowercase=args.lowercase,
+        )
+    merges_out = f"{args.output_path}_merges"
+    merges.write.mode("overwrite").parquet(merges_out)
+    n_merges = spark.read.parquet(merges_out).count()
+    print(f"merge table: {n_merges} merges → {merges_out}")
+    if not args.merges_only:
+        counts = bpe_token_counts(
+            docs,
+            spark.read.parquet(merges_out),
+            text_col=args.text_column,
+            id_col=args.id_column,
+            lowercase=args.lowercase,
+        )
+        counts.write.mode("overwrite").parquet(args.output_path)
+        row = (
+            spark.read.parquet(args.output_path)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("n_subwords").alias("subwords"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"subword counts: {row['docs']} docs, {row['tokens']} tokens → "
+            f"{row['subwords']} subwords → {args.output_path}"
+        )
+
+
+def cmd_keywords(args, spark: SparkSession) -> None:
+    """Corpus → per-document TF-IDF keyword profiles (operators/tfidf):
+    smoothed-IDF table (written alongside for reuse/inspection) and the
+    top-k terms per document by exact integer score."""
+    from anomalydetector_spark.operators.tfidf import (
+        inverse_doc_frequencies,
+        tfidf_top_terms,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    docs = read_table(spark, args.input_path)
+    idf = inverse_doc_frequencies(
+        docs,
+        text_col=args.text_column,
+        lowercase=args.lowercase,
+        min_df=args.min_df,
+    )
+    idf_out = f"{args.output_path}_idf"
+    idf.write.mode("overwrite").parquet(idf_out)
+    terms = tfidf_top_terms(
+        docs,
+        spark.read.parquet(idf_out),
+        k=args.top_k,
+        text_col=args.text_column,
+        id_col=args.id_column,
+        lowercase=args.lowercase,
+    )
+    terms.write.mode("overwrite").parquet(args.output_path)
+    got = spark.read.parquet(args.output_path)
+    n_docs = got.select(args.id_column).distinct().count()
+    print(
+        f"keywords: top-{args.top_k} terms for {n_docs} docs "
+        f"(vocab {spark.read.parquet(idf_out).count()}) → {args.output_path}"
+    )
+
+
 def cmd_snapshot_diff(args, spark: SparkSession) -> None:
     """Exact churn between two snapshot reads of a keyed table
     (operators/snapshot): per-key added/removed/changed/unchanged
@@ -1285,6 +1374,47 @@ def main(argv=None):
                          "404/500/redirect error boilerplate, which the "
                          "pages shape could not filter later)")
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="learn a BPE merge table from the corpus and emit "
+             "per-document subword counts",
+    )
+    tk.add_argument("--input-path", required=True)
+    tk.add_argument("--output-path", required=True,
+                    help="subword-count parquet; the merge table lands "
+                         "at <output-path>_merges")
+    tk.add_argument("--text-column", default="text")
+    tk.add_argument("--id-column", default="doc_id")
+    tk.add_argument("--num-merges", type=int, default=256)
+    tk.add_argument("--max-train-words", type=int, default=65536,
+                    help="dictionary cap for the driver merge loop "
+                         "(top by count desc, word asc — Zipf makes the "
+                         "cap corpus-size-independent)")
+    tk.add_argument("--min-pair-count", type=int, default=2)
+    tk.add_argument("--lowercase", action="store_true")
+    tk.add_argument("--merges-path", default=None,
+                    help="re-APPLY this previously-learned merge table "
+                         "instead of training")
+    tk.add_argument("--merges-only", action="store_true",
+                    help="train and write the merge table, skip the "
+                         "subword-count pass")
+
+    kw = sub.add_parser(
+        "keywords",
+        help="per-document TF-IDF keyword profiles (+ reusable IDF table)",
+    )
+    kw.add_argument("--input-path", required=True)
+    kw.add_argument("--output-path", required=True,
+                    help="top-k terms parquet; the IDF table lands at "
+                         "<output-path>_idf")
+    kw.add_argument("--text-column", default="text")
+    kw.add_argument("--id-column", default="doc_id")
+    kw.add_argument("--top-k", type=int, default=5)
+    kw.add_argument("--min-df", type=int, default=2,
+                    help="prune terms in fewer docs (keeps the IDF "
+                         "table broadcastable; df=1 terms are noise)")
+    kw.add_argument("--lowercase", action="store_true", default=True)
+
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
 
@@ -1306,6 +1436,10 @@ def main(argv=None):
             cmd_profile(args, spark)
         elif args.cmd == "ingest-warc":
             cmd_ingest_warc(args, spark)
+        elif args.cmd == "tokenize":
+            cmd_tokenize(args, spark)
+        elif args.cmd == "keywords":
+            cmd_keywords(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:
