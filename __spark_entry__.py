@@ -1405,9 +1405,10 @@ def q_tfidf_keywords(spark, sf_dir):
     """Per-document top-5 TF-IDF keywords (operators/tfidf — smoothed
     IDF, Salton & Buckley weighting): IDF table from one in-row-distinct
     explode (vocabulary-sized shuffle partials), broadcast onto
-    answer-sized per-doc term profiles, top-k as an in-row array_sort +
-    slice (never a global window). Scores are exact integers
-    (tf * idf_micro), so the hash gate is partitioning-proof."""
+    answer-sized per-doc term profiles, top-k via a DOC-keyed row_number
+    window (plan-audited: never a global single-partition window).
+    Scores are exact integers (tf * idf_micro), so the hash gate is
+    partitioning-proof."""
     from anomalydetector_spark.operators.tfidf import (
         inverse_doc_frequencies,
         tfidf_top_terms,
@@ -3900,7 +3901,7 @@ def oracle_sql() -> dict[str, str]:
                        % 4096 AS p
               FROM seen, unnest(range(0, 6)) AS u(i)),
             bits AS (
-              SELECT CAST(p // 32 AS INT) AS chunk,
+              SELECT CAST(p // 32 AS BIGINT) AS chunk,
                      bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
               FROM spos GROUP BY 1),
             ppos AS (
@@ -3914,7 +3915,7 @@ def oracle_sql() -> dict[str, str]:
                        (coalesce(b.bits, 0)
                           & (1::BIGINT << CAST(p % 32 AS INT)))
                        = (1::BIGINT << CAST(p % 32 AS INT))) AS maybe_present
-              FROM ppos LEFT JOIN bits b ON CAST(p // 32 AS INT) = b.chunk
+              FROM ppos LEFT JOIN bits b ON CAST(p // 32 AS BIGINT) = b.chunk
               GROUP BY 1)
             SELECT url, maybe_present FROM pj
         """,

@@ -718,7 +718,12 @@ def cmd_tokenize(args, spark: SparkSession) -> None:
 
     docs = read_table(spark, args.input_path)
     if args.merges_path:
-        merges = spark.read.parquet(args.merges_path)
+        # re-apply: the saved table IS the artifact — never rewrite it
+        # (writing <output>_merges while lazily reading the same path
+        # would be an overwrite-while-read)
+        merges_out = args.merges_path
+        n_merges = spark.read.parquet(merges_out).count()
+        print(f"merge table: {n_merges} merges (re-applied from {merges_out})")
     else:
         merges = learn_bpe_merges(
             docs,
@@ -728,10 +733,10 @@ def cmd_tokenize(args, spark: SparkSession) -> None:
             min_pair_count=args.min_pair_count,
             lowercase=args.lowercase,
         )
-    merges_out = f"{args.output_path}_merges"
-    merges.write.mode("overwrite").parquet(merges_out)
-    n_merges = spark.read.parquet(merges_out).count()
-    print(f"merge table: {n_merges} merges → {merges_out}")
+        merges_out = f"{args.output_path}_merges"
+        merges.write.mode("overwrite").parquet(merges_out)
+        n_merges = spark.read.parquet(merges_out).count()
+        print(f"merge table: {n_merges} merges → {merges_out}")
     if not args.merges_only:
         counts = bpe_token_counts(
             docs,
@@ -767,10 +772,11 @@ def cmd_keywords(args, spark: SparkSession) -> None:
     from anomalydetector_spark.sources.tables import read_table
 
     docs = read_table(spark, args.input_path)
+    lowercase = not args.case_sensitive
     idf = inverse_doc_frequencies(
         docs,
         text_col=args.text_column,
-        lowercase=args.lowercase,
+        lowercase=lowercase,
         min_df=args.min_df,
     )
     idf_out = f"{args.output_path}_idf"
@@ -781,7 +787,7 @@ def cmd_keywords(args, spark: SparkSession) -> None:
         k=args.top_k,
         text_col=args.text_column,
         id_col=args.id_column,
-        lowercase=args.lowercase,
+        lowercase=lowercase,
     )
     terms.write.mode("overwrite").parquet(args.output_path)
     got = spark.read.parquet(args.output_path)
@@ -1413,7 +1419,9 @@ def main(argv=None):
     kw.add_argument("--min-df", type=int, default=2,
                     help="prune terms in fewer docs (keeps the IDF "
                          "table broadcastable; df=1 terms are noise)")
-    kw.add_argument("--lowercase", action="store_true", default=True)
+    kw.add_argument("--case-sensitive", action="store_true",
+                    help="preserve case (default lowercases before "
+                         "counting, the standard keyword convention)")
 
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark

@@ -51,6 +51,8 @@ def bloom_params(n_keys: int, fp_rate: float = 0.01) -> Tuple[int, int]:
     ``fp_rate``. m rounds up to a multiple of 32 (whole words)."""
     if not 0.0 < fp_rate < 1.0:
         raise ValueError("fp_rate must be in (0, 1)")
+    if n_keys <= 0:
+        raise ValueError("n_keys must be positive")
     m = max(32, -n_keys * math.log(fp_rate) / (math.log(2) ** 2))
     m_bits = int(math.ceil(m / 32.0) * 32)
     n_hashes = max(1, round(m_bits / n_keys * math.log(2)))
@@ -77,7 +79,7 @@ def build_bloom(
     n_hashes: int = 7,
     seed: int = 0,
 ) -> DataFrame:
-    """Build the bitmap: ``(chunk int, bits bigint)`` — one row per
+    """Build the bitmap: ``(chunk bigint, bits bigint)`` — one row per
     NON-ZERO 32-bit word (absent chunks are zero). NULL keys are
     ignored (NULL is not a member of anything)."""
     pos = keys.filter(F.col(key_col).isNotNull()).select(
@@ -87,7 +89,7 @@ def build_bloom(
     )
     return (
         pos.select(
-            (F.col("p") / 32).cast("int").alias("chunk"),
+            (F.col("p") / 32).cast("long").alias("chunk"),
             F.call_function(
                 "shiftleft", F.lit(1).cast("long"), (F.col("p") % 32).cast("int")
             ).alias("mask"),
@@ -122,7 +124,7 @@ def bloom_contains(
         )
         .select(
             key_col,
-            (F.col("p") / 32).cast("int").alias("chunk"),
+            (F.col("p") / 32).cast("long").alias("chunk"),
             F.call_function(
                 "shiftleft", F.lit(1).cast("long"), (F.col("p") % 32).cast("int")
             ).alias("mask"),

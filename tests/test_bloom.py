@@ -76,6 +76,22 @@ def test_bloom_params_sizing():
     assert k == 7
     with pytest.raises(ValueError):
         bloom_params(10, 1.5)
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)  # empty seen-set must fail loudly
+    with pytest.raises(ValueError):
+        bloom_params(-5, 0.01)
+
+
+def test_huge_m_bits_chunk_stays_long(spark):
+    # m_bits > 2^36 makes chunk ids exceed int32 — the 10^12-key sizing
+    # from the module docstring; chunks must be BIGINT end-to-end
+    m = 1 << 40
+    seen = _urls(spark, 0, 50)
+    bloom = build_bloom(seen, m_bits=m, n_hashes=3)
+    assert dict(bloom.dtypes)["chunk"] == "bigint"
+    assert bloom.agg(F.max("chunk")).collect()[0][0] > (1 << 31)
+    got = bloom_contains(seen, bloom, m_bits=m, n_hashes=3)
+    assert got.filter("NOT maybe_present").count() == 0
 
 
 def test_mask_never_overflows_sign(spark):

@@ -165,6 +165,37 @@ def test_training_set_separable_accuracy(spark):
     assert rows == {("en", "en"): 3, ("fr", "fr"): 2}
 
 
+def test_adversarial_label_values(spark):
+    # labels colliding with internal column names or containing
+    # backticks must not break the pivot/scoring expressions
+    rows = [
+        (1, "x x y", "token"),
+        (2, "y y z", "doc_id"),
+        (3, "z z x", "we`ird"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    model, priors = train_naive_bayes(train)
+    got = _collect(
+        classify_documents(
+            spark.createDataFrame([(9, "x x"), (10, "z z")],
+                                  "doc_id bigint, text string"),
+            model,
+            priors,
+        )
+    )
+    assert got[9][1] == "token" and got[10][1] == "we`ird"
+
+
+def test_cache_off_same_results(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id bigint, text string, lang string")
+    evals = spark.createDataFrame(EVAL, "doc_id bigint, text string")
+    ma, pa = train_naive_bayes(train, cache=True)
+    mb, pb = train_naive_bayes(train, cache=False)
+    assert _collect(classify_documents(evals, ma, pa)) == _collect(
+        classify_documents(evals, mb, pb)
+    )
+
+
 def test_model_join_is_broadcast(spark):
     train = spark.createDataFrame(TRAIN, "doc_id bigint, text string, lang string")
     evals = spark.createDataFrame(EVAL, "doc_id bigint, text string")

@@ -59,11 +59,33 @@ def test_tokenize_reapply_saved_merges(spark, tmp_path):
         "tokenize", "--input-path", docs, "--output-path", out2,
         "--merges-path", out1 + "_merges",
     ])
-    # re-applied table equals a fresh train (same corpus, same params)
-    m1 = sorted(map(tuple, spark.read.parquet(out1 + "_merges").collect()))
-    m2 = sorted(map(tuple, spark.read.parquet(out2 + "_merges").collect()))
-    assert m1 == m2
-    assert spark.read.parquet(out2).count() == 4
+    # re-apply never rewrites the artifact (no <out2>_merges) and the
+    # counts equal a fresh train-and-apply with the same params
+    assert not (tmp_path / "second_merges").exists()
+    out3 = str(tmp_path / "third")
+    cli.main([
+        "tokenize", "--input-path", docs, "--output-path", out3,
+        "--num-merges", "6",
+    ])
+    reapplied = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    fresh = sorted(map(tuple, spark.read.parquet(out3).collect()))
+    assert reapplied == fresh and len(reapplied) == 4
+
+
+def test_tokenize_refresh_counts_in_place(spark, tmp_path):
+    # --merges-path pointing at the SAME artifact base must not raise
+    # overwrite-while-read (the documented refresh workflow)
+    docs = _write_docs(spark, tmp_path)
+    out = str(tmp_path / "arte")
+    cli.main([
+        "tokenize", "--input-path", docs, "--output-path", out,
+        "--num-merges", "6",
+    ])
+    cli.main([
+        "tokenize", "--input-path", docs, "--output-path", out,
+        "--merges-path", out + "_merges",
+    ])
+    assert spark.read.parquet(out).count() == 4
 
 
 def test_keywords_end_to_end(spark, tmp_path):
