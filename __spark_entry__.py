@@ -1443,6 +1443,32 @@ def q_bloom_frontier(spark, sf_dir):
     return bloom_contains(urls, bloom, m_bits=4096, n_hashes=6)
 
 
+def q_lang_segments(spark, sf_dir):
+    """Paragraph-level language mixing summary (operators/lang_segments
+    — CCNet §3 paragraph-granularity LID): per-paragraph marker votes,
+    token-weighted majority election, dominant share + mixed flag — ONE
+    fully-codegen in-row projection (zero shuffle, plan-audited); line
+    breaks synthesized every 5 words identically in both engines."""
+    from anomalydetector_spark.operators.lang_segments import (
+        lang_segmentation,
+    )
+
+    return lang_segmentation(_docs_with_lines(spark, sf_dir))
+
+
+def q_lang_para_filter(spark, sf_dir):
+    """Byte-exact mixed-document surgery
+    (operators/lang_segments.keep_majority_paragraphs): keep paragraphs
+    matching the document's majority language (or 'und' — unknown is
+    not evidence of wrong language), rebuild in order. Text never
+    crosses a shuffle; the oracle rebuilds every text itself."""
+    from anomalydetector_spark.operators.lang_segments import (
+        keep_majority_paragraphs,
+    )
+
+    return keep_majority_paragraphs(_docs_with_lines(spark, sf_dir))
+
+
 def q_nb_classify(spark, sf_dir):
     """Multinomial Naive Bayes language classifier (operators/classifier
     — the GPT-3/LLaMA classifier-gate pipeline stage, McCallum & Nigam
@@ -1894,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": q_nb_confusion,
         "tfidf_keywords": q_tfidf_keywords,
         "bloom_frontier": q_bloom_frontier,
+        "lang_segments": q_lang_segments,
+        "lang_para_filter": q_lang_para_filter,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
@@ -1917,6 +1945,88 @@ _DUCK_SHINGLES = (
 # a claim the two regex engines agree on all byte streams.
 _DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 _DUCK_MD5L = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _seg_chain() -> str:
+    """Shared CTE chain for the paragraph-language oracles: per-
+    paragraph marker votes (the lang_id cascade, ties to the larger
+    language — greatest-struct order), token weights, and per-language
+    token sums, all as DuckDB list lambdas mirroring the in-row Spark
+    expressions."""
+    from anomalydetector_spark.operators.text import LANG_MARKERS
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(p)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    langs_sorted = sorted(LANG_MARKERS)
+    hits = {
+        lang: "len(list_filter("
+        + toks
+        + ", x -> x IN ("
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + ")))"
+        for lang in langs_sorted
+    }
+    rev = list(reversed(langs_sorted))
+    cases = []
+    for i, lang in enumerate(rev[:-1]):
+        conds = " AND ".join(f"{hits[lang]} >= {hits[l2]}" for l2 in rev[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = (
+        "CASE WHEN greatest("
+        + ", ".join(hits[l] for l in langs_sorted)
+        + ") = 0 THEN 'und' "
+        + " ".join(cases)
+        + f" ELSE '{rev[-1]}' END"
+    )
+    sums = ",\n                 ".join(
+        "CAST(coalesce(list_sum(list_transform("
+        "range(1, len(paras) + 1), "
+        f"i -> CASE WHEN langs[i] = '{lang}' THEN wts[i] ELSE 0 END)), 0)"
+        f" AS BIGINT) AS s_{lang}"
+        for lang in langs_sorted
+    )
+    return rf"""
+        withnl AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((?:\S+ ){{4}}\S+) ',
+                                '\1' || chr(10), 'g') AS text
+          FROM documents),
+        t AS (
+          SELECT doc_id, text,
+                 coalesce(string_split(text, chr(10)), []) AS paras
+          FROM withnl),
+        l AS (
+          SELECT doc_id, text, paras,
+                 list_transform(paras, p -> {case}) AS langs,
+                 list_transform(paras, p -> len({toks})) AS wts
+          FROM t),
+        s AS (
+          SELECT doc_id, text, paras, langs, wts,
+                 {sums}
+          FROM l)
+"""
+
+
+def _seg_majority_exprs() -> tuple[str, str]:
+    """(majority_tokens, majority_lang) SQL over the s_<lang> sums —
+    same tie order as the per-paragraph vote."""
+    from anomalydetector_spark.operators.text import LANG_MARKERS
+
+    langs_sorted = sorted(LANG_MARKERS)
+    rev = list(reversed(langs_sorted))
+    top = "greatest(" + ", ".join(f"s_{l}" for l in langs_sorted) + ")"
+    cases = []
+    for i, lang in enumerate(rev[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in rev[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    maj = (
+        f"CASE WHEN {top} = 0 THEN 'und' "
+        + " ".join(cases)
+        + f" ELSE '{rev[-1]}' END"
+    )
+    return top, maj
 
 
 # Naive-Bayes oracle: DuckDB retrains the model (md5 split seed 29,
@@ -3918,6 +4028,51 @@ def oracle_sql() -> dict[str, str]:
               FROM ppos LEFT JOIN bits b ON CAST(p // 32 AS BIGINT) = b.chunk
               GROUP BY 1)
             SELECT url, maybe_present FROM pj
+        """,
+        "lang_segments": "WITH " + _seg_chain() + f"""
+            , m AS (
+              SELECT doc_id,
+                     CAST(len(paras) AS INT) AS n_paragraphs,
+                     {_seg_majority_exprs()[1]} AS majority_lang,
+                     CAST({_seg_majority_exprs()[0]} AS BIGINT)
+                       AS majority_tokens,
+                     CAST(s_de + s_en + s_es + s_fr + s_zh AS BIGINT)
+                       AS voting_tokens
+              FROM s)
+            SELECT doc_id, n_paragraphs, majority_lang, majority_tokens,
+                   voting_tokens,
+                   CASE WHEN voting_tokens > 0
+                        THEN round(CAST(majority_tokens AS DOUBLE)
+                                   / voting_tokens, 6) END
+                     AS dominant_share,
+                   coalesce(
+                     CASE WHEN voting_tokens > 0
+                          THEN round(CAST(majority_tokens AS DOUBLE)
+                                     / voting_tokens, 6) END < 0.8,
+                     FALSE) AS is_mixed
+            FROM m
+        """,
+        "lang_para_filter": "WITH " + _seg_chain() + f"""
+            , m AS (
+              SELECT doc_id, text, paras, langs,
+                     {_seg_majority_exprs()[1]} AS maj
+              FROM s),
+            k AS (
+              SELECT doc_id, text, paras,
+                     list_filter(
+                       list_transform(range(1, len(paras) + 1),
+                         i -> CASE WHEN langs[i] = maj
+                                     OR langs[i] = 'und'
+                                   THEN paras[i] END),
+                       x -> x IS NOT NULL) AS kept
+              FROM m)
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE array_to_string(kept, chr(10)) END AS text,
+                   CAST(len(paras) - len(kept) AS INT)
+                     AS dropped_paragraphs,
+                   CAST(len(paras) AS INT) AS total_paragraphs
+            FROM k
         """,
         "nb_confusion": "WITH " + _NB_CHAIN + """
             SELECT g.lang AS actual, r.label AS predicted,

@@ -753,6 +753,26 @@ def main() -> None:
         and "EvalPython" not in bl_probe_plan,
     )
 
+    from anomalydetector_spark.operators.lang_segments import (
+        keep_majority_paragraphs,
+        lang_segmentation,
+    )
+
+    seg_plan = plan_of(lang_segmentation(docs_txt))
+    surg_plan = plan_of(keep_majority_paragraphs(docs_txt))
+    ok &= check(
+        "paragraph-language summary + surgery: fully in-row codegen "
+        "projections — zero shuffle, zero join, zero Python, one scan "
+        "each",
+        all(
+            "Exchange" not in p
+            and "Join" not in p
+            and "EvalPython" not in p
+            and _executed_parquet_scans(p) <= 1
+            for p in (seg_plan, surg_plan)
+        ),
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
