@@ -1443,6 +1443,22 @@ def q_bloom_frontier(spark, sf_dir):
     return bloom_contains(urls, bloom, m_bits=4096, n_hashes=6)
 
 
+def q_embedding_projection(spark, sf_dir):
+    """Seeded Rademacher JL projection 64 -> 16 (operators/projection —
+    Achlioptas 2001): the ±1 matrix derives cell-by-cell from the
+    cross-engine md5 parity rule, and the per-dim sum is a LEFT fold,
+    which Spark's aggregate and DuckDB's list_reduce evaluate in the
+    identical order — so the raw doubles hash bit-exact with NO
+    quantization. In-row, zero shuffle (plan-audited); the Arrow matmul
+    twin is the measured scale path (pytest-pinned at 1e-9)."""
+    from anomalydetector_spark.operators.projection import (
+        rademacher_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rademacher_project(emb, d_in=64, d_out=16)
+
+
 def q_lang_segments(spark, sf_dir):
     """Paragraph-level language mixing summary (operators/lang_segments
     — CCNet §3 paragraph-granularity LID): per-paragraph marker votes,
@@ -1922,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_frontier": q_bloom_frontier,
         "lang_segments": q_lang_segments,
         "lang_para_filter": q_lang_para_filter,
+        "embedding_projection": q_embedding_projection,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
@@ -4028,6 +4045,27 @@ def oracle_sql() -> dict[str, str]:
               FROM ppos LEFT JOIN bits b ON CAST(p // 32 AS BIGINT) = b.chunk
               GROUP BY 1)
             SELECT url, maybe_present FROM pj
+        """,
+        "embedding_projection": """
+            WITH sgn AS (
+              SELECT j,
+                     list_transform(range(0, 64), i ->
+                       CASE WHEN ('0x' || substr(
+                                    md5('0:' || i || ':' || j), 1, 15)
+                                  )::BIGINT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END) AS srow
+              FROM range(0, 16) t(j)),
+            p AS (
+              SELECT e.vec_id, s.j AS dim,
+                     list_reduce(
+                       list_prepend(0.0,
+                         list_transform(range(1, 65),
+                           i -> coalesce(CAST(e.embedding[i] AS DOUBLE)
+                                         * s.srow[i], 0.0))),
+                       (a, b) -> a + b) * 0.25 AS value
+              FROM embeddings e, sgn s
+              WHERE e.embedding IS NOT NULL)
+            SELECT vec_id, CAST(dim AS INT) AS dim, value FROM p
         """,
         "lang_segments": "WITH " + _seg_chain() + f"""
             , m AS (

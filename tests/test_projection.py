@@ -1,0 +1,96 @@
+"""Rademacher random projection (operators/projection — Achlioptas
+2001 database-friendly JL, cross-engine md5 sign matrix)."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from anomalydetector_spark.operators.projection import (
+    rademacher_project,
+    rademacher_project_arrow,
+    sign_matrix,
+)
+
+D_IN, D_OUT = 64, 16
+
+
+def _emb(spark, n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(D_IN).astype(np.float32)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_matches_pure_python_fold(spark):
+    emb = _emb(spark, 20)
+    signs = sign_matrix(D_IN, D_OUT, seed=0)
+    scale = 1.0 / math.sqrt(D_OUT)
+    got = {
+        (r.vec_id, r.dim): r.value
+        for r in rademacher_project(emb, D_IN, D_OUT).collect()
+    }
+    for vid, vec in [(r.vec_id, r.embedding) for r in emb.collect()]:
+        for j in range(D_OUT):
+            acc = 0.0
+            for x, s in zip(vec, signs[j]):
+                acc = acc + float(x) * s  # same left fold
+            assert got[(vid, j)] == acc * scale, (vid, j)
+
+
+def test_arrow_twin_value_close(spark):
+    emb = _emb(spark, 100)
+    fold = {
+        (r.vec_id, r.dim): r.value
+        for r in rademacher_project(emb, D_IN, D_OUT).collect()
+    }
+    arrow = {
+        r.vec_id: r.projected
+        for r in rademacher_project_arrow(emb, D_IN, D_OUT).collect()
+    }
+    for (vid, j), v in fold.items():
+        assert abs(arrow[vid][j] - v) <= 1e-9 * max(1.0, abs(v))
+
+
+def test_norms_preserved_in_expectation(spark):
+    emb = _emb(spark, 300)
+    proj = rademacher_project_arrow(emb, D_IN, D_OUT)
+    orig = {r.vec_id: np.linalg.norm(r.embedding) for r in emb.collect()}
+    ratios = [
+        (np.linalg.norm(r.projected) / orig[r.vec_id]) ** 2
+        for r in proj.collect()
+    ]
+    assert 0.9 <= float(np.mean(ratios)) <= 1.1  # E[||Px||^2] = ||x||^2
+
+
+def test_deterministic_and_partition_invariant(spark):
+    emb = _emb(spark, 50)
+    a = sorted(map(tuple, rademacher_project(emb.repartition(1), D_IN).collect()))
+    b = sorted(map(tuple, rademacher_project(emb.repartition(8), D_IN).collect()))
+    assert a == b
+    # a different seed gives a different matrix
+    c = sorted(map(tuple, rademacher_project(emb, D_IN, seed=1).collect()))
+    assert a != c
+
+
+def test_null_and_short_vectors(spark):
+    rows = [(1, [1.0, 2.0]), (2, None)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = rademacher_project(emb, d_in=4, d_out=2).collect()
+    ids = {r.vec_id for r in got}
+    assert ids == {1}  # null vector emits nothing
+    signs = sign_matrix(4, 2, 0)
+    scale = 1.0 / math.sqrt(2)
+    by_dim = {r.dim: r.value for r in got}
+    for j in range(2):
+        exp = (1.0 * signs[j][0] + 2.0 * signs[j][1]) * scale  # padding = 0
+        assert abs(by_dim[j] - exp) < 1e-12
+
+
+def test_projection_is_zero_shuffle(spark):
+    emb = _emb(spark, 10)
+    plan = rademacher_project(emb, D_IN)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan

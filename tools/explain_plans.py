@@ -773,6 +773,25 @@ def main() -> None:
         ),
     )
 
+    from anomalydetector_spark.operators.projection import (
+        rademacher_project,
+        rademacher_project_arrow,
+    )
+
+    pr_plan = plan_of(rademacher_project(emb, d_in=64, d_out=8))
+    pra_plan = plan_of(rademacher_project_arrow(emb, d_in=64, d_out=8))
+    ok &= check(
+        "Rademacher projection: both twins are zero-shuffle zero-join "
+        "single-scan projections (fold path pure codegen, scale path "
+        "one Arrow pass)",
+        all(
+            "Exchange" not in p and "Join" not in p
+            for p in (pr_plan, pra_plan)
+        )
+        and "EvalPython" not in pr_plan
+        and ("ArrowEvalPython" in pra_plan or "MapInPandas" in pra_plan),
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
