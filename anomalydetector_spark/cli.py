@@ -584,6 +584,22 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         from anomalydetector_spark.operators.scrub import redact_pii
 
         docs = redact_pii(docs, text_col=args.text_column)
+    if args.keep_majority_lang:
+        from anomalydetector_spark.operators.lang_segments import (
+            keep_majority_paragraphs,
+        )
+
+        # paragraph-language surgery AFTER scrub (banners no longer
+        # vote) and before the quality gate / dedup: keep each doc's
+        # majority-language paragraphs, rebuilt byte-exactly; the
+        # surgery frame is (id, text, counters) — rejoin other columns
+        kept = keep_majority_paragraphs(
+            docs,
+            text_col=args.text_column,
+            id_col=args.id_column,
+            sep=args.paragraph_sep,
+        ).select(args.id_column, args.text_column)
+        docs = docs.drop(args.text_column).join(kept, args.id_column)
     if args.gopher_filter:
         from anomalydetector_spark.operators.quality import gopher_filter
 
@@ -1305,6 +1321,15 @@ def main(argv=None):
                         "column (case/www/default-port/fragment/tracking-"
                         "param normalization) and keep one doc per "
                         "canonical URL, before any content stage")
+    p.add_argument("--keep-majority-lang", action="store_true",
+                   help="paragraph-level language surgery (CCNet "
+                        "granularity): per-paragraph marker LID, keep "
+                        "each doc's majority-language + unknown "
+                        "paragraphs, rebuild byte-exactly — after "
+                        "scrub, before the quality gate")
+    p.add_argument("--paragraph-sep", default="\n",
+                   help="literal paragraph separator for "
+                        "--keep-majority-lang (default newline)")
     p.add_argument("--gopher-filter", action="store_true",
                    help="apply the published Gopher hard quality rules "
                         "(word count, mean word length, symbol/bullet/"

@@ -217,3 +217,40 @@ def test_prep_corpus_chunk_then_pack(spark, tmp_path, capsys):
     assert packed.filter(F.col("oversize")).count() == 0
     msg = capsys.readouterr().out
     assert "chunked into" in msg and "packed into" in msg
+
+
+def test_prep_corpus_keep_majority_lang(spark, tmp_path):
+    """--keep-majority-lang drops foreign-language paragraphs before the
+    quality gate; unknown-language paragraphs survive."""
+    import pandas as pd
+
+    en = ("the cat and the dog is close to the mat of the house and "
+          "the end of it is near so the story goes on " * 2)
+    de = "der hund und die katze ist da und das ist gut"
+    rows = [
+        (1, f"{en}\n{de}\n{en}"),
+        (2, en),
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    cli.main([
+        "prep-corpus", "--input-path", src, "--output-path", out,
+        "--keep-majority-lang", "--min-quality", "0.0",
+    ])
+    kept = spark.read.parquet(out)
+    assert kept.count() == 2
+    # the German paragraph changed doc 1's content hash vs a no-surgery run
+    out2 = str(tmp_path / "nosurgery")
+    cli.main([
+        "prep-corpus", "--input-path", src, "--output-path", out2,
+        "--min-quality", "0.0",
+    ])
+    fp_a = {r.doc_id: r.fingerprint for r in kept.collect()}
+    fp_b = {r.doc_id: r.fingerprint
+            for r in spark.read.parquet(out2).collect()}
+    assert fp_a[1] != fp_b[1]   # foreign paragraph removed
+    assert fp_a[2] == fp_b[2]   # monolingual doc untouched
