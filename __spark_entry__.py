@@ -1459,6 +1459,31 @@ def q_embedding_projection(spark, sf_dir):
     return rademacher_project(emb, d_in=64, d_out=16)
 
 
+def q_embedding_topk_projected(spark, sf_dir):
+    """Exact top-5 cosine neighbors in the PROJECTED space (64 -> 16
+    via the md5-sign Rademacher matrix): the reduced-dimension ANN
+    path, end-to-end hash-verifiable because the fold-path projection
+    is bit-exact cross-engine — the oracle re-projects every vector
+    itself and ranks with the same tie order."""
+    from anomalydetector_spark.operators.projection import (
+        rademacher_project_wide,
+    )
+    from anomalydetector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = rademacher_project_wide(emb, d_in=64, d_out=16)
+    queries = proj.filter(F.col("vec_id") < 10)
+    out = cosine_topk_bruteforce(proj, queries, k=5, vec_col="projected")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        _r6("cosine_sim").alias("cosine_sim"),
+        "rank",
+    )
+
+
 def q_lang_segments(spark, sf_dir):
     """Paragraph-level language mixing summary (operators/lang_segments
     — CCNet §3 paragraph-granularity LID): per-paragraph marker votes,
@@ -1939,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segments": q_lang_segments,
         "lang_para_filter": q_lang_para_filter,
         "embedding_projection": q_embedding_projection,
+        "embedding_topk_projected": q_embedding_topk_projected,
         "unicode_nfc": q_unicode_nfc,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
@@ -4066,6 +4092,44 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, sgn s
               WHERE e.embedding IS NOT NULL)
             SELECT vec_id, CAST(dim AS INT) AS dim, value FROM p
+        """,
+        "embedding_topk_projected": """
+            WITH sgn AS (
+              SELECT j,
+                     list_transform(range(0, 64), i ->
+                       CASE WHEN ('0x' || substr(
+                                    md5('0:' || i || ':' || j), 1, 15)
+                                  )::BIGINT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END) AS srow
+              FROM range(0, 16) t(j)),
+            p AS (
+              SELECT e.vec_id, s.j AS dim,
+                     list_reduce(
+                       list_prepend(0.0,
+                         list_transform(range(1, 65),
+                           i -> coalesce(CAST(e.embedding[i] AS DOUBLE)
+                                         * s.srow[i], 0.0))),
+                       (a, b) -> a + b) * 0.25 AS value
+              FROM embeddings e, sgn s
+              WHERE e.embedding IS NOT NULL),
+            pv AS (
+              SELECT vec_id, list(value ORDER BY dim) AS v
+              FROM p GROUP BY 1),
+            q AS (SELECT vec_id AS query_id, v AS qv
+                  FROM pv WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, c.v) AS sim
+              FROM pv c CROSS JOIN q
+              WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                       AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "lang_segments": "WITH " + _seg_chain() + f"""
             , m AS (

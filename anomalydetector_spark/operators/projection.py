@@ -58,6 +58,49 @@ def sign_matrix(d_in: int, d_out: int, seed: int = 0) -> List[List[float]]:
     ]
 
 
+def _fold_outputs(vec_col: str, d_in: int, d_out: int, seed: int):
+    """The d_out fold expressions as one array<double> column — the
+    shared oracle-exact core of both fold-path entry points."""
+    scale = 1.0 / math.sqrt(d_out)
+    signs = sign_matrix(d_in, d_out, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                        lambda x, s: F.coalesce(x * s, F.lit(0.0)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(scale)
+            )
+            for j in range(d_out)
+        ]
+    )
+
+
+def rademacher_project_wide(
+    emb: DataFrame,
+    d_in: int,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Fold-path projection in WIDE form: ``(id_col, projected
+    array<double>)`` — same bit-reproducible values as
+    :func:`rademacher_project`, shaped for feeding the similarity
+    stack (cosine top-k / LSH / IVF) directly."""
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        _fold_outputs(vec_col, d_in, d_out, seed).alias("projected"),
+    )
+
+
 def rademacher_project(
     emb: DataFrame,
     d_in: int,

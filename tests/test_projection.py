@@ -94,3 +94,46 @@ def test_projection_is_zero_shuffle(spark):
     plan = rademacher_project(emb, D_IN)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_projected_cosines_within_jl_bound(spark):
+    """JL quality end-to-end on the real test embeddings: pairwise
+    cosines in the 16-d projected space track the 64-d exact cosines
+    within the JL error scale (~1/sqrt(d_out)). Top-k RECALL is the
+    wrong gate on this table — the vectors are iid-random, so all
+    cosines concentrate near 0 and neighbor rankings are razor-thin
+    noise (measured recall@5 0.11-0.22 at d_out 16-48, vs chance 0.01;
+    documented, not asserted). What JL actually bounds — the cosine
+    ERROR — is asserted here."""
+    from anomalydetector_spark.operators.projection import (
+        rademacher_project_wide,
+    )
+    from anomalydetector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    # all (query, neighbor) cosines, both spaces, joined pairwise
+    exact = cosine_topk_bruteforce(emb, queries, k=499).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("c64")
+    )
+    proj = rademacher_project_wide(emb, d_in=64, d_out=16)
+    approx = cosine_topk_bruteforce(
+        proj, proj.filter(F.col("vec_id") < 20), k=499, vec_col="projected"
+    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("c16"))
+    err = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .agg(
+            F.avg(F.abs(F.col("c64") - F.col("c16"))).alias("mae"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert err.n == 20 * 499
+    assert err.mae <= 2.0 / (16 ** 0.5), err.mae  # JL scale: ~0.25 ceiling
