@@ -154,6 +154,161 @@ def lang_segmentation(
     )
 
 
+def _py_segment(text: str, sep: str, markers, langs_desc):
+    """Shared pure-Python segmentation core for the Arrow twins:
+    returns (paras, para_langs, para_tokens). Mirrors the HOF
+    semantics exactly on ASCII input; the \\s-class divergence between
+    Java regex and Python str.split is the same documented tokenizer
+    caveat as every other Arrow twin in this repo."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    paras = text.split(sep)
+    plangs, ptoks = [], []
+    for p in paras:
+        toks = [t for t in ws.split(p.strip().lower()) if t]
+        best_lang, best_hits = "und", 0
+        for lang in langs_desc:  # descending: first win = larger lang on ties
+            hits = sum(t in markers[lang] for t in toks)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        plangs.append(best_lang)
+        ptoks.append(len(toks))
+    return paras, plangs, ptoks
+
+
+def _py_majority(plangs, ptoks, langs_desc):
+    """Token-weighted majority with the HOF tie order (larger lang)."""
+    sums = {}
+    for l, w in zip(plangs, ptoks):
+        if l != "und":
+            sums[l] = sums.get(l, 0) + w
+    best_lang, best = "und", 0
+    for lang in langs_desc:
+        if sums.get(lang, 0) > best:
+            best_lang, best = lang, sums[lang]
+    return best_lang, best, sum(sums.values())
+
+
+def lang_segmentation_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_dominant_share: float = 0.8,
+) -> DataFrame:
+    """SCALE twin of :func:`lang_segmentation`: same columns, same
+    values (pytest-pinned), one Arrow batch pass instead of interpreted
+    Catalyst HOF lambdas — measured 11.3k docs/s (HOF) vs the Arrow
+    rate in BENCH.md at 920k pages. Only ``id_col`` and the text cross
+    the Arrow boundary."""
+    import pandas as pd  # noqa: F401
+
+    spark_id_type = dict(docs.dtypes)[id_col]
+    markers = {l: set(m) for l, m in LANG_MARKERS.items()}
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    thresh = min_dominant_share
+
+    def batch(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col],
+                "n_paragraphs": [],
+                "majority_lang": [],
+                "majority_tokens": [],
+                "voting_tokens": [],
+                "dominant_share": [],
+                "is_mixed": [],
+            }
+            for text in pdf[text_col]:
+                if text is None:
+                    row = (0, "und", 0, 0, None, False)
+                else:
+                    paras, plangs, ptoks = _py_segment(
+                        text, sep, markers, langs_desc
+                    )
+                    maj, mtok, vtok = _py_majority(plangs, ptoks, langs_desc)
+                    share = round(mtok / vtok, 6) if vtok > 0 else None
+                    row = (
+                        len(paras),
+                        maj,
+                        mtok,
+                        vtok,
+                        share,
+                        bool(share is not None and share < thresh),
+                    )
+                for k, v in zip(list(out)[1:], row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch,
+        schema=(
+            f"{id_col} {spark_id_type}, n_paragraphs int, "
+            "majority_lang string, majority_tokens bigint, "
+            "voting_tokens bigint, dominant_share double, is_mixed boolean"
+        ),
+    )
+
+
+def keep_majority_paragraphs_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """SCALE twin of :func:`keep_majority_paragraphs`: byte-identical
+    rebuilt texts (pytest-pinned), one Arrow pass."""
+    import pandas as pd  # noqa: F401
+
+    spark_id_type = dict(docs.dtypes)[id_col]
+    markers = {l: set(m) for l, m in LANG_MARKERS.items()}
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+
+    def batch(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, texts, dropped, total = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(did)
+                if text is None:
+                    texts.append(None)
+                    dropped.append(0)
+                    total.append(0)
+                    continue
+                paras, plangs, _ptoks = _py_segment(
+                    text, sep, markers, langs_desc
+                )
+                maj, mtok, _v = _py_majority(plangs, _ptoks, langs_desc)
+                kept = [
+                    p
+                    for p, l in zip(paras, plangs)
+                    if l == maj or l == "und"
+                ]
+                texts.append(sep.join(kept))
+                dropped.append(len(paras) - len(kept))
+                total.append(len(paras))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    text_col: texts,
+                    "dropped_paragraphs": dropped,
+                    "total_paragraphs": total,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch,
+        schema=(
+            f"{id_col} {spark_id_type}, {text_col} string, "
+            "dropped_paragraphs int, total_paragraphs int"
+        ),
+    )
+
+
 def keep_majority_paragraphs(
     docs: DataFrame,
     text_col: str = "text",

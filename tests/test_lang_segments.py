@@ -117,3 +117,39 @@ def test_summary_and_surgery_are_zero_shuffle(spark):
         assert "Exchange" not in plan
         assert "Join" not in plan
         assert "EvalPython" not in plan
+
+
+def test_arrow_twins_value_equal(spark):
+    from anomalydetector_spark.operators.lang_segments import (
+        keep_majority_paragraphs_arrow,
+        lang_segmentation_arrow,
+    )
+
+    vocab = sum((list(m) for m in LANG_MARKERS.values()), []) + ["qq", "zz"]
+    rng = random.Random(9)
+    rows = ROWS + [
+        (100 + i, "\n".join(
+            " ".join(rng.choices(vocab, k=rng.randint(0, 9)))
+            for _ in range(rng.randint(1, 5))
+        ))
+        for i in range(80)
+    ]
+    df = _df(spark, rows)
+    hof = sorted(map(tuple, lang_segmentation(df).collect()), key=str)
+    arr = sorted(map(tuple, lang_segmentation_arrow(df).collect()), key=str)
+    assert hof == arr
+    hof_s = sorted(map(tuple, keep_majority_paragraphs(df).collect()), key=str)
+    arr_s = sorted(
+        map(tuple, keep_majority_paragraphs_arrow(df).collect()), key=str
+    )
+    assert hof_s == arr_s
+
+
+def test_arrow_twin_literal_separator(spark):
+    from anomalydetector_spark.operators.lang_segments import (
+        keep_majority_paragraphs_arrow,
+    )
+
+    rows = [(1, "the of and to is|der und die das ist")]
+    got = keep_majority_paragraphs_arrow(_df(spark, rows), sep="|").collect()[0]
+    assert got.text == "the of and to is" and got.total_paragraphs == 2
