@@ -1554,6 +1554,31 @@ def q_nb_confusion(spark, sf_dir):
     return classification_report(docs.filter(~is_ref), preds)
 
 
+def q_lm_bigram_quality(spark, sf_dir):
+    """Bigram-LM quality gate with stupid backoff (operators/lm_quality
+    .train_bigram_lm — Brants et al. 2007): relative frequencies for
+    kept bigrams, fixed ln(0.4) penalty + unigram on backoff, first
+    token scored by the unigram model. Trained on the md5 half (seed
+    23), scores the other half, gates at ppl <= 33.0 (the measured p90).
+    All per-position log-probs are integer micro-nats, so sums are
+    exact; the DuckDB twin retrains BOTH models itself. Plan: one
+    in-row pair construction -> two broadcast joins -> one hash agg."""
+    from anomalydetector_spark.operators.lm_quality import (
+        score_documents_bigram,
+        train_bigram_lm,
+    )
+    from anomalydetector_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_ref = hash_uniform(F.col("doc_id"), seed=23) < 0.5
+    bigrams, lm, oov = train_bigram_lm(
+        docs.filter(is_ref), min_count=2, min_bigram_count=2
+    )
+    return score_documents_bigram(
+        docs.filter(~is_ref), bigrams, lm, oov, max_pseudo_perplexity=33.0
+    )
+
+
 def q_span_removal(spark, sf_dir):
     """Exact duplicated-span REMOVAL with keep-first semantics
     (operators/substring_dedup.drop_duplicated_spans — Lee et al. 2022
@@ -1961,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
         "lm_quality": q_lm_quality,
+        "lm_bigram_quality": q_lm_bigram_quality,
         "nb_classify": q_nb_classify,
         "nb_confusion": q_nb_confusion,
         "tfidf_keywords": q_tfidf_keywords,
@@ -3926,6 +3952,91 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(
                      round(exp(-CAST(s.sum_lp AS DOUBLE) / 1e6 / s.n_tokens), 3)
                        <= 31.0,
+                     FALSE) AS keep
+            FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
+            LEFT JOIN s USING (doc_id)
+        """,
+        "lm_bigram_quality": r"""
+            WITH split AS (
+              SELECT doc_id,
+                     coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), []) AS toks,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':23'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < 0.5 AS is_ref
+              FROM documents),
+            tok_ref AS (
+              SELECT unnest(toks) AS token FROM split WHERE is_ref),
+            counts AS (
+              SELECT token, count(*)::BIGINT AS cnt FROM tok_ref
+              GROUP BY 1 HAVING count(*) >= 2),
+            totals AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM counts),
+            lm AS (
+              SELECT token,
+                     CAST(round(ln((CAST(cnt AS DOUBLE) + 0.5)
+                                   / (t + 0.5 * (v + 1.0))) * 1e6)
+                          AS BIGINT) AS lp
+              FROM counts, totals),
+            oovlp AS (
+              SELECT CAST(round(ln(0.5 / (t + 0.5 * (v + 1.0))) * 1e6)
+                          AS BIGINT) AS lp
+              FROM totals),
+            bp AS (
+              SELECT toks[i] AS prev, toks[i + 1] AS cur
+              FROM (SELECT toks FROM split WHERE is_ref),
+                   unnest(range(1, len(toks))) AS u(i)),
+            bc AS (
+              SELECT prev, cur, count(*)::BIGINT AS cnt
+              FROM bp GROUP BY 1, 2),
+            ctx AS (
+              SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctot
+              FROM bc GROUP BY 1),
+            bi AS (
+              SELECT prev, cur,
+                     CAST(round(ln(CAST(cnt AS DOUBLE) / ctot) * 1e6)
+                          AS BIGINT) AS lp
+              FROM bc JOIN ctx USING (prev) WHERE cnt >= 2),
+            pos AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev,
+                     toks[i] AS cur
+              FROM (SELECT doc_id, toks FROM split WHERE NOT is_ref),
+                   unnest(range(1, len(toks) + 1)) AS u(i)),
+            j AS (
+              SELECT p.doc_id,
+                     CASE WHEN b.lp IS NOT NULL THEN b.lp
+                          WHEN p.prev IS NULL
+                            THEN coalesce(u.lp, (SELECT lp FROM oovlp))
+                          ELSE -916291
+                               + coalesce(u.lp, (SELECT lp FROM oovlp))
+                     END AS lp,
+                     CASE WHEN b.lp IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                     CASE WHEN p.prev IS NOT NULL THEN 1 ELSE 0 END AS bpos
+              FROM pos p
+              LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+              LEFT JOIN lm u ON u.token = p.cur),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     CAST(sum(lp) AS BIGINT) AS slp,
+                     CAST(sum(hit) AS BIGINT) AS hits,
+                     CAST(sum(bpos) AS BIGINT) AS bpos
+              FROM j GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(hits, 0) AS bigram_hits,
+                   CASE WHEN bpos > 0
+                        THEN round(CAST(bpos - hits AS DOUBLE) / bpos, 6)
+                   END AS backoff_rate,
+                   round(-CAST(slp AS DOUBLE) / 1e6 / n_tokens, 6)
+                     AS cross_entropy,
+                   round(exp(-CAST(slp AS DOUBLE) / 1e6 / n_tokens), 3)
+                     AS pseudo_perplexity,
+                   coalesce(
+                     round(exp(-CAST(slp AS DOUBLE) / 1e6 / n_tokens), 3)
+                       <= 33.0,
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)

@@ -231,3 +231,192 @@ def lm_quality_filter(
         lowercase=lowercase,
         max_pseudo_perplexity=max_pseudo_perplexity,
     )
+
+
+def train_bigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+    min_bigram_count: int = 2,
+    alpha: float = DEFAULT_ALPHA,
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Bigram LM with stupid backoff (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale standard:
+    relative frequencies for seen n-grams, a fixed multiplicative
+    penalty λ = 0.4 on backoff, no normalization pass).
+
+    Returns ``(bigrams, lm, oov)``:
+
+    * ``bigrams`` — one row per KEPT bigram (corpus count ≥
+      ``min_bigram_count``): ``(prev, cur, cnt, logprob_micro)`` where
+      ``logprob_micro = round(ln(cnt / ctx_total(prev)) * 1e6)`` and
+      ``ctx_total(prev)`` counts ALL bigram occurrences with that left
+      token (computed before pruning — the score of a kept bigram does
+      not depend on which of its siblings were pruned);
+    * ``(lm, oov)`` — the unigram backoff model from
+      :func:`train_unigram_lm` (same ``min_count``/``alpha``).
+
+    Scale shape: the bigram pass is one in-row pair construction
+    (``zip_with`` of the token array against its own tail — pairs never
+    exist as strings, the explode emits (prev, cur) columns) → hash
+    groupBy with map-side partial combine; the shuffle moves
+    bigram-vocabulary-sized partials. ``min_bigram_count`` pruning
+    keeps the table broadcastable (the bigram Zipf tail is even more
+    hapax-dominated than the unigram one); pruned pairs back off."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens(col)
+    pairs = ref_docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p")
+    ).select("p.prev", "p.cur")
+    pair_counts = pairs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ctx_totals = pair_counts.groupBy("prev").agg(
+        F.sum("cnt").alias("ctx_total")
+    )
+    kept = pair_counts.filter(F.col("cnt") >= min_bigram_count)
+    bigrams = kept.join(F.broadcast(ctx_totals), "prev").select(
+        "prev",
+        "cur",
+        "cnt",
+        _micro_nats(
+            F.log(
+                F.col("cnt").cast("double")
+                / F.col("ctx_total").cast("double")
+            )
+        ).alias("logprob_micro"),
+    )
+    lm, oov = train_unigram_lm(
+        ref_docs,
+        text_col=text_col,
+        lowercase=lowercase,
+        min_count=min_count,
+        alpha=alpha,
+    )
+    return bigrams, lm, oov
+
+
+#: stupid-backoff multiplicative penalty ln(0.4) in micro-nats —
+#: HALF_UP like every other micro-nat in this module.
+BACKOFF_PENALTY_MICRO = -916291
+
+
+def score_documents_bigram(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    lm: DataFrame,
+    oov: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    max_pseudo_perplexity: Optional[float] = None,
+) -> DataFrame:
+    """Per-document pseudo-perplexity under the bigram model.
+
+    Per position: the FIRST token scores by the unigram model (no
+    context); position i ≥ 2 scores ``ln(cnt/ctx_total)`` when the
+    (prev, cur) bigram is in the kept table, else backs off to
+    ``ln(0.4) + unigram(cur)`` — all exact integer micro-nats, so sums
+    are partitioning-independent. Emits every document:
+    ``(id_col, n_tokens, bigram_hits, backoff_rate, cross_entropy,
+    pseudo_perplexity[, keep])``.
+
+    Plan: ONE in-row (prev, cur) construction (prev NULL for the first
+    token) → explode_outer → TWO broadcast joins (bigram table on the
+    pair, unigram on cur — token keys are stopword-skewed, a shuffle
+    join is unthinkable) → one hash aggregate."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens(col)
+    # (prev, cur) per position; prev NULL at position 1
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prevs, toks, lambda a, b: F.struct(a.alias("prev"), b.alias("cur"))
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(pairs).alias("p")
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    joined = (
+        tok.join(
+            F.broadcast(
+                bigrams.select(
+                    "prev", "cur", F.col("logprob_micro").alias("_bi")
+                )
+            ),
+            ["prev", "cur"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lm.select(F.col("token").alias("cur"), F.col("logprob_micro").alias("_uni"))
+            ),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov.select("oov_logprob_micro")))
+    )
+    uni = F.coalesce(F.col("_uni"), F.col("oov_logprob_micro"))
+    lp = F.when(F.col("cur").isNull(), F.lit(0)).otherwise(
+        F.when(F.col("_bi").isNotNull(), F.col("_bi")).otherwise(
+            F.when(
+                F.col("prev").isNull(), uni  # first token: plain unigram
+            ).otherwise(F.lit(BACKOFF_PENALTY_MICRO) + uni)
+        )
+    )
+    per_doc = (
+        joined.select(
+            id_col,
+            "cur",
+            lp.alias("lp"),
+            F.col("_bi").isNotNull().cast("int").alias("is_hit"),
+            (F.col("cur").isNotNull() & F.col("prev").isNotNull()).cast(
+                "int"
+            ).alias("is_bigram_pos"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("cur").alias("n_tokens"),
+            F.sum("lp").alias("sum_lp_micro"),
+            F.sum("is_hit").cast("long").alias("bigram_hits"),
+            F.sum("is_bigram_pos").cast("long").alias("_bi_pos"),
+        )
+    )
+    mean_nats = (
+        -F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_tokens")
+    )
+    nonempty = F.col("n_tokens") > 0
+    out = per_doc.select(
+        id_col,
+        "n_tokens",
+        "bigram_hits",
+        F.when(
+            F.col("_bi_pos") > 0,
+            F.round(
+                (F.col("_bi_pos") - F.col("bigram_hits")) / F.col("_bi_pos"),
+                6,
+            ),
+        ).alias("backoff_rate"),
+        F.when(nonempty, F.round(mean_nats, 6)).alias("cross_entropy"),
+        F.when(nonempty, F.round(F.exp(mean_nats), 3)).alias(
+            "pseudo_perplexity"
+        ),
+    )
+    if max_pseudo_perplexity is not None:
+        out = out.withColumn(
+            "keep",
+            F.coalesce(
+                F.col("pseudo_perplexity") <= F.lit(max_pseudo_perplexity),
+                F.lit(False),
+            ),
+        )
+    return out
