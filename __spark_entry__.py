@@ -1264,6 +1264,94 @@ def _docs_with_lines(spark, sf_dir):
     )
 
 
+#: shared 4-line block injected into every doc_id % 3 == 0 page so the
+#: C4 span dedup has real cross-doc duplicates to remove.
+_C4_BLOCK = (
+    "shared quick brown fox.\nshared lazy dog jumps.\n"
+    "shared over the moon.\nshared final anchor line."
+)
+
+
+def _docs_c4(spark, sf_dir):
+    """documents with deterministic C4-shaped sentence structure: the
+    5-word linebreak synth, then per-line terminal decoration (1-based
+    line i: i%7==0 -> unpunctuated, i%5==0 -> ' javascript.', i%3==0 ->
+    '!', else '.') and doc-level lorem/brace injections — the same
+    arithmetic the DuckDB twin replays, so flags and cleaned text are
+    byte-comparable."""
+    docs = _docs_with_lines(spark, sf_dir).select("doc_id", "text")
+    ls = F.split(F.col("text"), "\n")
+    dec = F.transform(
+        ls,
+        lambda l, i: F.concat(
+            l,
+            F.when((i + 1) % 7 == 0, F.lit(""))
+            .when((i + 1) % 5 == 0, F.lit(" javascript."))
+            .when((i + 1) % 3 == 0, F.lit("!"))
+            .otherwise(F.lit(".")),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(dec, "\n"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\nlorem ipsum dolor sit."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("\ncurly { brace } line."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 page cleaning (Raffel et al. 2020 §2.2, operators/c4): line
+    surgery (terminal punctuation, >=3 words, javascript lines) plus
+    every page gate as an audited flag and the byte-exact cleaned text —
+    one fully-codegen projection, zero shuffle, value-exact vs the
+    DuckDB twin replaying the same rules."""
+    from anomalydetector_spark.operators.c4 import c4_page_flags
+
+    out = c4_page_flags(_docs_c4(spark, sf_dir), badwords=("vector",))
+    return out.select(
+        "doc_id",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "ok_min_sentences", "ok_no_lorem", "ok_no_brace",
+        "ok_no_badwords", "keep", "clean_text",
+    )
+
+
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 corpus-level keep-first span dedup ("all but one of any
+    three-sentence span", operators/c4.c4_span_dedup): a shared 4-line
+    block is injected into every third page; the first page (min
+    (doc_id, start)) keeps it, every other occurrence has its lines
+    removed and the text reassembled in-row. Spans hash in-row (md5 of
+    the joined lines) so only (doc, start, hash) triples shuffle — the
+    DuckDB twin replays the protocol with window functions and the
+    rebuilt texts hash byte-identical."""
+    from anomalydetector_spark.operators.c4 import c4_span_dedup
+
+    pages = _docs_c4(spark, sf_dir)
+    with_block = pages.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_C4_BLOCK + "\n"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = c4_span_dedup(with_block)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """CCNet-style boilerplate dictionary: every trimmed non-blank line
     occurring in >= 3 distinct docs with its doc count
@@ -1985,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
+        "c4_span_dedup": q_c4_span_dedup,
         "lm_quality": q_lm_quality,
         "lm_bigram_quality": q_lm_bigram_quality,
         "nb_classify": q_nb_classify,
@@ -3896,6 +3986,145 @@ def oracle_sql() -> dict[str, str]:
                 AND (alpha_words / nw1 >= 0.8)
                 AND (stop_hits >= 2) AS keep
             FROM m
+        """,
+        "c4_filter": r"""
+            WITH withnl AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents),
+            sp AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM withnl),
+            dec AS (
+              SELECT doc_id, i,
+                     ls[i] || CASE WHEN i % 7 = 0 THEN ''
+                                   WHEN i % 5 = 0 THEN ' javascript.'
+                                   WHEN i % 3 = 0 THEN '!'
+                                   ELSE '.' END AS l
+              FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)),
+            pages AS (
+              SELECT doc_id,
+                     string_agg(l, chr(10) ORDER BY i)
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN chr(10) || 'curly { brace } line.'
+                               ELSE '' END AS text
+              FROM dec GROUP BY doc_id),
+            pl AS (
+              SELECT doc_id, i, trim(ls[i]) AS t
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM pages),
+                   unnest(range(1, len(ls) + 1)) AS u(i)),
+            kept AS (
+              SELECT doc_id, i, t FROM pl
+              WHERE (t LIKE '%.' OR t LIKE '%!' OR t LIKE '%?'
+                     OR t LIKE '%"')
+                AND len(list_filter(regexp_split_to_array(t, '\s+'),
+                                    x -> x <> '')) >= 3
+                AND NOT contains(lower(t), 'javascript')),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_sentences,
+                     string_agg(t, chr(10) ORDER BY i) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+                   coalesce(n_sentences, 0) AS n_sentences,
+                   coalesce(n_sentences, 0) >= 5 AS ok_min_sentences,
+                   NOT contains(lower(p.text), 'lorem ipsum')
+                     AS ok_no_lorem,
+                   NOT contains(p.text, '{') AS ok_no_brace,
+                   NOT list_contains(
+                     list_filter(
+                       regexp_split_to_array(trim(lower(p.text)), '\s+'),
+                       x -> x <> ''), 'vector') AS ok_no_badwords,
+                   (coalesce(n_sentences, 0) >= 5)
+                     AND NOT contains(lower(p.text), 'lorem ipsum')
+                     AND NOT contains(p.text, '{')
+                     AND NOT list_contains(
+                       list_filter(
+                         regexp_split_to_array(trim(lower(p.text)),
+                                               '\s+'),
+                         x -> x <> ''), 'vector') AS keep,
+                   coalesce(clean_text, '') AS clean_text
+            FROM pages p LEFT JOIN agg USING (doc_id)
+        """,
+        "c4_span_dedup": r"""
+            WITH withnl AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents),
+            sp AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM withnl),
+            dec AS (
+              SELECT doc_id, i,
+                     ls[i] || CASE WHEN i % 7 = 0 THEN ''
+                                   WHEN i % 5 = 0 THEN ' javascript.'
+                                   WHEN i % 3 = 0 THEN '!'
+                                   ELSE '.' END AS l
+              FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)),
+            pages AS (
+              SELECT doc_id,
+                     string_agg(l, chr(10) ORDER BY i)
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN chr(10) || 'curly { brace } line.'
+                               ELSE '' END AS text
+              FROM dec GROUP BY doc_id),
+            wb AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'shared quick brown fox.' || chr(10)
+                            || 'shared lazy dog jumps.' || chr(10)
+                            || 'shared over the moon.' || chr(10)
+                            || 'shared final anchor line.' || chr(10)
+                            || text
+                          ELSE text END AS text
+              FROM pages),
+            lls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM wb),
+            occ AS (
+              SELECT doc_id, s,
+                     md5(ls[s] || chr(10) || ls[s + 1] || chr(10)
+                         || ls[s + 2]) AS h
+              FROM lls, unnest(range(1, len(ls) - 1)) AS u(s)),
+            marked AS (
+              SELECT doc_id, s,
+                     count(*) OVER (PARTITION BY h) AS n,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, s) AS rn
+              FROM occ),
+            rm AS (
+              SELECT DISTINCT doc_id, s + d AS i
+              FROM marked, unnest(range(0, 3)) AS u(d)
+              WHERE n >= 2 AND rn > 1),
+            counts AS (
+              SELECT doc_id, count(*)::BIGINT AS n_removed
+              FROM rm GROUP BY doc_id),
+            pl AS (
+              SELECT doc_id, i, ls[i] AS l
+              FROM lls, unnest(range(1, len(ls) + 1)) AS u(i)),
+            keptl AS (
+              SELECT p.doc_id, p.i, p.l
+              FROM pl p LEFT JOIN rm r
+                ON r.doc_id = p.doc_id AND r.i = p.i
+              WHERE r.i IS NULL),
+            rebuilt AS (
+              SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text
+              FROM keptl GROUP BY doc_id)
+            SELECT l0.doc_id,
+                   coalesce(b.text, '') AS text,
+                   len(l0.ls)::BIGINT AS n_lines,
+                   coalesce(c.n_removed, 0) AS n_removed
+            FROM lls l0
+            LEFT JOIN rebuilt b USING (doc_id)
+            LEFT JOIN counts c USING (doc_id)
         """,
         "lm_quality": r"""
             WITH split AS (
