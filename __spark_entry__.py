@@ -1471,6 +1471,57 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def _dsir_parts(spark, sf_dir, n_buckets=4096):
+    """documents split into DSIR target/raw: target = 'vector'-dense
+    docs (>= 4 occurrences — ~15% of the corpus, a content-defined
+    target distribution), raw = everything else."""
+    from anomalydetector_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.lower(F.col("text")))
+    nv = F.size(F.filter(toks, lambda t: t == F.lit("vector")))
+    is_t = F.coalesce(nv >= 4, F.lit(False))
+    return docs.filter(is_t), docs.filter(~is_t)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, operators/dsir):
+    hashed uni+bigram bucket models (4096 buckets) fit on the target
+    and raw halves, every raw doc weighted by the exact integer
+    micro-nat sum of per-gram log p − log q. Plan: in-row md5 bucket
+    ids, two ≤4096-row broadcast models, explode → broadcast joins →
+    one hash agg; the DuckDB twin refits both models itself."""
+    from anomalydetector_spark.operators.dsir import (
+        dsir_weights,
+        train_bucket_model,
+    )
+
+    tgt, raw = _dsir_parts(spark, sf_dir)
+    pm, pf = train_bucket_model(tgt, n_buckets=4096)
+    qm, qf = train_bucket_model(raw, n_buckets=4096)
+    return dsir_weights(raw, pm, pf, qm, qf, n_buckets=4096)
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel top-k resampling (operators/dsir.dsir_select): k=100
+    raw docs sampled without replacement with probability ∝ w via
+    seeded-hash Gumbel noise in integer micro-nats — rank and cut are
+    deterministic, so the DuckDB twin reproduces the exact selected
+    set. Executes as TakeOrderedAndProject (distributed per-partition
+    top-k), never a global sort."""
+    from anomalydetector_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+        train_bucket_model,
+    )
+
+    tgt, raw = _dsir_parts(spark, sf_dir)
+    pm, pf = train_bucket_model(tgt, n_buckets=4096)
+    qm, qf = train_bucket_model(raw, n_buckets=4096)
+    w = dsir_weights(raw, pm, pf, qm, qf, n_buckets=4096)
+    return dsir_select(w, k=100, seed=5)
+
+
 def q_lm_quality(spark, sf_dir):
     """Unigram-LM pseudo-perplexity quality gate (operators/lm_quality —
     CCNet-style filtering, Wenzek et al. 2020): train a smoothed unigram
@@ -2077,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": q_c4_span_dedup,
         "lm_quality": q_lm_quality,
         "lm_bigram_quality": q_lm_bigram_quality,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "nb_classify": q_nb_classify,
         "nb_confusion": q_nb_confusion,
         "tfidf_keywords": q_tfidf_keywords,
@@ -4184,6 +4237,134 @@ def oracle_sql() -> dict[str, str]:
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)
+        """,
+        "dsir_weights": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), []) AS toks
+              FROM documents),
+            t2 AS (
+              SELECT doc_id, toks,
+                     len(list_filter(toks, t -> t = 'vector')) >= 4
+                       AS is_t
+              FROM d),
+            grams AS (
+              SELECT doc_id, is_t, toks[i] AS g
+              FROM t2, unnest(range(1, len(toks) + 1)) AS u(i)
+              UNION ALL
+              SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS g
+              FROM t2, unnest(range(1, len(toks))) AS u(i)),
+            occ AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                       AS bucket
+              FROM grams),
+            pc AS (SELECT bucket, count(*)::BIGINT AS cnt
+                   FROM occ WHERE is_t GROUP BY 1),
+            pt AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS t
+                   FROM pc),
+            p AS (SELECT bucket,
+                         CAST(round(ln((cnt + 0.5) / (t + 0.5 * 4096))
+                                    * 1e6) AS BIGINT) AS lp
+                  FROM pc, pt),
+            pfl AS (SELECT CAST(round(ln(0.5 / (t + 0.5 * 4096)) * 1e6)
+                               AS BIGINT) AS lp FROM pt),
+            qc AS (SELECT bucket, count(*)::BIGINT AS cnt
+                   FROM occ WHERE NOT is_t GROUP BY 1),
+            qt AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS t
+                   FROM qc),
+            q AS (SELECT bucket,
+                         CAST(round(ln((cnt + 0.5) / (t + 0.5 * 4096))
+                                    * 1e6) AS BIGINT) AS lp
+                  FROM qc, qt),
+            qfl AS (SELECT CAST(round(ln(0.5 / (t + 0.5 * 4096)) * 1e6)
+                               AS BIGINT) AS lp FROM qt),
+            w AS (
+              SELECT o.doc_id, count(*)::BIGINT AS n_grams,
+                     CAST(sum(coalesce(p.lp, (SELECT lp FROM pfl))
+                              - coalesce(q.lp, (SELECT lp FROM qfl)))
+                          AS BIGINT) AS logw
+              FROM occ o
+              LEFT JOIN p ON p.bucket = o.bucket
+              LEFT JOIN q ON q.bucket = o.bucket
+              WHERE NOT o.is_t GROUP BY 1)
+            SELECT r.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(logw, 0) AS logw_micro
+            FROM (SELECT doc_id FROM t2 WHERE NOT is_t) r
+            LEFT JOIN w USING (doc_id)
+        """,
+        "dsir_select": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), []) AS toks
+              FROM documents),
+            t2 AS (
+              SELECT doc_id, toks,
+                     len(list_filter(toks, t -> t = 'vector')) >= 4
+                       AS is_t
+              FROM d),
+            grams AS (
+              SELECT doc_id, is_t, toks[i] AS g
+              FROM t2, unnest(range(1, len(toks) + 1)) AS u(i)
+              UNION ALL
+              SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS g
+              FROM t2, unnest(range(1, len(toks))) AS u(i)),
+            occ AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                       AS bucket
+              FROM grams),
+            pc AS (SELECT bucket, count(*)::BIGINT AS cnt
+                   FROM occ WHERE is_t GROUP BY 1),
+            pt AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS t
+                   FROM pc),
+            p AS (SELECT bucket,
+                         CAST(round(ln((cnt + 0.5) / (t + 0.5 * 4096))
+                                    * 1e6) AS BIGINT) AS lp
+                  FROM pc, pt),
+            pfl AS (SELECT CAST(round(ln(0.5 / (t + 0.5 * 4096)) * 1e6)
+                               AS BIGINT) AS lp FROM pt),
+            qc AS (SELECT bucket, count(*)::BIGINT AS cnt
+                   FROM occ WHERE NOT is_t GROUP BY 1),
+            qt AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS t
+                   FROM qc),
+            q AS (SELECT bucket,
+                         CAST(round(ln((cnt + 0.5) / (t + 0.5 * 4096))
+                                    * 1e6) AS BIGINT) AS lp
+                  FROM qc, qt),
+            qfl AS (SELECT CAST(round(ln(0.5 / (t + 0.5 * 4096)) * 1e6)
+                               AS BIGINT) AS lp FROM qt),
+            w AS (
+              SELECT o.doc_id, count(*)::BIGINT AS n_grams,
+                     CAST(sum(coalesce(p.lp, (SELECT lp FROM pfl))
+                              - coalesce(q.lp, (SELECT lp FROM qfl)))
+                          AS BIGINT) AS logw
+              FROM occ o
+              LEFT JOIN p ON p.bucket = o.bucket
+              LEFT JOIN q ON q.bucket = o.bucket
+              WHERE NOT o.is_t GROUP BY 1),
+            full_w AS (
+              SELECT r.doc_id,
+                     coalesce(n_grams, 0) AS n_grams,
+                     coalesce(logw, 0) AS logw_micro
+              FROM (SELECT doc_id FROM t2 WHERE NOT is_t) r
+              LEFT JOIN w USING (doc_id)),
+            scored AS (
+              SELECT doc_id, n_grams, logw_micro,
+                     logw_micro + CAST(round(-ln(-ln(
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':5'),
+                                       1, 15))::BIGINT
+                       / 1152921504606846976.0)) * 1e6) AS BIGINT)
+                       AS score_micro
+              FROM full_w)
+            SELECT * FROM scored
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 100
         """,
         "lm_bigram_quality": r"""
             WITH split AS (
