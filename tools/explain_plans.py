@@ -792,6 +792,74 @@ def main() -> None:
         and ("ArrowEvalPython" in pra_plan or "MapInPandas" in pra_plan),
     )
 
+    from anomalydetector_spark.operators.lm_quality import (
+        score_documents_bigram,
+        train_bigram_lm,
+    )
+
+    # no .limit() here: GlobalLimit inserts its own Exchange, which
+    # would mask the zero-shuffle assertions below
+    docs_txt = pages.select(F.col("url").alias("doc_id"), F.col("text"))
+    bi, lm1, oov1 = train_bigram_lm(docs_txt)
+    bg_plan = plan_of(score_documents_bigram(docs_txt, bi, lm1, oov1))
+    ok &= check(
+        "bigram LM scoring: model joins broadcast, no sort-merge join "
+        "in the scoring subtree",
+        "BroadcastHashJoin" in bg_plan
+        and "SortMergeJoin" not in bg_plan.split("BroadcastExchange")[0],
+    )
+
+    from anomalydetector_spark.operators.c4 import (
+        c4_page_flags,
+        c4_span_dedup,
+        span_occurrences,
+    )
+
+    c4f_plan = plan_of(c4_page_flags(docs_txt, badwords=("x",)))
+    ok &= check(
+        "C4 page flags: fully-codegen single-scan projection "
+        "(no exchange, no Python)",
+        "Exchange" not in c4f_plan and "EvalPython" not in c4f_plan,
+    )
+    occ_plan = plan_of(span_occurrences(docs_txt))
+    ok &= check(
+        "C4 span occurrences project only (id, start, hash) — text "
+        "never leaves its scan",
+        "span_hash" in occ_plan and "Exchange" not in occ_plan,
+    )
+    c4d_plan = plan_of(c4_span_dedup(docs_txt))
+    ok &= check(
+        "C4 span dedup: partial aggregation before the span-hash "
+        "shuffle, no cartesian product",
+        "partial" in c4d_plan.lower()
+        and "CartesianProduct" not in c4d_plan
+        and "BroadcastNestedLoopJoin" not in c4d_plan,
+    )
+
+    from anomalydetector_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+        train_bucket_model,
+    )
+
+    tgt = docs_txt.filter(F.length("text") > 300)
+    pm, pfl = train_bucket_model(tgt, n_buckets=1024)
+    qm, qfl = train_bucket_model(docs_txt, n_buckets=1024)
+    w = dsir_weights(docs_txt, pm, pfl, qm, qfl, n_buckets=1024)
+    dw_plan = plan_of(w)
+    ok &= check(
+        "DSIR scoring: bucket models broadcast (no shuffle join on the "
+        "Zipf-skewed gram keys)",
+        "BroadcastHashJoin" in dw_plan
+        and "SortMergeJoin" not in dw_plan.split("BroadcastExchange")[0],
+    )
+    ds_plan = plan_of(dsir_select(w, k=10))
+    ok &= check(
+        "DSIR selection executes as distributed TakeOrderedAndProject, "
+        "not a global sort or single-partition window",
+        "TakeOrderedAndProject" in ds_plan and "Window" not in ds_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
