@@ -4225,10 +4225,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(s.n_tokens, 0) AS n_tokens,
                    coalesce(s.oov_tokens, 0) AS oov_tokens,
-                   round(CAST(s.oov_tokens AS DOUBLE) / s.n_tokens, 6)
-                     AS oov_rate,
-                   round(-CAST(s.sum_lp AS DOUBLE) / 1e6 / s.n_tokens, 6)
-                     AS cross_entropy,
+                   ((s.oov_tokens * 2000000 + s.n_tokens)
+                      // (2 * s.n_tokens)) / 1000000.0 AS oov_rate,
+                   (((-s.sum_lp) * 2 + s.n_tokens)
+                      // (2 * s.n_tokens)) / 1000000.0 AS cross_entropy,
                    round(exp(-CAST(s.sum_lp AS DOUBLE) / 1e6 / s.n_tokens), 3)
                      AS pseudo_perplexity,
                    coalesce(
@@ -4438,10 +4438,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_tokens, 0) AS n_tokens,
                    coalesce(hits, 0) AS bigram_hits,
                    CASE WHEN bpos > 0
-                        THEN round(CAST(bpos - hits AS DOUBLE) / bpos, 6)
+                        THEN (((bpos - hits) * 2000000 + bpos)
+                                // (2 * bpos)) / 1000000.0
                    END AS backoff_rate,
-                   round(-CAST(slp AS DOUBLE) / 1e6 / n_tokens, 6)
-                     AS cross_entropy,
+                   (((-slp) * 2 + n_tokens)
+                      // (2 * n_tokens)) / 1000000.0 AS cross_entropy,
                    round(exp(-CAST(slp AS DOUBLE) / 1e6 / n_tokens), 3)
                      AS pseudo_perplexity,
                    coalesce(

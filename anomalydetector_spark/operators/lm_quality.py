@@ -65,6 +65,25 @@ def _micro_nats(logprob_col):
     return F.round(logprob_col * F.lit(1e6), 0).cast("long")
 
 
+def _half_up_div(num, den):
+    """Exact HALF_UP integer division ``round(num / den)`` for
+    nonnegative integer columns: ``floor((2·num + den) / (2·den))``.
+
+    Used for the 6dp-reported ratios (cross-entropy, OOV/backoff rate):
+    ``F.round`` on the double chain sits one ulp from a decimal
+    boundary on some inputs and Spark (shortest-repr BigDecimal) and
+    DuckDB (libm scaling) can disagree there — observed once at
+    sf0.001. Integer arithmetic has no boundary. The inner ``/`` is
+    IEEE double division of exact integers (≤ 5e15, exactly
+    representable); floor can only err if the true rational is within
+    one ulp of an integer, and the nearest it can get is 1/(2·den) ≥
+    5e-12·den⁻¹-scaled — orders of magnitude above ulp for every
+    operand range here."""
+    return F.floor(
+        (num * F.lit(2) + den) / (den * F.lit(2))
+    ).cast("long")
+
+
 def train_unigram_lm(
     ref_docs: DataFrame,
     text_col: str = "text",
@@ -135,9 +154,10 @@ def score_documents(
     every row): ``(id_col, n_tokens, oov_tokens, oov_rate,
     cross_entropy, pseudo_perplexity[, keep])``.
 
-    * ``cross_entropy`` — mean negative log-probability in nats,
-      rounded to 6dp. Deterministic to the bit: the mean is an exact
-      integer micro-nat sum divided by an exact count.
+    * ``cross_entropy`` — mean negative log-probability in nats at 6dp:
+      the HALF_UP micro-nat integer ratio (``_half_up_div``) divided by
+      1e6 — deterministic to the bit in BOTH engines (no double-chain
+      rounding boundary).
     * ``pseudo_perplexity`` — ``exp(cross_entropy_unrounded)``, rounded
       to 3dp (the one libm-exposed value, see module docstring).
     * ``keep`` (only when ``max_pseudo_perplexity`` is given) —
@@ -179,14 +199,22 @@ def score_documents(
         -F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_tokens")
     )
     nonempty = F.col("n_tokens") > 0
+    ce6 = (
+        _half_up_div(-F.col("sum_lp_micro"), F.col("n_tokens"))
+        / F.lit(1e6)
+    )
+    oov6 = (
+        _half_up_div(
+            F.col("oov_tokens") * F.lit(1_000_000), F.col("n_tokens")
+        )
+        / F.lit(1e6)
+    )
     out = per_doc.select(
         id_col,
         "n_tokens",
         "oov_tokens",
-        F.when(
-            nonempty, F.round(F.col("oov_tokens") / F.col("n_tokens"), 6)
-        ).alias("oov_rate"),
-        F.when(nonempty, F.round(mean_nats, 6)).alias("cross_entropy"),
+        F.when(nonempty, oov6).alias("oov_rate"),
+        F.when(nonempty, ce6).alias("cross_entropy"),
         F.when(nonempty, F.round(F.exp(mean_nats), 3)).alias(
             "pseudo_perplexity"
         ),
@@ -395,18 +423,24 @@ def score_documents_bigram(
         -F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_tokens")
     )
     nonempty = F.col("n_tokens") > 0
+    ce6 = (
+        _half_up_div(-F.col("sum_lp_micro"), F.col("n_tokens"))
+        / F.lit(1e6)
+    )
+    br6 = (
+        _half_up_div(
+            (F.col("_bi_pos") - F.col("bigram_hits"))
+            * F.lit(1_000_000),
+            F.col("_bi_pos"),
+        )
+        / F.lit(1e6)
+    )
     out = per_doc.select(
         id_col,
         "n_tokens",
         "bigram_hits",
-        F.when(
-            F.col("_bi_pos") > 0,
-            F.round(
-                (F.col("_bi_pos") - F.col("bigram_hits")) / F.col("_bi_pos"),
-                6,
-            ),
-        ).alias("backoff_rate"),
-        F.when(nonempty, F.round(mean_nats, 6)).alias("cross_entropy"),
+        F.when(F.col("_bi_pos") > 0, br6).alias("backoff_rate"),
+        F.when(nonempty, ce6).alias("cross_entropy"),
         F.when(nonempty, F.round(F.exp(mean_nats), 3)).alias(
             "pseudo_perplexity"
         ),

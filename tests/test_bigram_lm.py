@@ -76,11 +76,16 @@ def pure_bigram(ref_rows, eval_rows, min_count=1, min_bigram_count=2,
             else:
                 s += BACKOFF_PENALTY_MICRO + u
         n = len(ws)
+
+        def hud(num, den):
+            """exact HALF_UP integer ratio, the operator's 6dp scheme"""
+            return (2 * num + den) // (2 * den)
+
         out[did] = (
             n,
             hits,
-            r((bpos - hits) / bpos, 6) if bpos > 0 else None,
-            r(-s / 1e6 / n, 6) if n else None,
+            hud((bpos - hits) * 1_000_000, bpos) / 1e6 if bpos > 0 else None,
+            hud(-s, n) / 1e6 if n else None,
             r(math.exp(-s / 1e6 / n), 3) if n else None,
         )
     return out

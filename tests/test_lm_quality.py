@@ -44,7 +44,10 @@ def _py_score(texts_by_id, lm, oov):
         lps = [lm.get(x, oov) for x in toks]
         n_oov = sum(1 for x in toks if x not in lm)
         mean = -sum(lps) / 1e6 / len(toks)
-        out[did] = (len(toks), n_oov, round(mean, 6), round(math.exp(mean), 3))
+        n = len(toks)
+        # exact HALF_UP integer ratio, the operator's 6dp scheme
+        ce = ((-sum(lps)) * 2 + n) // (2 * n) / 1e6
+        out[did] = (len(toks), n_oov, ce, round(math.exp(mean), 3))
     return out
 
 
