@@ -1768,6 +1768,20 @@ def q_embedding_clusters(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, operators/semdedup): Rademacher
+    sign-bucket partitioning (8 buckets — bit-exact cross-engine),
+    within-bucket cosine pairs at tau=0.4, transitive duplicate groups
+    via hash-min components, keeper = min id. Every embedding row gets
+    a verdict; the DuckDB twin replays the projection, the bucket
+    join, and the closure with a recursive CTE — hash-exact including
+    the documented cross-bucket misses."""
+    from anomalydetector_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb, d_in=64, d_out=3, threshold=0.4)
+
+
 def q_unicode_nfc(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize): per-doc
     normalized text + changed flag. The Arrow pandas_udf runs CPython's
@@ -2139,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_projection": q_embedding_projection,
         "embedding_topk_projected": q_embedding_topk_projected,
         "unicode_nfc": q_unicode_nfc,
+        "semdedup": q_semdedup,
         "embedding_clusters": q_embedding_clusters,
         "span_removal": q_span_removal,
         "sr_drift_events": q_sr_drift_events,
@@ -3489,6 +3504,59 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "semdedup": """
+            WITH RECURSIVE sgn AS (
+              SELECT j,
+                     list_transform(range(0, 64), i ->
+                       CASE WHEN ('0x' || substr(
+                                    md5('0:' || i || ':' || j), 1, 15)
+                                  )::BIGINT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END) AS srow
+              FROM range(0, 3) t(j)),
+            p AS (
+              SELECT e.vec_id, s.j,
+                     list_reduce(
+                       list_prepend(0.0,
+                         list_transform(range(1, 65),
+                           i -> coalesce(CAST(e.embedding[i] AS DOUBLE)
+                                         * s.srow[i], 0.0))),
+                       (a, b) -> a + b) * 0.5773502691896258 AS v
+              FROM embeddings e, sgn s
+              WHERE e.embedding IS NOT NULL),
+            bk AS (
+              SELECT vec_id,
+                     sum(CASE WHEN v >= 0 THEN 2 ** j ELSE 0 END)::BIGINT
+                       AS bucket
+              FROM p GROUP BY 1),
+            vv AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+            pairs AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM vv a
+              JOIN bk ba ON ba.vec_id = a.vec_id
+              JOIN vv b ON a.vec_id < b.vec_id
+              JOIN bk bb ON bb.vec_id = b.vec_id
+              WHERE ba.bucket = bb.bucket
+                AND list_cosine_similarity(a.v, b.v) >= 0.4),
+            edges AS (
+              SELECT ia AS src, ib AS dst FROM pairs
+              UNION ALL
+              SELECT ib AS src, ia AS dst FROM pairs),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r
+              FROM reach JOIN edges e ON e.src = reach.id),
+            comp AS (
+              SELECT id AS vec_id, min(r) AS g FROM reach GROUP BY 1)
+            SELECT e.vec_id, bk.bucket,
+                   coalesce(c.g, e.vec_id) AS group_id,
+                   (c.g IS NULL OR c.g = e.vec_id) AS keep
+            FROM embeddings e
+            LEFT JOIN bk USING (vec_id)
+            LEFT JOIN comp c USING (vec_id)
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

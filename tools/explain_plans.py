@@ -860,6 +860,32 @@ def main() -> None:
         "TakeOrderedAndProject" in ds_plan and "Window" not in ds_plan,
     )
 
+    from anomalydetector_spark.operators.semdedup import (
+        embedding_buckets,
+        semdedup_pairs,
+    )
+
+    emb_rows = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i).cast("double"),
+        ).alias("embedding"),
+    )
+    sb_plan = plan_of(embedding_buckets(emb_rows, d_in=8, d_out=4))
+    ok &= check(
+        "SemDeDup bucket ids are in-row codegen (zero shuffle, zero "
+        "Python)",
+        "Exchange" not in sb_plan and "EvalPython" not in sb_plan,
+    )
+    sp_plan = plan_of(semdedup_pairs(emb_rows, d_in=8, d_out=4))
+    ok &= check(
+        "SemDeDup candidate pairs come from a bucket equi-join, never "
+        "an all-pairs cross join",
+        "CartesianProduct" not in sp_plan
+        and "BroadcastNestedLoopJoin" not in sp_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
