@@ -1908,6 +1908,25 @@ def q_lang_divergence(spark, sf_dir):
     )
 
 
+def q_numeric_drift(spark, sf_dir):
+    """Numeric histogram drift (operators/divergence.numeric_window_
+    drift — TFDV's L-inf comparator + TVD + binned EMD) of events.value
+    between consecutive 1-day windows: 20 fixed-width bins over [0,
+    100] with edge clamping. Every distance is an exact cross-
+    multiplied decimal(38,0) integer ratio with ONE final double cast,
+    so the series is partitioning-independent and the DuckDB HUGEINT
+    twin (dense-grid form — proving the sparse gap-weighted EMD equal)
+    hashes identically."""
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    return numeric_window_drift(
+        ev, lo=0.0, hi=100.0, n_bins=20, window="1 day"
+    )
+
+
 def q_partition_churn(spark, sf_dir):
     """Per-PARTITION churn gate (operators/snapshot.partition_digests +
     changed_partitions): snapshot B drops the src0 partition, edits one
@@ -2135,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_bucketed_events": q_asof_join_bucketed_events,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
+        "numeric_drift": q_numeric_drift,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
@@ -4305,6 +4325,54 @@ def oracle_sql() -> dict[str, str]:
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)
+        """,
+        "numeric_drift": r"""
+            WITH e AS (
+              SELECT date_trunc('day', ts) AS w,
+                     least(greatest(
+                       CAST(floor((value - 0.0) / 5.0) AS BIGINT),
+                       0), 19) AS bin
+              FROM events WHERE value IS NOT NULL),
+            c AS (
+              SELECT w, bin, count(*)::HUGEINT AS n
+              FROM e GROUP BY 1, 2),
+            t AS (SELECT w, sum(n)::HUGEINT AS tt FROM c GROUP BY 1),
+            days AS (SELECT DISTINCT w FROM c),
+            pairs AS (
+              SELECT d.w FROM days d
+              JOIN days p ON p.w = d.w - INTERVAL 1 DAY),
+            grid AS (
+              SELECT pr.w, gs.bin
+              FROM pairs pr CROSS JOIN range(0, 20) gs(bin)),
+            dense AS (
+              SELECT g.w, g.bin,
+                     coalesce(cc.n, 0)::HUGEINT AS c,
+                     coalesce(pc.n, 0)::HUGEINT AS d
+              FROM grid g
+              LEFT JOIN c cc ON cc.w = g.w AND cc.bin = g.bin
+              LEFT JOIN c pc ON pc.w = g.w - INTERVAL 1 DAY
+                            AND pc.bin = g.bin),
+            x AS (
+              SELECT de.w, de.bin,
+                     de.c * tprev.tt - de.d * tcur.tt AS x,
+                     (de.c > 0 OR de.d > 0) AS hit,
+                     tcur.tt * tprev.tt AS den
+              FROM dense de
+              JOIN t tcur ON tcur.w = de.w
+              JOIN t tprev ON tprev.w = de.w - INTERVAL 1 DAY),
+            cumx AS (
+              SELECT w, bin, x, hit, den,
+                     sum(x) OVER (PARTITION BY w ORDER BY bin) AS cum
+              FROM x)
+            SELECT w::TIMESTAMP AS window_start,
+                   CAST(max(abs(x)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) AS linf,
+                   CAST(sum(abs(x)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) / 2.0 AS tvd,
+                   CAST(sum(abs(cum)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) AS emd,
+                   (count(*) FILTER (WHERE hit))::BIGINT AS n_bins_hit
+            FROM cumx GROUP BY 1
         """,
         "dsir_weights": r"""
             WITH d AS (

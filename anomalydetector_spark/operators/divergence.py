@@ -86,6 +86,143 @@ def divergence_from_window_counts(
     )
 
 
+def numeric_bin(
+    value, lo: float, hi: float, n_bins: int
+):
+    """Fixed-width histogram bin id in [0, n_bins): out-of-range values
+    clamp into the edge bins (TFDV's convention — drift in the tails is
+    still drift, and an unbounded value must not crash the monitor)."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((value - F.lit(lo)) / F.lit(width))
+    return F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+
+
+def numeric_drift_from_bin_counts(counts: DataFrame) -> DataFrame:
+    """Histogram-distance drift series from pre-aggregated bin counts
+    ``(w_start, w_end, bin, n)`` — the numeric twin of
+    :func:`divergence_from_window_counts`, with the three standard
+    monitor distances between consecutive windows (TFDV ships L∞ as its
+    numeric-drift comparator; TVD is the L1 view; EMD — in BIN units —
+    is the 1-Wasserstein distance on the binned supports):
+
+    * ``linf = max_i |p_i − q_i|``
+    * ``tvd  = ½ Σ_i |p_i − q_i|``
+    * ``emd  = Σ_i |P_i − Q_i|``  (cumulative sums; last term is 0)
+
+    EXACT arithmetic: every distance is computed as a cross-multiplied
+    integer ratio — e.g. ``|c_i·T_q − d_i·T_p| / (T_p·T_q)`` — carried
+    in decimal(38,0) (counts up to 10^12 rows per window square to
+    10^24, far past BIGINT but well inside 38 digits), with ONE final
+    cast-to-double division. No float summation order exists anywhere,
+    so the series is partitioning-independent and a SQL oracle
+    reproduces it bit-for-bit.
+
+    Scale shape: identical to the categorical path — everything after
+    the first aggregation is O(#windows × n_bins)."""
+    dec = "decimal(38,0)"
+    tot = Window.partitionBy("w_start")
+    wc = counts.withColumn(
+        "t", F.sum("n").over(tot).cast(dec)
+    ).withColumn("n", F.col("n").cast(dec))
+
+    cur = wc.select(
+        "w_start", "bin", F.col("n").alias("c"), F.col("t").alias("tc")
+    )
+    prev = wc.select(
+        F.col("w_end").alias("w_start"),
+        "bin",
+        F.col("n").alias("d"),
+        F.col("t").alias("td"),
+    )
+    pairs = cur.join(prev, ["w_start", "bin"], "full_outer")
+    per_w = Window.partitionBy("w_start")
+    pairs = (
+        pairs.withColumn("tc", F.max("tc").over(per_w))
+        .withColumn("td", F.max("td").over(per_w))
+        .filter(F.col("tc").isNotNull() & F.col("td").isNotNull())
+        .select(
+            "w_start",
+            "bin",
+            F.coalesce("c", F.lit(0).cast(dec)).alias("c"),
+            F.coalesce("d", F.lit(0).cast(dec)).alias("d"),
+            "tc",
+            "td",
+        )
+    )
+    # cross-multiplied per-bin term: c_i·T_q − d_i·T_p (exact integer)
+    diff = F.col("c") * F.col("td") - F.col("d") * F.col("tc")
+    by_bin = Window.partitionBy("w_start").orderBy("bin")
+    # bins absent on BOTH sides still carry the running |cum| into the
+    # EMD — weight each present bin's |cum| by the run of empty slots up
+    # to the next present bin (the last present bin's cum is exactly 0 —
+    # both cumulative counts reach T — so its weight is irrelevant)
+    gap_w = (
+        F.coalesce(F.lead("bin").over(by_bin), F.col("bin") + 1)
+        - F.col("bin")
+    ).cast(dec)
+    pairs = (
+        pairs.withColumn("x", diff)
+        .withColumn("cum", F.sum("x").over(by_bin))
+        .withColumn("gw", gap_w)
+    )
+    den = (F.col("tc") * F.col("td")).cast("double")
+    return (
+        pairs.groupBy("w_start")
+        .agg(
+            (F.max(F.abs(F.col("x"))).cast("double") / F.first(den)).alias(
+                "linf"
+            ),
+            (
+                F.sum(F.abs(F.col("x"))).cast(dec).cast("double")
+                / F.first(den)
+                / F.lit(2.0)
+            ).alias("tvd"),
+            (
+                F.sum(F.abs(F.col("cum")) * F.col("gw"))
+                .cast(dec)
+                .cast("double")
+                / F.first(den)
+            ).alias("emd"),
+            F.count(F.lit(1)).alias("n_bins_hit"),
+        )
+        .withColumnRenamed("w_start", "window_start")
+    )
+
+
+def numeric_window_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 20,
+    window: str = "1 day",
+) -> DataFrame:
+    """Per-window histogram-distance drift of ``value_col`` vs the
+    PREVIOUS window, from raw rows (NULL values are excluded from the
+    histogram — profile null_rate separately; it is its own stat
+    series). Output: (window_start, linf, tvd, emd, n_bins_hit) —
+    one row per window with a predecessor, ready for
+    ``drift.score_drift``."""
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            numeric_bin(F.col(value_col), lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "bin",
+            "n",
+        )
+    )
+    return numeric_drift_from_bin_counts(counts)
+
+
 def categorical_window_divergence(
     df: DataFrame,
     ts_col: str = "ts",

@@ -1,0 +1,154 @@
+"""Numeric histogram drift (operators/divergence.numeric_window_drift):
+TFDV-style L-infinity plus TVD and binned EMD between consecutive
+windows, exact cross-multiplied integer arithmetic."""
+
+import datetime as dt
+import math
+import random
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from anomalydetector_spark.operators.divergence import (
+    numeric_bin,
+    numeric_window_drift,
+)
+
+LO, HI, NB = 0.0, 10.0, 10
+T0 = dt.datetime(2024, 1, 1)
+
+
+def bin_py(v, lo=LO, hi=HI, nb=NB):
+    w = (hi - lo) / nb
+    return min(max(int(math.floor((v - lo) / w)), 0), nb - 1)
+
+
+def drift_py(rows, lo=LO, hi=HI, nb=NB):
+    """Dense-histogram mirror — the operator's sparse gap-weighted EMD
+    must equal this dense form."""
+    by_day = {}
+    for ts, v in rows:
+        if v is None:
+            continue
+        day = dt.datetime(ts.year, ts.month, ts.day)
+        by_day.setdefault(day, Counter())[bin_py(v, lo, hi, nb)] += 1
+    out = {}
+    for day, cur in sorted(by_day.items()):
+        prev = by_day.get(day - dt.timedelta(days=1))
+        if prev is None:
+            continue
+        tc, td = sum(cur.values()), sum(prev.values())
+        xs = [cur.get(i, 0) * td - prev.get(i, 0) * tc for i in range(nb)]
+        cum, emd = 0, 0
+        for x in xs:
+            cum += x
+            emd += abs(cum)
+        den = float(tc * td)
+        out[day] = (
+            max(abs(x) for x in xs) / den,
+            sum(abs(x) for x in xs) / den / 2.0,
+            emd / den,
+        )
+    return out
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {}
+    for r in numeric_window_drift(
+        df, lo=kw.get("lo", LO), hi=kw.get("hi", HI),
+        n_bins=kw.get("nb", NB),
+    ).collect():
+        got[r.window_start] = (r.linf, r.tvd, r.emd)
+    return got
+
+
+def test_matches_dense_pure_python(spark):
+    rng = random.Random(17)
+    rows = []
+    for d in range(6):
+        # shift the distribution day over day so drift is non-zero
+        for _ in range(rng.randint(30, 80)):
+            rows.append(
+                (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+                 min(max(rng.gauss(3 + d, 1.5), 0.0), 9.99)),
+            )
+    assert _run(spark, rows) == drift_py(rows)
+
+
+def test_identical_windows_have_zero_drift(spark):
+    rows = []
+    for d in range(3):
+        for i in range(50):
+            rows.append(
+                (T0 + dt.timedelta(days=d, seconds=i), float(i % 10))
+            )
+    got = _run(spark, rows)
+    assert len(got) == 2
+    for linf, tvd, emd in got.values():
+        assert linf == tvd == emd == 0.0
+
+
+def test_total_shift_maximizes_tvd_and_emd_counts_distance(spark):
+    # day 0 all in bin 0, day 1 all in bin 9: tvd = 1, emd = 9 bins
+    rows = [(T0 + dt.timedelta(seconds=i), 0.5) for i in range(40)]
+    rows += [
+        (T0 + dt.timedelta(days=1, seconds=i), 9.5) for i in range(25)
+    ]
+    got = _run(spark, rows)
+    (linf, tvd, emd), = got.values()
+    assert linf == 1.0 and tvd == 1.0 and emd == 9.0
+
+
+def test_empty_middle_bins_still_count_in_emd(spark):
+    # mass moves 0 -> 5; bins 1..4 are empty on both sides but the
+    # cumulative mismatch persists across them: emd = 5, tvd = 1
+    rows = [(T0 + dt.timedelta(seconds=i), 0.5) for i in range(30)]
+    rows += [
+        (T0 + dt.timedelta(days=1, seconds=i), 5.5) for i in range(30)
+    ]
+    (vals,) = _run(spark, rows).values()
+    assert vals == (1.0, 1.0, 5.0)
+
+
+def test_out_of_range_values_clamp(spark):
+    rows = [(T0 + dt.timedelta(seconds=i), -50.0) for i in range(10)]
+    rows += [
+        (T0 + dt.timedelta(days=1, seconds=i), 999.0) for i in range(10)
+    ]
+    (vals,) = _run(spark, rows).values()
+    assert vals == (1.0, 1.0, 9.0)  # edge bin to edge bin
+
+
+def test_nulls_excluded_and_gap_windows_skipped(spark):
+    rows = [(T0 + dt.timedelta(seconds=i), 1.0) for i in range(10)]
+    rows += [(T0 + dt.timedelta(seconds=99), None)]
+    # day 1 missing entirely; day 2 present -> no pair emitted
+    rows += [
+        (T0 + dt.timedelta(days=2, seconds=i), 2.0) for i in range(10)
+    ]
+    assert _run(spark, rows) == {}
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(23)
+    rows = [
+        (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+         rng.uniform(0, 10))
+        for d in range(4) for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    a = sorted(map(tuple, numeric_window_drift(df.repartition(1)).collect()))
+    b = sorted(map(tuple, numeric_window_drift(df.repartition(16)).collect()))
+    assert a == b
+
+
+def test_bin_expression_is_codegen(spark):
+    df = spark.createDataFrame(
+        [(T0, 1.0)], "ts timestamp, value double"
+    )
+    plan = (
+        df.select(numeric_bin(F.col("value"), LO, HI, NB))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
