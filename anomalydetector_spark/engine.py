@@ -55,10 +55,15 @@ class ValidationConfig:
     # schema-evolution check: expected column → Spark simple type; catches
     # the silent type change P3's presence check misses. None = off.
     expected_schema: dict | None = None
-    # shape drift: per-window Jensen-Shannon divergence of the lang
-    # distribution vs the previous window, derived from the counts cube
-    # (zero extra input scans) and SR-scored like every scalar stat — a
-    # shape shift can hide from each per-category fraction series
+    # shape drift: per-window distribution distances vs the previous
+    # window, both derived from the counts cube (zero extra input
+    # scans) and SR-scored like every scalar stat — a shape shift can
+    # hide from each per-category fraction series and from the length
+    # quantile scalars:
+    #   * lang_js_divergence — Jensen-Shannon of the lang distribution,
+    #   * len_hist_emd — binned earth-mover's distance of the text
+    #     LENGTH histogram (log2 bins, exact integer arithmetic via
+    #     operators/divergence.numeric_drift_from_bin_counts).
     shape_drift: bool = True
     # user-defined constraints (operators/asserts.py). Row asserts ride
     # the fused cube scan and the shared violation-extraction scan; all
@@ -430,6 +435,44 @@ def run_validation(
             F.col("js_divergence").alias("value"),
         )
         stat_series = stat_series.unionByName(shape_series)
+
+        # length-histogram EMD rides the same cube (the cube is keyed by
+        # exact _len, so log2 binning is a reaggregation of the tiny
+        # frame, not a scan). log2 bins: heavy-tailed lengths get stable
+        # resolution at every magnitude and need no (lo, hi) tuning.
+        from anomalydetector_spark.operators.divergence import (
+            numeric_drift_from_bin_counts,
+        )
+
+        len_counts = (
+            cube.filter(F.col("window_start").isNotNull())
+            .groupBy(
+                "partition_key",
+                F.col("window_start").alias("w_start"),
+                F.least(
+                    F.floor(
+                        F.log2(F.coalesce(F.col("_len"), F.lit(0)) + 1)
+                    ),
+                    F.lit(31),
+                )
+                .cast("int")
+                .alias("bin"),
+            )
+            .agg(F.sum("_n").alias("n"))
+            .withColumn(
+                "w_end",
+                F.col("w_start") + F.expr(f"INTERVAL {cfg.window_duration}"),
+            )
+        )
+        len_series = numeric_drift_from_bin_counts(
+            len_counts, part_cols=["partition_key"]
+        ).select(
+            "partition_key",
+            F.lit("len_hist_emd").alias("stat_name"),
+            "window_start",
+            F.col("emd").alias("value"),
+        )
+        stat_series = stat_series.unionByName(len_series)
     stat_series = stat_series.persist()
     scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)

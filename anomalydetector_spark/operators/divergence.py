@@ -99,7 +99,9 @@ def numeric_bin(
     ).cast("int")
 
 
-def numeric_drift_from_bin_counts(counts: DataFrame) -> DataFrame:
+def numeric_drift_from_bin_counts(
+    counts: DataFrame, part_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
     """Histogram-distance drift series from pre-aggregated bin counts
     ``(w_start, w_end, bin, n)`` — the numeric twin of
     :func:`divergence_from_window_counts`, with the three standard
@@ -120,29 +122,35 @@ def numeric_drift_from_bin_counts(counts: DataFrame) -> DataFrame:
     reproduces it bit-for-bit.
 
     Scale shape: identical to the categorical path — everything after
-    the first aggregation is O(#windows × n_bins)."""
+    the first aggregation is O(#windows × n_bins). ``part_cols`` keeps
+    independent series per partition (the engine passes
+    ``partition_key``)."""
+    part = list(part_cols)
     dec = "decimal(38,0)"
-    tot = Window.partitionBy("w_start")
+    tot = Window.partitionBy(*part, "w_start")
     wc = counts.withColumn(
         "t", F.sum("n").over(tot).cast(dec)
     ).withColumn("n", F.col("n").cast(dec))
 
     cur = wc.select(
-        "w_start", "bin", F.col("n").alias("c"), F.col("t").alias("tc")
+        *part, "w_start", "bin", F.col("n").alias("c"),
+        F.col("t").alias("tc"),
     )
     prev = wc.select(
+        *part,
         F.col("w_end").alias("w_start"),
         "bin",
         F.col("n").alias("d"),
         F.col("t").alias("td"),
     )
-    pairs = cur.join(prev, ["w_start", "bin"], "full_outer")
-    per_w = Window.partitionBy("w_start")
+    pairs = cur.join(prev, [*part, "w_start", "bin"], "full_outer")
+    per_w = Window.partitionBy(*part, "w_start")
     pairs = (
         pairs.withColumn("tc", F.max("tc").over(per_w))
         .withColumn("td", F.max("td").over(per_w))
         .filter(F.col("tc").isNotNull() & F.col("td").isNotNull())
         .select(
+            *part,
             "w_start",
             "bin",
             F.coalesce("c", F.lit(0).cast(dec)).alias("c"),
@@ -153,7 +161,7 @@ def numeric_drift_from_bin_counts(counts: DataFrame) -> DataFrame:
     )
     # cross-multiplied per-bin term: c_i·T_q − d_i·T_p (exact integer)
     diff = F.col("c") * F.col("td") - F.col("d") * F.col("tc")
-    by_bin = Window.partitionBy("w_start").orderBy("bin")
+    by_bin = Window.partitionBy(*part, "w_start").orderBy("bin")
     # bins absent on BOTH sides still carry the running |cum| into the
     # EMD — weight each present bin's |cum| by the run of empty slots up
     # to the next present bin (the last present bin's cum is exactly 0 —
@@ -169,7 +177,7 @@ def numeric_drift_from_bin_counts(counts: DataFrame) -> DataFrame:
     )
     den = (F.col("tc") * F.col("td")).cast("double")
     return (
-        pairs.groupBy("w_start")
+        pairs.groupBy(*part, "w_start")
         .agg(
             (F.max(F.abs(F.col("x"))).cast("double") / F.first(den)).alias(
                 "linf"
