@@ -590,9 +590,14 @@ def q_per_series_best_threshold(spark, sf_dir):
 def q_bi_adjusted(spark, sf_dir):
     """Bidirectional tolerance adjustment (competition_metric.py:102-121
     bi_get_range_proba) over per-user event series, aggregated to
-    per-user adjusted-detection counts. Rows-only: the rule's sequential
-    window overwrites aren't SQL; kernel parity vs the imported
-    reference function is pytest-guarded (test_evaluate_ops)."""
+    per-user adjusted-detection counts. ORACLED: the reference's
+    sequential window overwrites reformulate declaratively as
+    last-write-wins — final(k) = the write of the LARGEST rise whose
+    window∪run covers k (detected rise writes label[k], undetected
+    writes 0 over its run), else the original prediction — which the
+    DuckDB twin evaluates with arg_max; kernel parity vs the imported
+    reference function is additionally pytest-guarded
+    (test_evaluate_ops)."""
     from anomalydetector_spark.operators.evaluate import bi_adjust_predictions
 
     ev = _t(spark, sf_dir, "events").select(
@@ -3303,6 +3308,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(threshold, 6) AS best_threshold,
                    tp, fp, fn, round(f1, 6) AS f1
             FROM ranked WHERE rk = 1
+        """,
+        "bi_adjusted": """
+            WITH e AS (
+              SELECT user_id,
+                     (event_type = 'purchase')::INT AS label,
+                     (value > 300.0)::INT AS pred,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS k,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            -- label rises; the reference loop starts at i=1, so a run
+            -- beginning at position 0 is never a rise
+            rises AS (
+              SELECT user_id, k AS rk, n
+              FROM (SELECT user_id, k, n, label,
+                           lag(label) OVER (PARTITION BY user_id
+                                            ORDER BY k) AS pl
+                    FROM e)
+              WHERE label = 1 AND coalesce(pl, 1) = 0),
+            run_end AS (
+              SELECT r.user_id, r.rk, r.n,
+                     coalesce(min(z.k), r.n) AS re
+              FROM rises r
+              LEFT JOIN e z ON z.user_id = r.user_id
+                           AND z.label = 0 AND z.k > r.rk
+              GROUP BY 1, 2, 3),
+            det AS (
+              SELECT r.user_id, r.rk, r.re, r.n,
+                     coalesce(max(p.pred), 0) = 1 AS detected
+              FROM run_end r
+              LEFT JOIN e p ON p.user_id = r.user_id
+                           AND p.k BETWEEN greatest(r.rk - 3, 0)
+                                       AND least(r.rk + 5, r.n - 1)
+              GROUP BY 1, 2, 3, 4),
+            -- a detected rise writes label[k] over window ∪ run; an
+            -- undetected rise writes 0 over its run. Last (max-rise)
+            -- write wins; unwritten positions keep the original pred.
+            writes AS (
+              SELECT d.user_id, t.k, d.rk,
+                     CASE WHEN d.detected THEN t.label ELSE 0 END AS v
+              FROM det d
+              JOIN e t ON t.user_id = d.user_id
+                      AND ((d.detected
+                            AND (t.k BETWEEN d.rk - 3 AND d.rk + 5
+                                 OR (t.k >= d.rk AND t.k < d.re)))
+                        OR (NOT d.detected
+                            AND t.k >= d.rk AND t.k < d.re))),
+            last_write AS (
+              SELECT user_id, k, arg_max(v, rk) AS v
+              FROM writes GROUP BY 1, 2),
+            final AS (
+              SELECT e.user_id, e.label,
+                     coalesce(w.v, e.pred) AS adj
+              FROM e LEFT JOIN last_write w
+                ON w.user_id = e.user_id AND w.k = e.k)
+            SELECT user_id,
+                   sum(adj)::BIGINT AS n_det_adj,
+                   sum(adj * label)::BIGINT AS n_tp
+            FROM final GROUP BY 1
         """,
         "gap_adjusted": """
             WITH RECURSIVE base AS (
