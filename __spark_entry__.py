@@ -709,6 +709,24 @@ def q_corpus_mix(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_token_budget_cap(spark, sf_dir):
+    """Per-source TOKEN-budget cap (operators/sampling.token_budget_cap
+    — corpus assembly under token budgets, the quantity training mixes
+    are actually specified in): hash-ordered greedy prefix per source
+    until 500 tokens, crossing doc admitted. Deterministic, nested in
+    budget, salted two-phase twin test-pinned identical; the DuckDB
+    twin replays the same md5 order + running sum."""
+    from anomalydetector_spark.functions import tokens
+    from anomalydetector_spark.operators.sampling import token_budget_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return token_budget_cap(docs, "source", 500, "n_tokens")
+
+
 def q_sequence_packing(spark, sf_dir):
     """Sequence packing (operators/packing.pack_sequences): documents
     into 512-token training sequences via per-hash-bucket best-fit-
@@ -2115,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
         "domain_cap": q_domain_cap,
+        "token_budget_cap": q_token_budget_cap,
         "sequence_packing": q_sequence_packing,
         "threshold_sweep": q_threshold_sweep,
         "confusion_matrix": q_confusion_matrix,
@@ -2979,6 +2998,26 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) AS rn
               FROM documents)
             WHERE rn <= 10
+        """,
+        "token_budget_cap": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t <> ''))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':0'),
+                                     1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY u, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS before
+              FROM d)
+            SELECT doc_id, source, n_tokens
+            FROM c WHERE before < 500
         """,
         "heavy_hitters": """
             WITH counts AS (

@@ -210,3 +210,76 @@ def cap_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    key_col: str | list[str],
+    budget_tokens: int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salts: int = 0,
+) -> DataFrame:
+    """Keep, per ``key_col`` group, the hash-ordered greedy PREFIX of
+    documents that fits a TOKEN budget — the assembly rule for
+    token-budgeted corpus mixes (a domain/source contributes at most
+    ~``budget_tokens`` tokens, not at most k documents; caps by doc
+    count under-sample short-doc domains and over-sample long-doc ones).
+
+    Admission rule: order the group by ``U(id, seed)`` (retry-stable,
+    nested — a bigger budget's set contains a smaller's) with ``id_col``
+    as the total tie-break, and keep a doc iff the tokens admitted
+    BEFORE it total < ``budget_tokens`` (the standard greedy prefix: the
+    crossing doc is admitted, overshooting by at most one document;
+    an oversized first doc is still admitted, so no group with data
+    goes empty).
+
+    ``salts=0``: one cumulative-sum window per group. ``salts=S`` is the
+    skew-safe two-phase twin (one hot host must not serialize a task):
+
+    1. cumulative-sum within ``(key, salt)``, keep the local greedy
+       prefix — a row admitted globally has global before-sum <
+       budget, and its salt-local before-sum is a subset of that, so
+       phase 1 can NEVER evict a global winner (superset property);
+       survivors per key are bounded by ~S · budget tokens;
+    2. re-run the exact rule on the survivors within ``key``.
+
+    Both paths select the IDENTICAL set (equivalence is test-pinned);
+    ``salts`` is a physical knob only, exactly like :func:`cap_per_key`.
+    """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    u = hash_uniform(F.col(id_col), seed)
+    toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+
+    def prefix(window) -> Column:
+        before = F.coalesce(
+            F.sum(toks).over(
+                window.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        )
+        return before < F.lit(int(budget_tokens))
+
+    w_key = Window.partitionBy(*keys).orderBy(u.asc(), F.col(id_col).asc())
+    if salts <= 1:
+        return df.withColumn("_keep", prefix(w_key)).filter(
+            F.col("_keep")
+        ).drop("_keep")
+    salt = (
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit("#salt")))
+        % salts
+    )
+    w_salted = Window.partitionBy(*[F.col(c) for c in keys], salt).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        df.withColumn("_keep", prefix(w_salted))
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+    return (
+        pruned.withColumn("_keep", prefix(w_key))
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )

@@ -199,3 +199,105 @@ def test_composed_mix_then_sample_needs_distinct_seeds(docs):
     out_n = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     for lang in ("en", "de"):
         assert out_n.get(lang, 0) < mixed_n[lang]
+
+
+def _tb_py(rows, budget, seed=0):
+    """Pure-Python mirror of token_budget_cap: greedy hash-ordered
+    prefix per key, crossing doc admitted."""
+    import hashlib
+
+    def u(i):
+        h = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    by_key = {}
+    for i, key, toks in rows:
+        by_key.setdefault(key, []).append((u(i), i, toks))
+    keep = set()
+    for key, docs_ in by_key.items():
+        acc = 0
+        for _, i, toks in sorted(docs_):
+            if acc < budget:
+                keep.add(i)
+            acc += toks or 0
+    return keep
+
+
+def _tb_rows():
+    rows = []
+    for i in range(600):
+        key = ("a", "a", "a", "b", "c")[i % 5]  # 'a' is the hot key
+        rows.append((i, key, 50 + (i * 37) % 400))
+    rows.append((9000, "d", 10_000_000))  # oversized first (only) doc
+    rows.append((9001, "e", None))        # null token count -> 0
+    return rows
+
+
+def test_token_budget_cap_matches_pure_python(spark):
+    from anomalydetector_spark.operators.sampling import token_budget_cap
+
+    rows = _tb_rows()
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, domain string, n_tokens bigint"
+    )
+    got = {
+        r.doc_id
+        for r in token_budget_cap(
+            df, "domain", 5_000, "n_tokens"
+        ).collect()
+    }
+    assert got == _tb_py(rows, 5_000)
+    assert 9000 in got  # oversized lone doc still admitted
+    assert 9001 in got  # null tokens cost 0, always fits
+
+
+def test_token_budget_cap_salted_identical(spark):
+    from anomalydetector_spark.operators.sampling import token_budget_cap
+
+    rows = _tb_rows()
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, domain string, n_tokens bigint"
+    )
+    plain = {
+        r.doc_id
+        for r in token_budget_cap(df, "domain", 5_000, "n_tokens").collect()
+    }
+    for s in (2, 7, 16):
+        salted = {
+            r.doc_id
+            for r in token_budget_cap(
+                df, "domain", 5_000, "n_tokens", salts=s
+            ).collect()
+        }
+        assert salted == plain, s
+
+
+def test_token_budget_cap_nested_in_budget(spark):
+    from anomalydetector_spark.operators.sampling import token_budget_cap
+
+    rows = _tb_rows()
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, domain string, n_tokens bigint"
+    )
+    small = {
+        r.doc_id
+        for r in token_budget_cap(df, "domain", 2_000, "n_tokens").collect()
+    }
+    big = {
+        r.doc_id
+        for r in token_budget_cap(df, "domain", 20_000, "n_tokens").collect()
+    }
+    assert small <= big
+
+
+def test_token_budget_respected_modulo_one_doc(spark):
+    from anomalydetector_spark.operators.sampling import token_budget_cap
+
+    rows = [(i, "a", 100) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, domain string, n_tokens bigint"
+    )
+    out = token_budget_cap(df, "domain", 1_000, "n_tokens")
+    total = out.agg(F.sum("n_tokens")).first()[0]
+    # greedy prefix: >= budget is reached, overshoot < one max doc
+    assert 1_000 <= total < 1_000 + 100 + 1
