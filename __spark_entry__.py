@@ -3653,8 +3653,12 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket
               FROM p GROUP BY 1),
             vv AS (
+              -- zero-norm vectors excluded from pairing (NaN cosine)
               SELECT vec_id, embedding::DOUBLE[] AS v
-              FROM embeddings WHERE embedding IS NOT NULL),
+              FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
             pairs AS (
               SELECT a.vec_id AS ia, b.vec_id AS ib
               FROM vv a
@@ -4279,18 +4283,13 @@ def oracle_sql() -> dict[str, str]:
                    NOT contains(lower(p.text), 'lorem ipsum')
                      AS ok_no_lorem,
                    NOT contains(p.text, '{') AS ok_no_brace,
-                   NOT list_contains(
-                     list_filter(
-                       regexp_split_to_array(trim(lower(p.text)), '\s+'),
-                       x -> x <> ''), 'vector') AS ok_no_badwords,
+                   NOT regexp_matches(lower(p.text), '\bvector\b')
+                     AS ok_no_badwords,
                    (coalesce(n_sentences, 0) >= 5)
                      AND NOT contains(lower(p.text), 'lorem ipsum')
                      AND NOT contains(p.text, '{')
-                     AND NOT list_contains(
-                       list_filter(
-                         regexp_split_to_array(trim(lower(p.text)),
-                                               '\s+'),
-                         x -> x <> ''), 'vector') AS keep,
+                     AND NOT regexp_matches(lower(p.text),
+                                            '\bvector\b') AS keep,
                    coalesce(clean_text, '') AS clean_text
             FROM pages p LEFT JOIN agg USING (doc_id)
         """,
@@ -4435,7 +4434,8 @@ def oracle_sql() -> dict[str, str]:
                      least(greatest(
                        CAST(floor((value - 0.0) / 5.0) AS BIGINT),
                        0), 19) AS bin
-              FROM events WHERE value IS NOT NULL),
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
             c AS (
               SELECT w, bin, count(*)::HUGEINT AS n
               FROM e GROUP BY 1, 2),

@@ -28,17 +28,20 @@ The paper's rules, implemented at the paper's granularity:
 Scale shape: the line surgery and every page flag are ONE fully-codegen
 projection (the line array is built once per row; zero shuffle, zero
 Python) — at 10^12 pages the gate fuses into the preceding scan exactly
-like ``gopher_quality_flags``. The span dedup never shuffles text:
-spans hash IN-ROW (md5 over the 3 joined lines — lines cannot contain
-the separator, so the digest is injective), only ``(doc, start, hash)``
-triples cross the wire, the keep-first winner is a map-side-combined
-min-aggregate, and removal positions come back as a small per-doc array
-applied in-row (the same text-stays-put design as
-``scrub.drop_boilerplate_lines``).
+like ``gopher_quality_flags``. The span dedup's span/removal stages
+never shuffle text: spans hash IN-ROW (md5 over the 3 joined lines —
+lines cannot contain the separator, so the digest is injective), only
+``(doc, start, hash)`` triples cross the wire, the keep-first winner is
+a map-side-combined min-aggregate, and removal positions come back as a
+small per-doc array applied in-row (the same text-stays-put design as
+``scrub.drop_boilerplate_lines``; like there, the final join of that
+ids-only removal table back onto the corpus broadcasts under AQE when
+it fits, falling back to a doc_id-keyed join).
 """
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -92,11 +95,18 @@ def c4_page_flags(
 
     bad = F.lit(False)
     if badwords:
-        toks = tokens(low)
-        bad = F.exists(
-            F.array(*[F.lit(b.lower()) for b in badwords]),
-            lambda b: F.array_contains(toks, b),
+        # word-BOUNDARY match, not whitespace-token equality: the paper
+        # drops a page containing a listed word even when punctuation is
+        # glued to it ('... badword.') and the LDNOOBW list contains
+        # multi-word phrases a single token can never equal. \b is the
+        # ASCII word boundary in both Java regex and RE2, so the DuckDB
+        # twin reproduces the flag exactly.
+        pat = (
+            r"\b(?:"
+            + "|".join(re.escape(b.lower()) for b in badwords)
+            + r")\b"
         )
+        bad = low.rlike(pat)
 
     out = df.withColumn("_c4k", kept).withColumns(
         {

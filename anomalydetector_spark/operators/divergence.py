@@ -209,13 +209,16 @@ def numeric_window_drift(
     window: str = "1 day",
 ) -> DataFrame:
     """Per-window histogram-distance drift of ``value_col`` vs the
-    PREVIOUS window, from raw rows (NULL values are excluded from the
-    histogram — profile null_rate separately; it is its own stat
-    series). Output: (window_start, linf, tvd, emd, n_bins_hit) —
-    one row per window with a predecessor, ready for
-    ``drift.score_drift``."""
+    PREVIOUS window, from raw rows (NULL **and NaN** values are excluded
+    from the histogram, as TFDV does — profile null/NaN rates
+    separately; ``floor(NaN)`` would otherwise silently count every NaN
+    in the lowest bin and read as phantom drift toward bin 0). Output:
+    (window_start, linf, tvd, emd, n_bins_hit) — one row per window
+    with a predecessor, ready for ``drift.score_drift``."""
     counts = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        )
         .groupBy(
             F.window(ts_col, window).alias("w"),
             numeric_bin(F.col(value_col), lo, hi, n_bins).alias("bin"),

@@ -84,6 +84,24 @@ def _half_up_div(num, den):
     ).cast("long")
 
 
+def _entropy_outputs(sum_lp_micro, n_tokens):
+    """``(cross_entropy, pseudo_perplexity)`` columns from the exact
+    micro-nat sum and token count — the SINGLE source of the reported
+    6dp/3dp scheme for every LM scorer in this module (unigram and
+    bigram): ce = exact HALF_UP integer ratio / 1e6; ppl = exp of the
+    unrounded mean at 3dp."""
+    mean_nats = (
+        -sum_lp_micro.cast("double") / F.lit(1e6) / n_tokens
+    )
+    ce6 = _half_up_div(-sum_lp_micro, n_tokens) / F.lit(1e6)
+    return ce6, F.round(F.exp(mean_nats), 3)
+
+
+def _rate6(num, den):
+    """Exact 6dp ratio of two nonnegative integer columns."""
+    return _half_up_div(num * F.lit(1_000_000), den) / F.lit(1e6)
+
+
 def train_unigram_lm(
     ref_docs: DataFrame,
     text_col: str = "text",
@@ -194,30 +212,17 @@ def score_documents(
             F.sum("is_oov").cast("long").alias("oov_tokens"),
         )
     )
-    # exact-integer mean: (-sum) / 1e6 / n — fixed operation order.
-    mean_nats = (
-        -F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_tokens")
-    )
     nonempty = F.col("n_tokens") > 0
-    ce6 = (
-        _half_up_div(-F.col("sum_lp_micro"), F.col("n_tokens"))
-        / F.lit(1e6)
-    )
-    oov6 = (
-        _half_up_div(
-            F.col("oov_tokens") * F.lit(1_000_000), F.col("n_tokens")
-        )
-        / F.lit(1e6)
-    )
+    ce6, ppl3 = _entropy_outputs(F.col("sum_lp_micro"), F.col("n_tokens"))
     out = per_doc.select(
         id_col,
         "n_tokens",
         "oov_tokens",
-        F.when(nonempty, oov6).alias("oov_rate"),
+        F.when(
+            nonempty, _rate6(F.col("oov_tokens"), F.col("n_tokens"))
+        ).alias("oov_rate"),
         F.when(nonempty, ce6).alias("cross_entropy"),
-        F.when(nonempty, F.round(F.exp(mean_nats), 3)).alias(
-            "pseudo_perplexity"
-        ),
+        F.when(nonempty, ppl3).alias("pseudo_perplexity"),
     )
     if max_pseudo_perplexity is not None:
         out = out.withColumn(
@@ -419,31 +424,20 @@ def score_documents_bigram(
             F.sum("is_bigram_pos").cast("long").alias("_bi_pos"),
         )
     )
-    mean_nats = (
-        -F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_tokens")
-    )
     nonempty = F.col("n_tokens") > 0
-    ce6 = (
-        _half_up_div(-F.col("sum_lp_micro"), F.col("n_tokens"))
-        / F.lit(1e6)
-    )
-    br6 = (
-        _half_up_div(
-            (F.col("_bi_pos") - F.col("bigram_hits"))
-            * F.lit(1_000_000),
-            F.col("_bi_pos"),
-        )
-        / F.lit(1e6)
-    )
+    ce6, ppl3 = _entropy_outputs(F.col("sum_lp_micro"), F.col("n_tokens"))
     out = per_doc.select(
         id_col,
         "n_tokens",
         "bigram_hits",
-        F.when(F.col("_bi_pos") > 0, br6).alias("backoff_rate"),
+        F.when(
+            F.col("_bi_pos") > 0,
+            _rate6(
+                F.col("_bi_pos") - F.col("bigram_hits"), F.col("_bi_pos")
+            ),
+        ).alias("backoff_rate"),
         F.when(nonempty, ce6).alias("cross_entropy"),
-        F.when(nonempty, F.round(F.exp(mean_nats), 3)).alias(
-            "pseudo_perplexity"
-        ),
+        F.when(nonempty, ppl3).alias("pseudo_perplexity"),
     )
     if max_pseudo_perplexity is not None:
         out = out.withColumn(

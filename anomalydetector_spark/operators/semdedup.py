@@ -21,15 +21,21 @@ Two deviations, both documented here:
   example (which needs the k-means centroid this partitioner doesn't
   have).
 
-Scale shape: the projection + bucket id are IN-ROW codegen (zero
-shuffle); candidate pairs come from ONE bucket equi-join (never
-all-pairs across the corpus — the quadratic cost is bounded per
-bucket, so ``d_out`` must grow with corpus size exactly like the
-paper's k: ~2·log2(N/target_bucket_size) bits); groups resolve with
-the hash-min pointer-doubling loop from ``operators/components``
-(O(log diameter) rounds, ids-only state); the verdict is two
-broadcast-joinable id-table joins back onto the corpus — embeddings
-never cross a shuffle after the pair stage.
+Scale shape: vector, bucket id, and norm are ONE in-row codegen
+projection (zero shuffle, no vector-table self-join on id); candidate
+pairs come from ONE bucket equi-join (never all-pairs across the
+corpus — the quadratic cost is bounded per bucket, so ``d_out`` must
+grow with corpus size exactly like the paper's k:
+~2·log2(N/target_bucket_size) bits); groups resolve with the hash-min
+pointer-doubling loop from ``operators/components`` (O(log diameter)
+rounds, ids-only state); the verdict joins two ids-only tables back
+onto the corpus (AQE broadcasts them when they fit).
+
+Zero-norm vectors (a common embedder failure output) are excluded from
+the PAIR stage: their cosine against anything is 0/0 = NaN, and Spark
+orders NaN above every double, so ``NaN >= threshold`` would chain the
+whole bucket into one duplicate group. They still get a verdict row
+(bucket assigned, keep = true) like null vectors.
 """
 
 from __future__ import annotations
@@ -39,9 +45,7 @@ from pyspark.sql import functions as F
 
 from anomalydetector_spark.functions import cosine_similarity
 from anomalydetector_spark.operators.components import connected_components
-from anomalydetector_spark.operators.projection import (
-    rademacher_project_wide,
-)
+from anomalydetector_spark.operators.projection import _fold_outputs
 
 
 def sign_bucket(projected: Column, d_out: int) -> Column:
@@ -60,6 +64,37 @@ def sign_bucket(projected: Column, d_out: int) -> Column:
     )
 
 
+def _vec_buckets(
+    emb: DataFrame,
+    d_in: int,
+    d_out: int,
+    vec_col: str,
+    id_col: str,
+    seed: int,
+) -> DataFrame:
+    """``(id_col, _v double array, bucket, _nz)`` in ONE in-row codegen
+    projection — no self-join of the vector table on id (that would be
+    a full shuffle of the embeddings just to attach a value that is a
+    pure function of the row)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nz = (
+        F.aggregate(
+            F.transform(vec, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0
+    )
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        vec.alias("_v"),
+        sign_bucket(
+            _fold_outputs(vec_col, d_in, d_out, seed), d_out
+        ).alias("bucket"),
+        nz.alias("_nz"),
+    )
+
+
 def embedding_buckets(
     emb: DataFrame,
     d_in: int,
@@ -70,12 +105,8 @@ def embedding_buckets(
 ) -> DataFrame:
     """``(id_col, bucket)`` for every non-null vector — one in-row
     codegen projection, zero shuffle."""
-    proj = rademacher_project_wide(
-        emb, d_in=d_in, d_out=d_out, vec_col=vec_col, id_col=id_col,
-        seed=seed,
-    )
-    return proj.select(
-        id_col, sign_bucket(F.col("projected"), d_out).alias("bucket")
+    return _vec_buckets(emb, d_in, d_out, vec_col, id_col, seed).select(
+        id_col, "bucket"
     )
 
 
@@ -90,15 +121,11 @@ def semdedup_pairs(
 ) -> DataFrame:
     """Within-bucket duplicate pairs ``(id_a, id_b, cosine_sim)`` with
     ``id_a < id_b`` and cosine ≥ ``threshold`` — ONE bucket equi-join,
-    cosine computed only on co-bucketed candidates."""
-    buckets = embedding_buckets(emb, d_in, d_out, vec_col, id_col, seed)
-    vecs = emb.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "_v"
-        ),
+    cosine computed only on co-bucketed candidates; zero-norm vectors
+    excluded (NaN-cosine hazard, module docstring)."""
+    side = _vec_buckets(emb, d_in, d_out, vec_col, id_col, seed).filter(
+        F.col("_nz")
     )
-    side = vecs.join(buckets, id_col)
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
@@ -133,11 +160,14 @@ def semantic_dedup(
     seed: int = 0,
 ) -> DataFrame:
     """Per-row SemDeDup verdict: ``(id_col, bucket, group_id, keep)``
-    for EVERY input row (null-vector rows pass with a NULL bucket — a
-    dedup gate must decide on every document). ``group_id`` is the
-    minimum id reachable through duplicate pairs (= the keeper);
-    ``keep`` is true for the keeper and for singletons."""
-    buckets = embedding_buckets(emb, d_in, d_out, vec_col, id_col, seed)
+    for EVERY input row (null-vector rows pass with a NULL bucket,
+    zero-norm rows pass with their bucket — a dedup gate must decide on
+    every document). ``group_id`` is the minimum id reachable through
+    duplicate pairs (= the keeper); ``keep`` is true for the keeper and
+    for singletons."""
+    buckets = _vec_buckets(
+        emb, d_in, d_out, vec_col, id_col, seed
+    ).select(id_col, "bucket")
     pairs = semdedup_pairs(
         emb, d_in, d_out, threshold, vec_col, id_col, seed
     )

@@ -32,6 +32,8 @@ PAGES = [
 
 def clean_py(text, min_line_words=3, terminal=('.', '!', '?', '"'),
              min_sentences=5, badwords=()):
+    import re as _re
+
     text = text or ""
     kept = []
     for raw in text.split("\n"):
@@ -40,12 +42,14 @@ def clean_py(text, min_line_words=3, terminal=('.', '!', '?', '"'),
                 and "javascript" not in t.lower()):
             kept.append(t)
     low = text.lower()
-    toks = set(low.split())
     flags = dict(
         ok_min_sentences=len(kept) >= min_sentences,
         ok_no_lorem="lorem ipsum" not in low,
         ok_no_brace="{" not in text,
-        ok_no_badwords=not any(b.lower() in toks for b in badwords),
+        ok_no_badwords=not any(
+            _re.search(r"\b" + _re.escape(b.lower()) + r"\b", low)
+            for b in badwords
+        ),
     )
     return "\n".join(kept), len(kept), flags, all(flags.values())
 
@@ -77,6 +81,27 @@ def test_clean_keeps_passing_pages_with_rewritten_text(spark):
     assert got[1] == clean_py(PAGES[0][1])[0]
     assert "javascript" not in got[1].lower()
     assert "no terminal punct" not in got[1]
+
+
+def test_badwords_match_boundaries_and_phrases(spark):
+    filler = "\n".join(f"A perfectly fine sentence {i}." for i in range(5))
+    rows = [
+        (1, "It ends with Zorblax.\n" + filler),     # punctuation-glued
+        (2, "has the foo bar phrase here.\n" + filler),  # multi-word
+        (3, "but zorblaxia is no hit.\n" + filler),  # substring != word
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.ok_no_badwords
+        for r in c4_page_flags(
+            df, badwords=("zorblax", "foo bar")
+        ).collect()
+    }
+    assert got == {1: False, 2: False, 3: True}
+    for did, text in rows:
+        assert got[did] == clean_py(
+            text, badwords=("zorblax", "foo bar")
+        )[2]["ok_no_badwords"]
 
 
 def span_dedup_py(rows, span=3):
@@ -168,22 +193,28 @@ def test_flags_projection_has_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
-def test_span_dedup_shuffles_ids_not_text(spark):
+def test_span_dedup_shuffles_key_on_ids_not_text(spark):
     df = spark.createDataFrame(PAGES, "doc_id bigint, text string")
     plan = (
         c4_span_dedup(df)
-        ._jdf.queryExecution().optimizedPlan().toString()
+        ._jdf.queryExecution().executedPlan().toString()
     )
-    # every aggregate/join key is id/hash/pos — the text column must not
-    # appear below any Aggregate (i.e. in the span/removal subtrees)
-    agg_part = plan[plan.index("Aggregate"):]
-    assert "text#" not in agg_part.split("Relation")[0].split("Project")[0] \
-        or True  # structural guard below is the real assertion
+    # every shuffle in the dedup is keyed by span_hash / doc_id — never
+    # by (or carrying a partitioning expression over) the text column
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchanges, "expected hash shuffles in the span-dedup plan"
+    for l in exchanges:
+        assert "text#" not in l, l
+        assert "span_hash" in l or "doc_id" in l, l
+
     from anomalydetector_spark.operators.c4 import span_occurrences
     occ_plan = (
         span_occurrences(df)._jdf.queryExecution()
         .optimizedPlan().toString()
     )
-    # the occurrence frame projects only (doc_id, start, span_hash)
+    # the occurrence frame projects only (doc_id, start, span_hash) —
+    # the text never leaves its scan before the hash aggregation
     first_line = occ_plan.splitlines()[0]
     assert "span_hash" in first_line and "text" not in first_line

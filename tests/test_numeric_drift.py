@@ -120,6 +120,20 @@ def test_out_of_range_values_clamp(spark):
     assert vals == (1.0, 1.0, 9.0)  # edge bin to edge bin
 
 
+def test_nan_values_excluded_like_nulls(spark):
+    # a NaN burst must not read as mass shifting into bin 0
+    rows = [(T0 + dt.timedelta(seconds=i), 5.0) for i in range(20)]
+    rows += [
+        (T0 + dt.timedelta(days=1, seconds=i), 5.0) for i in range(20)
+    ]
+    rows += [
+        (T0 + dt.timedelta(days=1, seconds=500 + i), float("nan"))
+        for i in range(30)
+    ]
+    (vals,) = _run(spark, rows).values()
+    assert vals == (0.0, 0.0, 0.0)
+
+
 def test_nulls_excluded_and_gap_windows_skipped(spark):
     rows = [(T0 + dt.timedelta(seconds=i), 1.0) for i in range(10)]
     rows += [(T0 + dt.timedelta(seconds=99), None)]

@@ -47,7 +47,8 @@ def cos_py(a, b):
 
 def semdedup_py(rows, d_out, threshold, seed=0):
     bk = {i: bucket_py(v, d_out, seed) for i, v in rows if v is not None}
-    ids = sorted(bk)
+    nz = {i for i, v in rows if v is not None and any(x != 0 for x in v)}
+    ids = sorted(nz)
     parent = {i: i for i in ids}
 
     def find(x):
@@ -68,6 +69,8 @@ def semdedup_py(rows, d_out, threshold, seed=0):
     for i, v in rows:
         if v is None:
             out[i] = (None, i, True)
+        elif i not in nz:
+            out[i] = (bk[i], i, True)  # zero-norm: never paired
         else:
             g = find(i)
             out[i] = (bk[i], g, g == i)
@@ -137,6 +140,25 @@ def test_every_row_gets_a_verdict(spark):
     got = _run(spark, rows)
     assert set(got) == {i for i, _ in rows}
     assert got[9998] == (None, 9998, True)
+
+
+def test_zero_norm_vector_never_pairs(spark):
+    # a zero vector lands in the all-nonnegative-signs bucket alongside
+    # real vectors; its cosine is 0/0 = NaN and Spark sorts NaN above
+    # every double — without the norm guard it would chain the whole
+    # bucket into one "duplicate" group
+    base = [0.5, 0.2, 0.9, 0.1, 0.7, 0.3]
+    rows = [
+        (1, base),
+        (2, [x * 1.001 for x in base]),
+        (3, [0.0] * D_IN),
+    ]
+    got = _run(spark, rows, d_out=1, threshold=0.99)  # one bucket each
+    want = semdedup_py(rows, d_out=1, threshold=0.99)
+    assert got == want
+    assert got[3][2] is True            # zero vector kept
+    assert got[3][1] == 3               # ... and alone in its group
+    assert not got[2][2]                # the real dup still collapses
 
 
 def test_keep_set_is_one_per_group(spark):
