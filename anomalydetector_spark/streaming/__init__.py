@@ -13,10 +13,13 @@ chaining inside one query):
    full window series seen so far, and each new finalized window is
    scored against that history with the reference SR kernel.
 
-Plus :func:`dedup_ingest_stream` (exactly-once url dedup at ingest) and
+Plus :func:`dedup_ingest_stream` (exactly-once url dedup at ingest),
 :func:`js_divergence_stream` (shape drift: per-window lang-distribution
 JS divergence vs the previous window, constant-size reorder-buffer
-state, batch-identical values).
+state, batch-identical values), and the numeric twin
+:func:`streaming_window_histogram` → :func:`numeric_drift_stream`
+(per-window histogram L∞/TVD/EMD vs the previous window, bit-equal to
+the batch operator).
 """
 
 from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
@@ -27,6 +30,12 @@ from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
 )
 from anomalydetector_spark.streaming.ingest import (  # noqa: F401
     dedup_ingest_stream,
+)
+from anomalydetector_spark.streaming.numeric_stream import (  # noqa: F401
+    HIST_SCHEMA,
+    NUMERIC_DRIFT_SCHEMA,
+    numeric_drift_stream,
+    streaming_window_histogram,
 )
 from anomalydetector_spark.streaming.shape_stream import (  # noqa: F401
     DIV_SCHEMA,

@@ -2,18 +2,12 @@
 distribution vs the previous window, over a STREAM of finalized stat
 windows (the stage-1 output of ``streaming_window_stats``).
 
-Ordering: stage 1 FINALIZES windows in event-time order, but its commit
-writes several unordered part files and the stage-2 file source replays
-them in discovery order — so windows arrive NEAR-sorted, not sorted.
-State per partition is therefore a small reorder BUFFER (the last
-``buffer_windows`` window vectors, each len(langs)+1 floats) plus the
-emitted-window LEDGER (every emitted window's timestamp, 8 bytes each):
-a window's divergence is emitted in whatever micro-batch first sees BOTH
-the window and its predecessor, exactly once — the ledger outlives the
-vector buffer, so even a stage-1 restart that replays windows far older
-than the buffer horizon cannot double-emit. A window whose predecessor
-never arrives inside the buffer horizon is skipped, the same
-omit-after-gap semantics as the batch operator (operators/divergence.py).
+The exactly-once consecutive-window pairing (reorder buffer + emitted
+ledger, near-sorted arrival, restart-replay immunity) is the shared
+machine in :mod:`~anomalydetector_spark.streaming.pairs`; this module
+contributes only the shape-specific halves: pivoting the long-format
+stat rows into per-window probability vectors, and the JS/TVD math per
+pair.
 
 Granularity note: the streaming distribution is BUCKETED to the
 configured ``langs`` plus an ``other`` residual mass (1 − Σ fracs,
@@ -32,52 +26,18 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    ArrayType,
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
+
+from anomalydetector_spark.streaming.pairs import (
+    PAIR_STATE_SCHEMA,
+    duration_us as _duration_us,
+    window_pairs,
 )
 
 DEFAULT_LANGS = ("en", "de", "fr", "zh", "es")
 
-_UNIT_US = {
-    "second": 1_000_000,
-    "minute": 60_000_000,
-    "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-    "week": 7 * 86_400_000_000,
-}
-
-# state = a bounded reorder buffer of window vectors (timestamps +
-# probability vectors flattened row-major, n_windows × n_cats) PLUS the
-# emitted-window ledger: every emitted window's timestamp, 8 bytes each,
-# retained far beyond the vector buffer so a fresh-checkpoint stage-1
-# restart that replays ancient windows cannot double-emit them (a decade
-# of daily windows is ~29 KB; the ledger is capped at EMITTED_RETENTION
-# newest entries as a pathological-granularity backstop).
-# STATE SCHEMA v2: the per-buffer-slot emitted flags became the ledger.
-# The explicit ``version`` field exists purely to make a v1 checkpoint
-# fail LOUDLY on resume: Spark's state-schema compatibility check
-# compares field TYPES only, and v1's flags column was also array<long>
-# — without the extra field a v1 checkpoint would resume silently,
-# its 0/1 flags misread as ledger timestamps, and already-emitted
-# buffered windows would double-emit. The field-count mismatch forces
-# the rejection the upgrade needs; re-drive stage 2 from the stat
-# parquet (the source of truth) with a fresh checkpoint.
-DIV_STATE_SCHEMA = StructType(
-    [
-        StructField("version", LongType()),
-        StructField("ts_us", ArrayType(LongType())),
-        StructField("probs_flat", ArrayType(DoubleType())),
-        StructField("emitted_ts", ArrayType(LongType())),
-    ]
-)
-
-STATE_VERSION = 2
-
-EMITTED_RETENTION = 1_000_000
+# kept as the historical export name; the layout (and the v2
+# loud-failure rationale) lives with the shared machine in pairs.py
+DIV_STATE_SCHEMA = PAIR_STATE_SCHEMA
 
 DIV_SCHEMA = (
     "partition_key string, window_start timestamp, "
@@ -85,19 +45,8 @@ DIV_SCHEMA = (
 )
 
 
-def _duration_us(duration: str) -> int:
-    """Multi-unit duration strings Spark accepts ('1 day 12 hours')."""
-    parts = duration.strip().split()
-    if len(parts) % 2 != 0 or not parts:
-        raise ValueError(f"cannot parse window duration {duration!r}")
-    total = 0
-    for n, unit in zip(parts[::2], parts[1::2]):
-        total += int(n) * _UNIT_US[unit.rstrip("s").lower()]
-    return total
-
-
 def _make_div_fn(
-    langs: tuple[str, ...], duration_us: int, buffer_windows: int
+    langs: tuple[str, ...], dur_us: int, buffer_windows: int
 ):
     import numpy as np
 
@@ -137,27 +86,9 @@ def _make_div_fn(
                 wide.index.astype("datetime64[us]").astype("int64").to_numpy()
             )
 
-            buf: dict[int, object] = {}
-            emitted: set[int] = set()
-            if state.exists:
-                _ver, s_ts, s_flat, s_em = state.get
-                vecs = np.asarray(s_flat, dtype="float64").reshape(
-                    len(s_ts), n_cats
-                )
-                buf = {int(t): vecs[i] for i, t in enumerate(s_ts)}
-                emitted = {int(t) for t in s_em}
-            for i, t in enumerate(ts_us):
-                # finalized windows are immutable — keep the first copy
-                buf.setdefault(int(t), probs[i])
-
-            for t in sorted(buf):
-                prev = buf.get(t - duration_us)
-                # the ledger (not a buffer-slot flag) decides emission, so
-                # a stage-1 restart replaying windows OLDER than the
-                # vector buffer horizon still cannot double-emit them
-                if t in emitted or prev is None:
-                    continue
-                p, q = buf[t], prev
+            for t, q, p in window_pairs(
+                state, ts_us, probs, n_cats, dur_us, buffer_windows
+            ):
                 m = (p + q) / 2.0
                 with np.errstate(divide="ignore", invalid="ignore"):
                     js = 0.5 * np.where(
@@ -173,18 +104,6 @@ def _make_div_fn(
                         float(np.abs(p - q).sum() / 2.0),
                     )
                 )
-                emitted.add(t)
-
-            kept = sorted(buf)[-buffer_windows:]
-            ledger = sorted(emitted)[-EMITTED_RETENTION:]
-            state.update(
-                (
-                    STATE_VERSION,
-                    [int(t) for t in kept],
-                    [float(x) for t in kept for x in buf[t]],
-                    [int(t) for t in ledger],
-                )
-            )
         yield pd.DataFrame(
             out,
             columns=["partition_key", "window_start", "js_divergence", "tvd"],
