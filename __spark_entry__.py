@@ -1741,6 +1741,34 @@ def q_lm_bigram_quality(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (operators/lm_quality
+    .perplexity_buckets — Wenzek et al. 2020 §4.3): per-language EXACT
+    type-1 tercile cutoffs over the unigram pseudo-perplexities of the
+    md5-eval half (same split/model as `lm_quality`), value-granular
+    assignment (ties never split). Plan: the quantile pass runs on the
+    (lang, ppl) counts cube — never a per-language doc sort — and the
+    per-lang cutoff row broadcasts back as a pure comparison."""
+    from anomalydetector_spark.operators.lm_quality import (
+        perplexity_buckets,
+        score_documents,
+        train_unigram_lm,
+    )
+    from anomalydetector_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    is_ref = hash_uniform(F.col("doc_id"), seed=17) < 0.5
+    lm, oov = train_unigram_lm(
+        docs.filter(is_ref).select("doc_id", "text"), min_count=2
+    )
+    scored = score_documents(
+        docs.filter(~is_ref).select("doc_id", "text"), lm, oov
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    return perplexity_buckets(scored, by=("lang",)).select(
+        "doc_id", "lang", "pseudo_perplexity", "ppl_bucket"
+    )
+
+
 def q_span_removal(spark, sf_dir):
     """Exact duplicated-span REMOVAL with keep-first semantics
     (operators/substring_dedup.drop_duplicated_spans — Lee et al. 2022
@@ -2186,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": q_c4_span_dedup,
         "lm_quality": q_lm_quality,
         "lm_bigram_quality": q_lm_bigram_quality,
+        "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "nb_classify": q_nb_classify,
@@ -4427,6 +4456,78 @@ def oracle_sql() -> dict[str, str]:
                      FALSE) AS keep
             FROM (SELECT doc_id FROM split WHERE NOT is_ref) d
             LEFT JOIN s USING (doc_id)
+        """,
+        "ccnet_buckets": r"""
+            WITH split AS (
+              SELECT doc_id, lang, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < 0.5 AS is_ref
+              FROM documents),
+            tok_ref AS (
+              SELECT unnest(coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), [])) AS token
+              FROM split WHERE is_ref),
+            counts AS (
+              SELECT token, count(*)::BIGINT AS cnt FROM tok_ref
+              GROUP BY 1 HAVING count(*) >= 2),
+            totals AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM counts),
+            lm AS (
+              SELECT token,
+                     CAST(round(ln((CAST(cnt AS DOUBLE) + 0.5)
+                                   / (t + 0.5 * (v + 1.0))) * 1e6)
+                          AS BIGINT) AS lp
+              FROM counts, totals),
+            oovlp AS (
+              SELECT CAST(round(ln(0.5 / (t + 0.5 * (v + 1.0))) * 1e6)
+                          AS BIGINT) AS lp
+              FROM totals),
+            tok_eval AS (
+              SELECT doc_id, unnest(coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), [])) AS token
+              FROM split WHERE NOT is_ref),
+            j AS (
+              SELECT e.doc_id,
+                     coalesce(lm.lp, (SELECT lp FROM oovlp)) AS lp
+              FROM tok_eval e LEFT JOIN lm ON e.token = lm.token),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     CAST(sum(lp) AS BIGINT) AS sum_lp
+              FROM j GROUP BY 1),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                     CASE WHEN s.n_tokens > 0 THEN
+                       round(exp(-CAST(s.sum_lp AS DOUBLE) / 1e6
+                                 / s.n_tokens), 3)
+                     END AS ppl
+              FROM (SELECT doc_id, lang FROM split WHERE NOT is_ref) d
+              LEFT JOIN s USING (doc_id)),
+            -- EXACT type-1 terciles from the (lang, ppl) counts cube:
+            -- cut_i = min{v : 3*cum(v) >= i*N}, value-granular (ties
+            -- never split) -- mirrors perplexity_buckets exactly
+            cube AS (
+              SELECT lang, ppl, count(*)::BIGINT AS n FROM scored
+              WHERE ppl IS NOT NULL GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, ppl,
+                     sum(n) OVER (PARTITION BY lang ORDER BY ppl) AS c,
+                     sum(n) OVER (PARTITION BY lang) AS t
+              FROM cube),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN c * 3 >= t THEN ppl END) AS cut1,
+                     min(CASE WHEN c * 3 >= t * 2 THEN ppl END) AS cut2
+              FROM cum GROUP BY 1)
+            SELECT sc.doc_id, sc.lang, sc.ppl AS pseudo_perplexity,
+                   CASE WHEN sc.ppl IS NULL OR cut1 IS NULL THEN NULL
+                        WHEN sc.ppl <= cut1 THEN 'head'
+                        WHEN sc.ppl <= cut2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored sc LEFT JOIN cuts USING (lang)
         """,
         "numeric_drift": r"""
             WITH e AS (

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from anomalydetector_spark.functions import tokens
@@ -448,3 +448,74 @@ def score_documents_bigram(
             ),
         )
     return out
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    by: Tuple[str, ...] = ("lang",),
+    ppl_col: str = "pseudo_perplexity",
+    labels: Tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3, public): split each group (per language in the paper) into
+    ``len(labels)`` equal-count buckets by LM perplexity — the head is
+    the cleanest third, and the published pipeline trains on head+middle
+    while auditing the tail.
+
+    Cutoffs are EXACT type-1 (inverse-CDF) quantiles of the non-null
+    ``ppl_col`` values: cutoff_i = min{v : k·cum(v) ≥ i·N} for bucket
+    count k, where cum is the inclusive value-granular cumulative count.
+    Assignment is value-granular — every doc sharing a ppl value lands
+    in the same bucket (threshold comparison, the paper's semantics),
+    so ties are never split arbitrarily and the result is independent
+    of partitioning. Docs with NULL ``ppl_col`` (empty docs) keep a
+    NULL bucket.
+
+    Scale shape: the quantile pass runs on the ``(by, ppl)`` COUNTS
+    CUBE, not the docs — one map-side-combined groupBy collapses 10^12
+    docs to (#groups × #distinct-3dp-ppl-values) rows, the cumulative
+    window partitions over that compact cube (never a per-language doc
+    sort — English at 40% of the web would serialize one task), and the
+    per-group cutoff row (k-1 doubles) broadcasts back onto the scored
+    frame as a pure comparison. Returns ``scored`` plus ``ppl_bucket``.
+    """
+    if len(labels) < 2:
+        raise ValueError("need at least 2 bucket labels")
+    k = len(labels)
+    nonnull = scored.filter(F.col(ppl_col).isNotNull())
+    counts = nonnull.groupBy(*by, ppl_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(*by).orderBy(ppl_col)
+    wall = Window.partitionBy(*by)
+    cum = counts.withColumn(
+        "_cum", F.sum("_n").over(w)
+    ).withColumn("_tot", F.sum("_n").over(wall))
+    cutoffs = cum.groupBy(*by).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") * k >= F.col("_tot") * i,
+                    F.col(ppl_col),
+                )
+            ).alias(f"_cut{i}")
+            for i in range(1, k)
+        ]
+    )
+    joined = (
+        scored.join(F.broadcast(cutoffs), list(by), "left")
+        if by
+        else scored.crossJoin(F.broadcast(cutoffs))
+    )
+    idx = sum(
+        (F.col(ppl_col) > F.col(f"_cut{i}")).cast("int")
+        for i in range(1, k)
+    )
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    return joined.withColumn(
+        "ppl_bucket",
+        F.when(
+            F.col(ppl_col).isNotNull(),
+            F.element_at(label_arr, idx + 1),
+        ),
+    ).drop(*[f"_cut{i}" for i in range(1, k)])

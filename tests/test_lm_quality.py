@@ -155,3 +155,109 @@ def test_scoring_plan_is_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
     # single scan → broadcast join → agg: no shuffle join anywhere
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------- buckets
+
+
+def buckets_py(rows, k=3, labels=("head", "middle", "tail")):
+    """Value-granular type-1 quantile bucketing, the operator's
+    documented semantics: cut_i = min{v : k*cum(v) >= i*N}."""
+    from collections import Counter, defaultdict
+
+    by_grp = defaultdict(list)
+    for _, grp, ppl in rows:
+        if ppl is not None:
+            by_grp[grp].append(ppl)
+    cuts = {}
+    for grp, vals in by_grp.items():
+        n = len(vals)
+        cnt = sorted(Counter(vals).items())
+        cum, cs = 0, []
+        for v, c in cnt:
+            cum += c
+            cs.append((v, cum))
+        cuts[grp] = [
+            min(v for v, c in cs if k * c >= i * n) for i in range(1, k)
+        ]
+    out = {}
+    for did, grp, ppl in rows:
+        if ppl is None or grp not in cuts:
+            out[did] = None
+        else:
+            out[did] = labels[sum(ppl > c for c in cuts[grp])]
+    return out
+
+
+def _run_buckets(spark, rows):
+    from anomalydetector_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, pseudo_perplexity double"
+    )
+    return {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, by=("lang",)).collect()
+    }
+
+
+def test_buckets_exact_thirds(spark):
+    rows = [(i, "en", float(10 + i)) for i in range(9)]
+    got = _run_buckets(spark, rows)
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_buckets_ties_never_split(spark):
+    # five docs share the boundary value: all land in the SAME bucket
+    rows = [(i, "en", 1.0) for i in range(2)]
+    rows += [(10 + i, "en", 2.0) for i in range(5)]
+    rows += [(20 + i, "en", 3.0) for i in range(2)]
+    got = _run_buckets(spark, rows)
+    assert got == buckets_py(rows)
+    assert len({got[10 + i] for i in range(5)}) == 1
+
+
+def test_buckets_per_group_independent_and_null_safe(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        lang = ("en", "de", "fr")[i % 3]
+        ppl = round(rng.uniform(5, 50), 3) if i % 7 else None
+        rows.append((i, lang, ppl))
+    got = _run_buckets(spark, rows)
+    want = buckets_py(rows)
+    assert got == want
+    # every non-null group splits ~evenly
+    from collections import Counter
+
+    c = Counter(v for v in got.values() if v)
+    assert max(c.values()) - min(c.values()) <= 6
+
+
+def test_buckets_quantile_pass_runs_on_counts_cube(spark):
+    """The window sort must run over the (lang, ppl) cube aggregate,
+    never the raw docs — no Window/Sort node may sit directly on the
+    doc scan side of the plan's assignment join."""
+    from anomalydetector_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(30)],
+        "doc_id bigint, lang string, pseudo_perplexity double",
+    )
+    plan = (
+        perplexity_buckets(df, by=("lang",))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    w = plan.index("Window")
+    # an Aggregate (the counts cube) must sit BELOW the window operator
+    assert "Aggregate" in plan[w:], plan
