@@ -886,6 +886,37 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in sp_plan,
     )
 
+    from anomalydetector_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    scored_rows = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.round(F.sin(F.col("id")) * 10 + 20, 3).alias(
+            "pseudo_perplexity"
+        ),
+    )
+    pb = perplexity_buckets(scored_rows, by=("lang",))
+    pb_opt = plan_of(pb)
+    pb_exec = pb._jdf.queryExecution().executedPlan().toString()
+    # the tercile window must sort the (lang, ppl) COUNTS CUBE (an
+    # Aggregate below the Window), and the cutoff table must broadcast
+    # back onto the docs — never shuffle the scored frame for the join
+    w_at = pb_opt.index("Window")
+    ok &= check(
+        "CCNet perplexity buckets: quantile window runs over the "
+        "(group, ppl) counts-cube aggregate, never the raw docs",
+        "Aggregate" in pb_opt[w_at:],
+    )
+    ok &= check(
+        "CCNet perplexity buckets: cutoff assignment is a broadcast "
+        "join (the scored frame never shuffles), zero Python",
+        "BroadcastHashJoin" in pb_exec
+        and "SortMergeJoin" not in pb_exec
+        and "EvalPython" not in pb_exec,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
