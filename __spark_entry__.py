@@ -1905,6 +1905,96 @@ def q_asof_join_bucketed_events(spark, sf_dir):
     )
 
 
+_SESSION_GAP_S = 4 * 3600  # median per-user inter-event gap is ~7h, so 4h splits/merges both occur
+
+# Shared by session_stats_events and session_stats_bucketed: the bucketed
+# hot-key mitigation must reproduce the plain rule row-for-row.
+_SESSION_STATS_ORACLE = """
+    WITH flg AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+      FROM flg
+    )
+    SELECT user_id, session_index,
+           min(ts) AS session_start, max(ts) AS session_end,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM s GROUP BY 1, 2
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.sessionize): per-user
+    1-based session index with a 4-hour gap rule, exact integer-microsecond
+    boundary (distance == gap shares the session, gap + 1us splits). ONE
+    shuffle: lag + running-sum share a single Window node. Oracled against
+    the identical window program in DuckDB (epoch_us both sides)."""
+    from anomalydetector_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        ev, "user_id", "ts", _SESSION_GAP_S, tiebreak_cols=["event_id"]
+    )
+
+
+def q_session_stats_events(spark, sf_dir):
+    """Per-session rollup (operators/sessions.session_stats): start/end,
+    exact integer duration_us, event count, distinct-type count. The
+    groupBy on (user, session) reuses the sessionizer's key partitioning —
+    the whole composition is ONE hashpartitioning exchange
+    (tests/test_sessions.py pins it). All outputs are exact integers or
+    timestamps, so the hash gate has no float-order exposure."""
+    from anomalydetector_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = sessionize(
+        ev, "user_id", "ts", _SESSION_GAP_S, tiebreak_cols=["event_id"]
+    )
+    return session_stats(
+        sess, "user_id", "ts", type_col="event_type"
+    )
+
+
+def q_session_stats_bucketed(spark, sf_dir):
+    """Hot-key-safe sessionization (operators/sessions.sessionize_bucketed):
+    local sessions inside (user, day-bucket) window partitions, boundary
+    repair on the per-(user, bucket) rollup (bounded by construction),
+    exact renumbering — so one user owning half the events no longer
+    serializes one task. Shares q_session_stats_events' oracle: the
+    mitigation must not change a single row (multi-bucket chains and the
+    50%%-hot balance are pytest-proven in tests/test_sessions.py)."""
+    from anomalydetector_spark.operators.sessions import (
+        session_stats,
+        sessionize_bucketed,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = sessionize_bucketed(
+        ev, "user_id", "ts", _SESSION_GAP_S, bucket="1 day",
+        tiebreak_cols=["event_id"],
+    )
+    return session_stats(
+        sess, "user_id", "ts", type_col="event_type"
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Exact cross-snapshot churn (operators/snapshot.snapshot_diff):
     snapshot B is a deterministic perturbation of documents (every 17th
@@ -2204,6 +2294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "asof_join_events": q_asof_join_events,
         "asof_join_bucketed_events": q_asof_join_bucketed_events,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
+        "session_stats_bucketed": q_session_stats_bucketed,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -4138,6 +4231,24 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "sessionize_events": """
+            WITH flg AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 14400000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WHERE ts IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(is_new) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+            FROM flg
+        """,
+        "session_stats_events": _SESSION_STATS_ORACLE,
+        "session_stats_bucketed": _SESSION_STATS_ORACLE,
         "url_canonical_dedup": r"""
             WITH raw AS (
               SELECT doc_id,
