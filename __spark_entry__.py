@@ -1995,6 +1995,21 @@ def q_session_stats_bucketed(spark, sf_dir):
     )
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """PMI/NPMI collocation mining (operators/collocations.pmi_collocations):
+    top-100 adjacent-bigram collocations with corpus count >= 5, scores in
+    integer micro-nats, margins computed before pruning, the top-k set made
+    unique by the (pmi desc, prev, cur) total order. In-row pair build ->
+    map-side-combined groupBy -> vocabulary-sized margin joins -> distributed
+    TakeOrderedAndProject. Oracled by recomputing the identical formula in
+    DuckDB."""
+    from anomalydetector_spark.operators.collocations import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Exact cross-snapshot churn (operators/snapshot.snapshot_diff):
     snapshot B is a deterministic perturbation of documents (every 17th
@@ -2297,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
+        "pmi_collocations": q_pmi_collocations,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -4249,6 +4265,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "session_stats_bucketed": _SESSION_STATS_ORACLE,
+        "pmi_collocations": r"""
+            WITH split AS (
+              SELECT coalesce(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> ''), []) AS toks
+              FROM documents),
+            bp AS (
+              SELECT toks[i] AS prev, toks[i + 1] AS cur
+              FROM split, unnest(range(1, len(toks))) AS u(i)),
+            bc AS (
+              SELECT prev, cur, count(*)::BIGINT AS cnt
+              FROM bp GROUP BY 1, 2),
+            lm AS (SELECT prev, sum(cnt)::BIGINT AS cl FROM bc GROUP BY 1),
+            rm AS (SELECT cur, sum(cnt)::BIGINT AS cr FROM bc GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM bc),
+            scored AS (
+              SELECT prev, cur, cnt,
+                     CAST(round(ln(CAST(cnt AS DOUBLE) * n
+                                   / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)))
+                                * 1e6) AS BIGINT) AS pmi_micro,
+                     CASE WHEN CAST(cnt AS DOUBLE) = n THEN 1000000
+                          ELSE CAST(round(
+                                 ln(CAST(cnt AS DOUBLE) * n
+                                    / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)))
+                                 / ln(n / CAST(cnt AS DOUBLE)) * 1e6)
+                               AS BIGINT)
+                     END AS npmi_micro
+              FROM bc JOIN lm USING (prev) JOIN rm USING (cur), tot
+              WHERE cnt >= 5)
+            SELECT prev, cur, cnt, pmi_micro, npmi_micro
+            FROM scored
+            ORDER BY pmi_micro DESC, prev, cur LIMIT 100
+        """,
         "url_canonical_dedup": r"""
             WITH raw AS (
               SELECT doc_id,
