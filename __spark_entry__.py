@@ -1995,6 +1995,19 @@ def q_session_stats_bucketed(spark, sf_dir):
     )
 
 
+def q_mad_outliers_events(spark, sf_dir):
+    """Robust per-group outliers (operators/robust.mad_outliers): exact
+    type-1 median and MAD per event_type computed on the (group, value)
+    counts cube — never a per-group value sort — then broadcast back as a
+    pure |x - median| > k*MAD comparison. Deviation collisions (median +- d)
+    are re-aggregated before the second median. Oracled by the identical
+    cube + cumulative-window program in DuckDB."""
+    from anomalydetector_spark.operators.robust import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, "value", by=("event_type",), k=5.0)
+
+
 def q_pmi_collocations(spark, sf_dir):
     """PMI/NPMI collocation mining (operators/collocations.pmi_collocations):
     top-100 adjacent-bigram collocations with corpus count >= 5, scores in
@@ -2313,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
         "pmi_collocations": q_pmi_collocations,
+        "mad_outliers_events": q_mad_outliers_events,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -4265,6 +4279,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "session_stats_bucketed": _SESSION_STATS_ORACLE,
+        "mad_outliers_events": """
+            WITH cube AS (
+              SELECT event_type, value, count(*)::BIGINT AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            c1 AS (
+              SELECT *,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM cube),
+            med AS (
+              SELECT event_type,
+                     min(CASE WHEN 2 * cum >= tot THEN value END) AS median
+              FROM c1 GROUP BY 1),
+            dev AS (
+              SELECT c.event_type, abs(c.value - m.median) AS d,
+                     sum(c.n)::BIGINT AS n
+              FROM cube c JOIN med m USING (event_type) GROUP BY 1, 2),
+            d1 AS (
+              SELECT *,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM dev),
+            mad AS (
+              SELECT event_type,
+                     min(CASE WHEN 2 * cum >= tot THEN d END) AS mad
+              FROM d1 GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value, m.median, a.mad,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE abs(e.value - m.median) > 5.0 * a.mad END
+                     AS is_outlier
+            FROM events e
+            LEFT JOIN med m USING (event_type)
+            LEFT JOIN mad a USING (event_type)
+        """,
         "pmi_collocations": r"""
             WITH split AS (
               SELECT coalesce(list_filter(
