@@ -875,6 +875,29 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_neardup(spark, sf_dir):
+    """NEAR-duplicate benchmark decontamination
+    (operators/decontam.near_dup_contaminated_ids): docs with doc_id % 10 ==
+    0 act as the eval set (10%% -- a 1%% split finds no near-dup pairs in
+    the sf0.01 salads, and a zero-row gate proves little); corpus ids
+    flagged when banded-MinHash
+    candidates (the same md5 hash family as dedup_minhash_lsh, so corpus
+    and eval band tables bucket-join directly) verify at exact 3-gram
+    Jaccard >= 0.5. The oracle recomputes signatures, candidate buckets,
+    and the verify in DuckDB — reproducing the flag set INCLUDING any LSH
+    misses, so the hash gate pins the algorithm, not just the intent."""
+    from anomalydetector_spark.operators.decontam import (
+        near_dup_contaminated_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return near_dup_contaminated_ids(train, ev, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures (xxhash64 token hashes folded in one Arrow
     pass → rows-only; DuckDB has no xxhash64)."""
@@ -2297,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "decontaminate_neardup": q_decontaminate_neardup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "multimodal_decode": q_multimodal_decode,
@@ -3764,6 +3788,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id
             WHERE d.doc_id % 100 <> 0
+        """,
+        "decontaminate_neardup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            shingled AS (
+              SELECT doc_id, {shingles} AS sh FROM toks),
+            sigs AS (
+              SELECT doc_id,
+            {minhash_sig_cols}
+              FROM shingled),
+            sigs2 AS (
+              SELECT doc_id,
+            {band_exprs}
+              FROM sigs),
+            banded AS (
+              {band_union.replace('FROM sigs', 'FROM sigs2')}
+            ),
+            cand AS (
+              SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eid
+              FROM banded c JOIN banded e
+                ON c.band = e.band AND c.band_sig = e.band_sig
+               AND c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0)
+            SELECT DISTINCT cand.cid AS doc_id
+            FROM cand
+            JOIN shingled sc ON sc.doc_id = cand.cid
+            JOIN shingled se ON se.doc_id = cand.eid
+            WHERE CASE WHEN len(list_distinct(sc.sh || se.sh)) > 0
+                       THEN len(list_intersect(sc.sh, se.sh))::DOUBLE
+                            / len(list_distinct(sc.sh || se.sh))
+                       ELSE 0.0 END >= 0.5
+            ORDER BY doc_id
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

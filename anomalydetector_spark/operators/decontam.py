@@ -94,3 +94,100 @@ def decontaminate(
         docs, grams, text_col=text_col, id_col=id_col, k_shingle=k_shingle
     )
     return docs.join(dirty, id_col, "left_anti")
+
+
+def near_dup_contaminated_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate contamination: corpus ids whose n-gram Jaccard
+    against ANY eval document reaches ``threshold`` — catching the
+    lightly-edited eval copies the exact k-gram rule misses (the
+    paraphrase-contamination concern of the GPT-3 appendix-C protocol).
+
+    Candidate generation is the same banded-MinHash equi-join as
+    within-corpus dedup (``dedup.banded_signatures`` — the hash family
+    is a pure function of the text, so the two tables bucket-join
+    directly): corpus bands ⋈ eval bands on (band, band_sig), ids-only.
+    Verification computes the exact shingle Jaccard for candidate pairs
+    by joining each side's shingle array in — the only rows whose text
+    leaves its scan are LSH candidates, a vanishing fraction of the
+    corpus. Output: one ``id_col`` column, distinct.
+
+    Scale: the eval side is benchmark-sized, so its band table and
+    shingle arrays broadcast; the corpus side never shuffles text, only
+    (id, band, sig) rows. Band-bucket skew (a boilerplate band shared by
+    millions of corpus docs) is bounded by the eval side of the join
+    staying small — the join output is |corpus-bucket| × |eval-bucket|,
+    and the second factor is benchmark-scale.
+    """
+    from anomalydetector_spark.operators.dedup import banded_signatures
+
+    kw = dict(
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    cb = banded_signatures(docs, **kw)
+    eb = banded_signatures(eval_docs, **kw)
+    cands = (
+        cb.join(
+            F.broadcast(eb.withColumnRenamed("_id", "_eval_id")),
+            ["band", "band_sig"],
+        )
+        .select("_id", "_eval_id")
+        .distinct()
+    )
+    corpus_sh = docs.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k_shingle).alias("_sh_c"),
+    )
+    eval_sh = eval_docs.select(
+        F.col(id_col).alias("_eval_id"),
+        word_shingles(F.col(text_col), k_shingle).alias("_sh_e"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_c"), F.col("_sh_e"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("_sh_c"), F.col("_sh_e"))).cast(
+        "double"
+    )
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cands.join(corpus_sh, "_id")
+        .join(F.broadcast(eval_sh), "_eval_id")
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+
+
+def decontaminate_near_dup(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Corpus minus near-duplicate eval contamination (ids-only
+    anti-join, same composition shape as :func:`decontaminate`)."""
+    dirty = near_dup_contaminated_ids(
+        docs,
+        eval_docs,
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        threshold=threshold,
+        **lsh_kwargs,
+    )
+    return docs.join(dirty, id_col, "left_anti")

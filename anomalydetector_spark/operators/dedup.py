@@ -60,7 +60,7 @@ def exact_duplicates(
     )
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -68,14 +68,10 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH.
-
-    ``n_hashes`` minhashes split into ``bands`` bands of ``n_hashes/bands``
-    rows each; two docs collide if any band's sub-signature matches. The
-    pair join is an equi-join on (band, band_signature) — shuffles only
-    signatures (small), never text; AQE splits skewed buckets. Pairs are
-    deduped with ``a < b``.
-    """
+    """(_id, band, band_sig) — the banded MinHash signature table shared
+    by within-corpus dedup and cross-corpus decontamination (the hash
+    family is a pure function of the text, so two tables built with the
+    same parameters are directly bucket-joinable)."""
     rows_per_band = n_hashes // bands
     # explode → per-shingle hashes → groupBy(min): the shingle array is
     # computed ONCE per doc (a single nested-expression signature column
@@ -104,7 +100,7 @@ def minhash_lsh_candidates(
     sig = hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)]
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -125,6 +121,31 @@ def minhash_lsh_candidates(
         ).alias("bs"),
     ).select("_id", "bs.band", "bs.band_sig")
 
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    ``n_hashes`` minhashes split into ``bands`` bands of ``n_hashes/bands``
+    rows each; two docs collide if any band's sub-signature matches. The
+    pair join is an equi-join on (band, band_signature) — shuffles only
+    signatures (small), never text; AQE splits skewed buckets. Pairs are
+    deduped with ``a < b``.
+    """
+    banded = banded_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

