@@ -917,6 +917,110 @@ def main() -> None:
         and "EvalPython" not in pb_exec,
     )
 
+    # round-3 continuation operators: sessionization, collocations,
+    # robust outliers, near-dup decontamination
+    from anomalydetector_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    ev_rows = spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 977).alias("ts"),
+    ).repartition(8)
+    sess_stats = session_stats(
+        sessionize(ev_rows, "user_id", "ts", 14400), "user_id", "ts"
+    )
+    ss_simple = io.StringIO()
+    with redirect_stdout(ss_simple):
+        sess_stats.explain()
+    ss_plan = ss_simple.getvalue()
+    n_hash_ex = sum(
+        1
+        for line in ss_plan.splitlines()
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    )
+    ok &= check(
+        "sessionize + session_stats is ONE hashpartitioning exchange "
+        "(lag + running sum share a Window; the stats groupBy reuses the "
+        "key partitioning), zero Python",
+        n_hash_ex == 1 and "pythonudf" not in ss_plan.lower(),
+        f"hash exchanges={n_hash_ex}",
+    )
+    sb_plan = plan_of(
+        sessionize_bucketed(ev_rows, "user_id", "ts", 14400, bucket="1 day")
+    )
+    ok &= check(
+        "bucketed sessionize: boundary repair is equi-joins only "
+        "(no cartesian/nested-loop), zero Python",
+        "CartesianProduct" not in sb_plan
+        and "BroadcastNestedLoopJoin" not in sb_plan
+        and "EvalPython" not in sb_plan,
+    )
+
+    from anomalydetector_spark.operators.collocations import pmi_collocations
+
+    doc_rows = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            (F.col("id") % 23).cast("string"),
+            (F.col("id") % 7).cast("string"),
+            (F.col("id") % 11).cast("string"),
+        ).alias("text"),
+    ).repartition(8)
+    pmi_plan = plan_of(pmi_collocations(doc_rows, min_count=2, top_k=50))
+    ok &= check(
+        "PMI top-k is a distributed TakeOrderedAndProject (never a "
+        "global sort), pair counts partial-aggregate map-side, zero Python",
+        "TakeOrderedAndProject" in pmi_plan
+        and "partial_count" in pmi_plan
+        and "EvalPython" not in pmi_plan,
+    )
+
+    from anomalydetector_spark.operators.robust import mad_outliers
+
+    val_rows = spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        F.round(F.sin(F.col("id")) * 50 + 100, 2).alias("value"),
+    ).repartition(8)
+    mo = mad_outliers(val_rows, "value", by=("event_type",), k=5.0)
+    mo_opt = plan_of(mo)
+    mo_exec = mo._jdf.queryExecution().executedPlan().toString()
+    w_at = mo_opt.index("Window")
+    ok &= check(
+        "MAD outliers: median windows run over the (group, value) "
+        "counts-cube aggregate, never the raw rows",
+        "Aggregate" in mo_opt[w_at:],
+    )
+    ok &= check(
+        "MAD outliers: estimates broadcast back onto the rows (the "
+        "input never shuffles for the flag join), zero Python",
+        "BroadcastHashJoin" in mo_exec
+        and "SortMergeJoin" not in mo_exec
+        and "EvalPython" not in mo_exec,
+    )
+
+    from anomalydetector_spark.operators.decontam import (
+        near_dup_contaminated_ids,
+    )
+
+    nd_plan = plan_of(
+        near_dup_contaminated_ids(
+            doc_rows, doc_rows.filter(F.col("doc_id") % 10 == 0)
+        )
+    )
+    ok &= check(
+        "near-dup decontamination: candidates + verify are equi-joins "
+        "only (no cartesian/nested-loop), zero Python",
+        "CartesianProduct" not in nd_plan
+        and "BroadcastNestedLoopJoin" not in nd_plan
+        and "EvalPython" not in nd_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
