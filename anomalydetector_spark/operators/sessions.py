@@ -12,6 +12,16 @@ than ``gap``. Two events exactly ``gap`` apart share a session. All
 arithmetic runs in integer microseconds (``unix_micros``), so the
 boundary is exact and the DuckDB oracle (``epoch_us``) agrees bit-wise.
 
+Both boundary conventions exist in the wild, so both are offered:
+``closed="inclusive"`` (default — distance == gap merges, the
+analytics-industry reading of "MORE than 30 minutes apart starts a new
+session") and ``closed="exclusive"`` (distance == gap splits — the strict reading
+some pipelines standardize on). Spark's native ``session_window``
+merges at exactly ``gap`` (empirically pinned in
+tests/test_sessions_stream.py), so the INCLUSIVE default is also the
+mode that reconciles bit-for-bit with a Structured-Streaming
+``session_window`` aggregation (``streaming/sessions_stream.py``).
+
 Plan shape: ONE shuffle on the key. ``lag`` and the running sum of
 new-session flags share a single Window node (same partition + order),
 so the whole assignment is one exchange + one sort — the minimum any
@@ -56,6 +66,15 @@ def _gap_us(gap_seconds) -> int:
     return gap_us
 
 
+def _splits(diff_us, gap_us: int, closed: str):
+    """True when ``diff_us`` ends the session under the convention."""
+    if closed == "inclusive":
+        return diff_us > F.lit(gap_us)
+    if closed == "exclusive":
+        return diff_us >= F.lit(gap_us)
+    raise ValueError(f"closed must be inclusive|exclusive, got {closed!r}")
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str] | str,
@@ -63,6 +82,7 @@ def sessionize(
     gap_seconds,
     tiebreak_cols: list[str] | None = None,
     out_col: str = "session_index",
+    closed: str = "inclusive",
 ) -> DataFrame:
     """Assign a 1-based ``out_col`` per key: every input row (null
     ``ts_col`` rows dropped) + its session index. One shuffle.
@@ -81,7 +101,7 @@ def sessionize(
     )
     us = _micros(ts_col)
     prev_us = F.lag(us).over(w)
-    is_new = (prev_us.isNull() | (us - prev_us > F.lit(gap_us))).cast("int")
+    is_new = (prev_us.isNull() | _splits(us - prev_us, gap_us, closed)).cast("int")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         df.filter(F.col(ts_col).isNotNull())
@@ -97,6 +117,7 @@ def sessionize_bucketed(
     bucket: str = "1 day",
     tiebreak_cols: list[str] | None = None,
     out_col: str = "session_index",
+    closed: str = "inclusive",
 ) -> DataFrame:
     """Hot-key-safe :func:`sessionize`, exactly equal by construction.
 
@@ -134,7 +155,7 @@ def sessionize_bucketed(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
     )
     prev_us = F.lag(us).over(wl)
-    is_new = (prev_us.isNull() | (us - prev_us > F.lit(gap_us))).cast("int")
+    is_new = (prev_us.isNull() | _splits(us - prev_us, gap_us, closed)).cast("int")
     local = base.withColumn(
         "__local",
         F.sum(is_new)
@@ -150,9 +171,9 @@ def sessionize_bucketed(
         F.max("__local").alias("__n_local"),
     )
     wr = Window.partitionBy(*key_cols).orderBy(F.col("__bkt").asc())
-    merge_back = (
-        F.col("__first_us") - F.lag("__last_us").over(wr) <= F.lit(gap_us)
-    )
+    merge_back = ~_splits(
+        F.col("__first_us") - F.lag("__last_us").over(wr), gap_us, closed
+    ) & F.lag("__last_us").over(wr).isNotNull()
     repaired = roll.withColumn(
         "__merge_back",
         F.coalesce(merge_back, F.lit(False)).cast("long"),

@@ -92,18 +92,35 @@ def test_exact_gap_boundary(spark):
         for r in sessionize(_df(spark, rows), "user_id", "ts", GAP_S).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+    strict = {
+        r["event_id"]: r["session_index"]
+        for r in sessionize(
+            _df(spark, rows), "user_id", "ts", GAP_S, closed="exclusive"
+        ).collect()
+    }
+    assert strict == {1: 1, 2: 2, 3: 3, 4: 3}  # == gap splits
 
 
-@pytest.mark.parametrize("bucket,seed,hot", [("1 day", 11, 0.0), ("6 hours", 13, 0.5)])
-def test_bucketed_equals_plain(spark, bucket, seed, hot):
-    """Exact frame equality incl. a 50%-hot key and sessions chaining
+@pytest.mark.parametrize(
+    "bucket,seed,hot,closed",
+    [
+        ("1 day", 11, 0.0, "inclusive"),
+        ("6 hours", 13, 0.5, "inclusive"),
+        ("6 hours", 19, 0.5, "exclusive"),
+    ],
+)
+def test_bucketed_equals_plain(spark, bucket, seed, hot, closed):
+    """Exact frame equality incl. a 50%-hot key, sessions chaining
     across bucket edges (gap 4h vs 6h buckets forces multi-bucket
-    chains)."""
+    chains), and both boundary conventions."""
     rows = _random_rows(4000, 30, seed=seed, hot_frac=hot)
     df = _df(spark, rows)
-    plain = sessionize(df, "user_id", "ts", GAP_S, tiebreak_cols=["event_id"])
+    plain = sessionize(
+        df, "user_id", "ts", GAP_S, tiebreak_cols=["event_id"], closed=closed
+    )
     bucketed = sessionize_bucketed(
-        df, "user_id", "ts", GAP_S, bucket=bucket, tiebreak_cols=["event_id"]
+        df, "user_id", "ts", GAP_S, bucket=bucket,
+        tiebreak_cols=["event_id"], closed=closed,
     )
     a = {(r["event_id"], r["session_index"]) for r in plain.collect()}
     b = {(r["event_id"], r["session_index"]) for r in bucketed.collect()}
