@@ -44,18 +44,25 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _seeded_hasher(prefix: str):
+    """Unary lambda factory for :func:`minhash_signature`. MUST stay a
+    one-parameter lambda: PySpark dispatches on the lambda's arity, and
+    a two-parameter form (e.g. capturing the seed as a default arg,
+    ``lambda s, i=i: ...``) silently receives the ELEMENT INDEX as the
+    second argument — the seed then stringifies a Column repr and every
+    occurrence hashes differently (regression-pinned in
+    tests/test_functions.py)."""
+    return lambda s: md5_long(F.concat(F.lit(prefix), s))
+
+
 def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
     """MinHash signature: for seed ``i``, min over shingles of
-    ``md5_long(i || shingle)``. Seeding via string prefix keeps the scheme
-    reproducible in plain SQL."""
+    ``md5_long(i || shingle)`` — the same hash family as
+    ``dedup.banded_signatures``' explode path, computed in-row. Seeding
+    via string prefix keeps the scheme reproducible in plain SQL."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda s, i=i: md5_long(F.concat(F.lit(f"{i}|"), s)),
-                )
-            )
+            F.array_min(F.transform(shingle_col, _seeded_hasher(f"{i}|")))
             for i in range(n_hashes)
         ]
     )

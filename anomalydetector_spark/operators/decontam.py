@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anomalydetector_spark.functions import word_shingles
+from anomalydetector_spark.functions import minhash_signature, word_shingles
 
 
 def eval_ngram_set(
@@ -111,62 +111,112 @@ def near_dup_contaminated_ids(
     lightly-edited eval copies the exact k-gram rule misses (the
     paraphrase-contamination concern of the GPT-3 appendix-C protocol).
 
-    Candidate generation is the same banded-MinHash equi-join as
-    within-corpus dedup (``dedup.banded_signatures`` — the hash family
-    is a pure function of the text, so the two tables bucket-join
-    directly): corpus bands ⋈ eval bands on (band, band_sig), ids-only.
-    Verification computes the exact shingle Jaccard for candidate pairs
-    by joining each side's shingle array in — the only rows whose text
-    leaves its scan are LSH candidates, a vanishing fraction of the
-    corpus. Output: one ``id_col`` column, distinct.
+    Everything runs per DISTINCT SHINGLE SET, not per document — an
+    EXACT execution-strategy collapse, because both the MinHash
+    signature and the Jaccard are pure functions of the shingle set:
+    two docs with equal sets get equal signatures (same candidates) and
+    equal similarities (same verdict). On templated web corpora this is
+    the difference between quadratic and linear: a boilerplate cluster
+    where >50% of pages share one band signature (measured on the
+    synthetic 100k-page table: top bucket = 53,434 docs) would otherwise
+    cross-join its entire membership against every eval doc in the
+    bucket — |bucket_c| × |bucket_e| verify pairs; per-set, that whole
+    cluster is ONE row on each side. The set key is an
+    order-independent md5-of-sorted-md5s (fixed-width inner hashes, so
+    no delimiter-injection ambiguity).
 
-    Scale: the eval side is benchmark-sized, so its band table and
-    shingle arrays broadcast; the corpus side never shuffles text, only
-    (id, band, sig) rows. Band-bucket skew (a boilerplate band shared by
-    millions of corpus docs) is bounded by the eval side of the join
-    staying small — the join output is |corpus-bucket| × |eval-bucket|,
-    and the second factor is benchmark-scale.
+    Candidate generation stays the banded-MinHash equi-join of
+    within-corpus dedup (same ``md5_long`` hash family, computed in-row
+    by ``functions.minhash_signature``): corpus set-bands ⋈ broadcast
+    eval set-bands on (band, band_sig). Verification computes the exact
+    shingle Jaccard once per candidate SET pair; verdicts fan back out
+    to doc ids with a semi-join on the set key. Output: one ``id_col``
+    column, distinct. Text itself never shuffles — only shingle arrays
+    (one per distinct set, map-side-combined), band rows, and ids.
     """
-    from anomalydetector_spark.operators.dedup import banded_signatures
+    rows_per_band = n_hashes // bands
+    if rows_per_band * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
 
-    kw = dict(
-        text_col=text_col,
-        id_col=id_col,
-        k_shingle=k_shingle,
-        n_hashes=n_hashes,
-        bands=bands,
-    )
-    cb = banded_signatures(docs, **kw)
-    eb = banded_signatures(eval_docs, **kw)
+    def _keyed(df: DataFrame) -> DataFrame:
+        sh = word_shingles(F.col(text_col), k_shingle)
+        setk = F.md5(
+            F.concat_ws(
+                "", F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+            )
+        )
+        return df.select(
+            F.col(id_col).alias("_id"), setk.alias("_setk"), sh.alias("_sh")
+        )
+
+    def _reps(keyed: DataFrame) -> DataFrame:
+        # one representative array per set (min-id member — any member
+        # gives identical signature and Jaccard; min keeps it stable)
+        return keyed.groupBy("_setk").agg(F.min_by("_sh", "_id").alias("_sh"))
+
+    def _banded(reps: DataFrame) -> DataFrame:
+        sig = reps.filter(F.size("_sh") > 0).select(
+            "_setk", minhash_signature(F.col("_sh"), n_hashes).alias("_sig")
+        )
+        return sig.select(
+            "_setk",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r].cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("band_sig"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("_setk", "bs.band", "bs.band_sig")
+
+    c = _keyed(docs)
+    c_reps = _reps(c)
+    e_reps = _reps(_keyed(eval_docs))
+
     cands = (
-        cb.join(
-            F.broadcast(eb.withColumnRenamed("_id", "_eval_id")),
+        _banded(c_reps)
+        .join(
+            F.broadcast(
+                _banded(e_reps).withColumnRenamed("_setk", "_esetk")
+            ),
             ["band", "band_sig"],
         )
-        .select("_id", "_eval_id")
+        .select("_setk", "_esetk")
         .distinct()
     )
-    corpus_sh = docs.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), k_shingle).alias("_sh_c"),
-    )
-    eval_sh = eval_docs.select(
-        F.col(id_col).alias("_eval_id"),
-        word_shingles(F.col(text_col), k_shingle).alias("_sh_e"),
-    )
-    inter = F.size(F.array_intersect(F.col("_sh_c"), F.col("_sh_e"))).cast(
+    inter = F.size(F.array_intersect(F.col("_sh"), F.col("_sh_e"))).cast(
         "double"
     )
-    union = F.size(F.array_union(F.col("_sh_c"), F.col("_sh_e"))).cast(
-        "double"
-    )
+    union = F.size(F.array_union(F.col("_sh"), F.col("_sh_e"))).cast("double")
     sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cands.join(corpus_sh, "_id")
-        .join(F.broadcast(eval_sh), "_eval_id")
+    dirty_sets = (
+        cands.join(c_reps, "_setk")
+        .join(
+            F.broadcast(
+                e_reps.select(
+                    F.col("_setk").alias("_esetk"), F.col("_sh").alias("_sh_e")
+                )
+            ),
+            "_esetk",
+        )
         .filter(sim >= F.lit(threshold))
-        .select(F.col("_id").alias(id_col))
+        .select("_setk")
         .distinct()
+    )
+    return c.join(F.broadcast(dirty_sets), "_setk", "left_semi").select(
+        F.col("_id").alias(id_col)
     )
 
 
