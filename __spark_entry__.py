@@ -1499,6 +1499,50 @@ def q_url_canonical_dedup(spark, sf_dir):
     return canonical_url_duplicates(docs.select("doc_id", url.alias("url")))
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist flags (operators/urls.domain_blocklist_flags):
+    messy URLs synthesized from doc_id (the url_canonical_dedup formula —
+    case/www/userinfo/port variants exercise host extraction), flagged when
+    the host equals or is a subdomain of a blocklisted registrable domain.
+    Matching is an EQUI-join of the in-row host suffix chain against the
+    broadcast blocklist — never a suffix theta-join. Oracled by
+    reproducing host extraction + label-boundary suffix matching in SQL."""
+    from anomalydetector_spark.operators.urls import domain_blocklist_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 199
+    host = F.concat(
+        F.lit("site-"), (p % 7).cast("string"), F.lit(".example.com")
+    )
+    page = F.concat(F.lit("/page/"), p.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, page, F.lit("?a=1&b=2")))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443"), page,
+                F.lit("?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("https://"), host, page, F.lit("/?a=1&gclid=zz&b=2")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://crawler@"), host, F.lit("/"), page,
+                F.lit("?utm_source=t&b=2&a=1"),
+            )
+        )
+    )
+    frame = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("site-3.example.com",), ("site-5.example.com",)], "domain string"
+    )
+    return domain_blocklist_flags(frame, bl)
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-rule quality gate (Rae et al. 2021 MassiveText A.1.1) over
     documents: every published rule as an audited boolean flag plus the
@@ -2344,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_boilerplate": q_scrub_boilerplate,
         "pii_redaction": q_pii_redaction,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "domain_blocklist": q_domain_blocklist,
         "asof_join_events": q_asof_join_events,
         "asof_join_bucketed_events": q_asof_join_bucketed_events,
         "sessionize_events": q_sessionize_events,
@@ -4400,6 +4445,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev, cur, cnt, pmi_micro, npmi_micro
             FROM scored
             ORDER BY pmi_micro DESC, prev, cur LIMIT 100
+        """,
+        "domain_blocklist": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://site-' || ((doc_id % 199) % 7) ||
+                    '.example.com/page/' || (doc_id % 199) || '?a=1&b=2'
+                  WHEN 1 THEN 'HTTPS://WWW.' ||
+                    upper('site-' || ((doc_id % 199) % 7) || '.example.com') ||
+                    ':443/page/' || (doc_id % 199) || '?b=2&a=1#frag'
+                  WHEN 2 THEN 'https://site-' || ((doc_id % 199) % 7) ||
+                    '.example.com/page/' || (doc_id % 199) || '/?a=1&gclid=zz&b=2'
+                  ELSE 'https://crawler@site-' || ((doc_id % 199) % 7) ||
+                    '.example.com//page/' || (doc_id % 199) || '?utm_source=t&b=2&a=1'
+                END AS url
+              FROM documents),
+            hosted AS (
+              SELECT doc_id, url,
+                lower(regexp_replace(regexp_replace(
+                  regexp_extract(trim(url),
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                  '^[^@]*@', ''), ':\d+$', '')) AS host
+              FROM raw),
+            bl(domain) AS (VALUES ('site-3.example.com'), ('site-5.example.com'))
+            SELECT doc_id, url, host,
+                   EXISTS (SELECT 1 FROM bl
+                           WHERE hosted.host = bl.domain
+                              OR hosted.host LIKE '%.' || bl.domain) AS blocked
+            FROM hosted
         """,
         "url_canonical_dedup": r"""
             WITH raw AS (

@@ -262,3 +262,49 @@ def test_gopher_bullet_without_space_counts(spark):
     assert f["ok_bullet_lines"] is False
     doc2 = "\n".join("-" + w for w in GOOD.split())
     assert _flags(spark, doc2)["ok_bullet_lines"] is False
+
+
+def test_domain_blocklist_subdomain_semantics(spark):
+    """Blocking a registrable domain blocks every subdomain; blocking a
+    deep host blocks only that host; lookalike suffixes (notbad.com vs
+    bad.com) never match — the chain join is label-aligned, not a
+    string-suffix test."""
+    from anomalydetector_spark.operators.urls import (
+        blocklist_filter,
+        domain_blocklist_flags,
+    )
+
+    rows = [
+        (1, "https://bad.com/x"),
+        (2, "http://cdn.bad.com/a?b=1"),
+        (3, "https://user@deep.track.example.net:8443/p"),
+        (4, "https://notbad.com/clean"),
+        (5, "https://example.net/root"),
+        (6, "https://good.org/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("bad.com",), ("track.example.net",)], "domain string"
+    )
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in domain_blocklist_flags(df, bl).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+    kept = {r["doc_id"] for r in blocklist_filter(df, bl).collect()}
+    assert kept == {4, 5, 6}
+
+
+def test_host_suffix_chain_exact(spark):
+    from pyspark.sql import functions as F
+
+    from anomalydetector_spark.operators.urls import host_suffix_chain
+
+    df = spark.createDataFrame([("a.b.example.com",)], "h string")
+    (row,) = df.select(host_suffix_chain(F.col("h")).alias("c")).collect()
+    assert list(row["c"]) == [
+        "a.b.example.com",
+        "b.example.com",
+        "example.com",
+        "com",
+    ]
