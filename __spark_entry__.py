@@ -1543,6 +1543,29 @@ def q_domain_blocklist(spark, sf_dir):
     return domain_blocklist_flags(frame, bl)
 
 
+def q_fineweb_filter(spark, sf_dir):
+    """The three FineWeb custom filters (Penedo et al. 2024 §3.6 —
+    operators/quality.fineweb_quality_flags): line-terminal-punctuation
+    ratio, duplicated-line character mass, short-line fraction, each a
+    pinned-boundary rule over the C4-shaped synthetic pages (_docs_c4 —
+    mixed punctuation and near-30-char lines exercise every boundary).
+    One in-row projection, zero shuffles. Oracled by replaying the
+    synthesis and all three ratios as DuckDB list lambdas."""
+    from anomalydetector_spark.operators.quality import fineweb_quality_flags
+
+    docs = _docs_c4(spark, sf_dir)
+    return fineweb_quality_flags(docs).select(
+        "doc_id",
+        "line_punct_ratio",
+        "dup_line_char_frac",
+        "short_line_frac",
+        "ok_line_punct",
+        "ok_dup_lines",
+        "ok_short_lines",
+        "keep",
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-rule quality gate (Rae et al. 2021 MassiveText A.1.1) over
     documents: every published rule as an audited boolean flag plus the
@@ -2403,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
+        "fineweb_filter": q_fineweb_filter,
         "c4_span_dedup": q_c4_span_dedup,
         "lm_quality": q_lm_quality,
         "lm_bigram_quality": q_lm_bigram_quality,
@@ -4600,6 +4624,61 @@ def oracle_sql() -> dict[str, str]:
                 AND (alpha_words / nw1 >= 0.8)
                 AND (stop_hits >= 2) AS keep
             FROM m
+        """,
+        "fineweb_filter": r"""
+            WITH withnl AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents),
+            sp AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM withnl),
+            dec AS (
+              SELECT doc_id, i,
+                     ls[i] || CASE WHEN i % 7 = 0 THEN ''
+                                   WHEN i % 5 = 0 THEN ' javascript.'
+                                   WHEN i % 3 = 0 THEN '!'
+                                   ELSE '.' END AS l
+              FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)),
+            pages AS (
+              SELECT doc_id,
+                     string_agg(l, chr(10) ORDER BY i)
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN chr(10) || 'curly { brace } line.'
+                               ELSE '' END AS text
+              FROM dec GROUP BY doc_id),
+            ln AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> l <> '') AS ne
+              FROM pages),
+            stats AS (
+              SELECT doc_id,
+                round(len(list_filter(ls,
+                        l -> regexp_matches(trim(l), '[.!?"'']$')))::DOUBLE
+                      / greatest(len(ls), 1), 6) AS line_punct_ratio,
+                round(coalesce(list_sum(list_transform(
+                        list_distinct(ne),
+                        d -> (len(list_filter(ne, l -> l = d)) - 1)
+                             * length(d))), 0)::DOUBLE
+                      / greatest(coalesce(list_sum(list_transform(
+                          ne, l -> length(l))), 0), 1), 6)
+                  AS dup_line_char_frac,
+                round(len(list_filter(ls, l -> length(l) < 30))::DOUBLE
+                      / greatest(len(ls), 1), 6) AS short_line_frac
+              FROM ln)
+            SELECT doc_id, line_punct_ratio, dup_line_char_frac,
+                   short_line_frac,
+                   line_punct_ratio > 0.12 AS ok_line_punct,
+                   dup_line_char_frac < 0.1 AS ok_dup_lines,
+                   short_line_frac < 0.67 AS ok_short_lines,
+                   line_punct_ratio > 0.12 AND dup_line_char_frac < 0.1
+                     AND short_line_frac < 0.67 AS keep
+            FROM stats
         """,
         "c4_filter": r"""
             WITH withnl AS (

@@ -568,6 +568,21 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
             id_col=args.id_column,
             k_shingle=args.decontam_ngram,
         )
+        if args.decontam_near_dup is not None:
+            from anomalydetector_spark.operators.decontam import (
+                decontaminate_near_dup,
+            )
+
+            # near-dup pass AFTER the exact gate: catches lightly-edited
+            # eval copies the k-gram rule misses (3-gram MinHash-LSH
+            # candidates, per-distinct-shingle-set, exact Jaccard verify)
+            docs = decontaminate_near_dup(
+                docs,
+                read_table(spark, args.decontam_path),
+                text_col=args.text_column,
+                id_col=args.id_column,
+                threshold=args.decontam_near_dup,
+            )
     if args.scrub_min_docs:
         from anomalydetector_spark.operators.scrub import drop_boilerplate_lines
 
@@ -609,6 +624,12 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
         # before dedup (the Gopher/MassiveText stage order): a pure
         # codegen filter, so it fuses into the preceding projection
         docs = gopher_filter(docs, text_col=args.text_column)
+    if args.fineweb_filter:
+        from anomalydetector_spark.operators.quality import fineweb_filter
+
+        # FineWeb's three custom rules stack ON TOP of Gopher/C4 (the
+        # paper's ordering); another pure projection, same fusion
+        docs = fineweb_filter(docs, text_col=args.text_column)
     if args.chunk_tokens:
         # the chunking pass below re-reads this frame for the
         # survivors' text; without persistence that second consumer
@@ -1309,6 +1330,11 @@ def main(argv=None):
                         "sharing any --decontam-ngram n-gram with it are "
                         "dropped before dedup")
     p.add_argument("--decontam-ngram", type=int, default=8)
+    p.add_argument("--decontam-near-dup", type=float, default=None,
+                   help="with --decontam-path: ALSO drop docs whose 3-gram "
+                        "Jaccard against any eval doc reaches this "
+                        "threshold (MinHash-LSH candidates verified "
+                        "exactly, per distinct shingle set)")
     p.add_argument("--scrub-min-docs", type=int, default=None,
                    help="CCNet line-level boilerplate removal: drop every "
                         "line occurring in at least this many distinct docs "
@@ -1337,6 +1363,11 @@ def main(argv=None):
                         "(word count, mean word length, symbol/bullet/"
                         "ellipsis ratios, alpha words, stopwords) after "
                         "scrub/redaction, before dedup")
+    p.add_argument("--fineweb-filter", action="store_true",
+                   help="apply the three FineWeb custom rules (terminal-"
+                        "punctuation line ratio, duplicated-line char "
+                        "mass, short-line fraction) after the Gopher "
+                        "gate, before dedup")
     p.add_argument("--near-dup-jaccard", type=float, default=None,
                    help="also drop near-duplicates: MinHash-LSH candidates "
                         "verified at this n-gram Jaccard threshold, "

@@ -132,3 +132,99 @@ def gopher_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFr
     """Rows passing every Gopher rule, original columns only."""
     flagged = gopher_quality_flags(df, text_col=text_col, **thresholds)
     return flagged.filter(F.col("keep")).select(*df.columns)
+
+
+def fineweb_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_punct_ratio: float = 0.12,
+    max_dup_line_char_frac: float = 0.1,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+) -> DataFrame:
+    """The three FineWeb custom filters (Penedo et al. 2024, "The
+    FineWeb Datasets", §3.6 — the rules they added ON TOP of the C4 and
+    Gopher sets after ablating 10^13 tokens): a page is dropped when
+
+    1. the fraction of its lines ending with terminal punctuation is
+       ≤ ``min_line_punct_ratio`` (0.12),
+    2. the fraction of its characters sitting in DUPLICATED lines is
+       ≥ ``max_dup_line_char_frac`` (0.1),
+    3. the fraction of its lines shorter than ``short_line_chars`` (30)
+       characters is ≥ ``max_short_line_frac`` (0.67).
+
+    Thresholds are the paper's; tie/boundary conventions and line
+    handling are pinned HERE (the paper does not specify them): lines
+    split on ``\\n`` with empties INCLUDED in the two line-count ratios
+    (an empty line neither ends with punctuation nor reaches 30 chars —
+    both read as structure damage, which is what the rules hunt) and
+    EXCLUDED from the duplicate-character mass (repeated blank lines
+    are layout, not copied content); "ends with punctuation" tests the
+    TRIMMED line against ``. ! ? " '``; duplicate-character mass counts
+    every occurrence beyond a line's first, over non-empty line chars.
+
+    Everything is one in-row projection (zero shuffles, zero Python) —
+    the duplicate-line scan is O(L²) per doc in distinct-line count,
+    bounded by page line counts, not corpus size. Ratios are emitted at
+    6 dp (exact — integer-over-integer division rounds identically in
+    any engine). Returns the input + the three ratios + per-rule flags
+    + ``keep``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+    punct_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike("[.!?\"']$"),
+        )
+    ).cast("double")
+    short_lines = F.size(
+        F.filter(lines, lambda l: F.length(l) < short_line_chars)
+    ).cast("double")
+
+    nonempty = F.filter(lines, lambda l: l != F.lit(""))
+    total_chars = F.aggregate(
+        nonempty, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    # chars in occurrences beyond each line's first: per DISTINCT line,
+    # (count - 1) * len
+    dup_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(nonempty),
+            lambda d: (
+                F.size(F.filter(nonempty, lambda l: l == d)) - F.lit(1)
+            )
+            * F.length(d),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+    punct_ratio = F.round(punct_lines / n_lines, 6)
+    short_frac = F.round(short_lines / n_lines, 6)
+    dup_frac = F.round(
+        dup_chars.cast("double")
+        / F.greatest(total_chars, F.lit(1)).cast("double"),
+        6,
+    )
+    flags = {
+        "line_punct_ratio": punct_ratio,
+        "dup_line_char_frac": dup_frac,
+        "short_line_frac": short_frac,
+        "ok_line_punct": punct_ratio > F.lit(min_line_punct_ratio),
+        "ok_dup_lines": dup_frac < F.lit(max_dup_line_char_frac),
+        "ok_short_lines": short_frac < F.lit(max_short_line_frac),
+    }
+    out = df.withColumns(flags)
+    return out.withColumn(
+        "keep",
+        F.col("ok_line_punct") & F.col("ok_dup_lines") & F.col("ok_short_lines"),
+    )
+
+
+def fineweb_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Rows passing every FineWeb rule, original columns only."""
+    flagged = fineweb_quality_flags(df, text_col=text_col, **thresholds)
+    return flagged.filter(F.col("keep")).select(*df.columns)

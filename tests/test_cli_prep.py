@@ -254,3 +254,48 @@ def test_prep_corpus_keep_majority_lang(spark, tmp_path):
             for r in spark.read.parquet(out2).collect()}
     assert fp_a[1] != fp_b[1]   # foreign paragraph removed
     assert fp_a[2] == fp_b[2]   # monolingual doc untouched
+
+
+def test_prep_corpus_neardup_decontam_and_fineweb(spark, tmp_path):
+    """--decontam-near-dup drops near-duplicates of eval docs the exact
+    8-gram rule misses; --fineweb-filter applies the three custom rules.
+    Eval side: a one-word edit of a corpus doc (no shared 8-gram run of
+    the same doc ... the salads are short, so use 3-gram-near overlap)."""
+    eval_dir = str(tmp_path / "eval")
+    # eval set = exact copies of every 50th doc (near-dup at J=1.0)
+    spark.read.parquet(DOCS).filter(F.col("doc_id") % 50 == 0).write.parquet(
+        eval_dir
+    )
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    cli.main(
+        [
+            "prep-corpus", "--input-path", DOCS, "--output-path", out1,
+            "--decontam-path", eval_dir, "--decontam-ngram", "20",
+        ]
+    )
+    cli.main(
+        [
+            "prep-corpus", "--input-path", DOCS, "--output-path", out2,
+            "--decontam-path", eval_dir, "--decontam-ngram", "20",
+            "--decontam-near-dup", "0.8",
+        ]
+    )
+    # 20-gram exact rule misses the (short) copies; near-dup catches them
+    n1 = spark.read.parquet(out1).count()
+    n2 = spark.read.parquet(out2).count()
+    assert n2 < n1
+    kept2 = {
+        r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()
+    }
+    assert not any(d % 50 == 0 for d in kept2)
+
+    out3 = str(tmp_path / "c3")
+    cli.main(
+        [
+            "prep-corpus", "--input-path", DOCS, "--output-path", out3,
+            "--fineweb-filter",
+        ]
+    )
+    # single-line unpunctuated salads fail the punct-ratio rule -> empty
+    assert spark.read.parquet(out3).count() == 0
