@@ -1543,6 +1543,20 @@ def q_domain_blocklist(spark, sf_dir):
     return domain_blocklist_flags(frame, bl)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (operators/bm25.bm25_scores, Lucene idf
+    variant, k1=1.2 b=0.75): every doc hitting 'spark window join' with
+    its 6-dp score. ONE aggregation computes N + avgdl + every df_t
+    (map-side-combined), broadcast back as a single row; scoring is a
+    pure projection. The oracle replays the identical arithmetic order,
+    so the hash gate pins the formula, not just the ranking."""
+    from anomalydetector_spark.operators.bm25 import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), "spark window join"
+    )
+
+
 def q_fineweb_filter(spark, sf_dir):
     """The three FineWeb custom filters (Penedo et al. 2024 §3.6 —
     operators/quality.fineweb_quality_flags): line-terminal-punctuation
@@ -2426,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
+        "bm25": q_bm25,
         "fineweb_filter": q_fineweb_filter,
         "c4_span_dedup": q_c4_span_dedup,
         "lm_quality": q_lm_quality,
@@ -4624,6 +4639,46 @@ def oracle_sql() -> dict[str, str]:
                 AND (alpha_words / nw1 >= 0.8)
                 AND (stop_hits >= 2) AS keep
             FROM m
+        """,
+        "bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKS.replace("trim(text)", "trim(lower(text))")} AS t
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(t) AS dl,
+                     len(list_filter(t, x -> x = 'spark')) AS tf0,
+                     len(list_filter(t, x -> x = 'window')) AS tf1,
+                     len(list_filter(t, x -> x = 'join')) AS tf2
+              FROM toks),
+            st AS (
+              SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+              FROM base)
+            SELECT doc_id, dl,
+              round(
+                ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                   / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(tf0 AS DOUBLE) * 2.2
+                   / (CAST(tf0 AS DOUBLE)
+                      + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                     / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(tf1 AS DOUBLE) * 2.2
+                   / (CAST(tf1 AS DOUBLE)
+                      + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                     / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(tf2 AS DOUBLE) * 2.2
+                   / (CAST(tf2 AS DOUBLE)
+                      + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+              , 6) AS bm25
+            FROM base, st
+            WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         """,
         "fineweb_filter": r"""
             WITH withnl AS (
