@@ -1021,6 +1021,58 @@ def main() -> None:
         and "EvalPython" not in nd_plan,
     )
 
+    from anomalydetector_spark.operators.urls import domain_blocklist_flags
+
+    url_rows = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://sub"), (F.col("id") % 9).cast("string"),
+            F.lit(".site-"), (F.col("id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+    ).repartition(8)
+    bl_frame = spark.createDataFrame(
+        [("site-3.example.com",), ("site-5.example.com",)], "domain string"
+    )
+    bl_plan = plan_of(domain_blocklist_flags(url_rows, bl_frame))
+    ok &= check(
+        "domain blocklist: subdomain matching is an equi-join of the "
+        "in-row suffix chain vs the broadcast list (no LIKE nested-loop), "
+        "zero Python",
+        "BroadcastNestedLoopJoin" not in bl_plan
+        and "CartesianProduct" not in bl_plan
+        and "BroadcastExchange" in bl_plan
+        and "EvalPython" not in bl_plan,
+    )
+
+    from anomalydetector_spark.operators.quality import fineweb_quality_flags
+
+    fw = fineweb_quality_flags(
+        spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("line one.\nline two\n"), F.col("id").cast("string")).alias("text"),
+        )
+    )
+    fw_plan = plan_of(fw)
+    ok &= check(
+        "FineWeb custom rules are a zero-shuffle in-row projection",
+        "Exchange" not in fw_plan and "EvalPython" not in fw_plan,
+    )
+
+    from anomalydetector_spark.operators.bm25 import bm25_topk
+
+    bm = bm25_topk(doc_rows, "1 2 3", k=10)
+    bm_plan = plan_of(bm)
+    ok &= check(
+        "BM25: one aggregation produces every corpus stat (partial "
+        "aggregate before the shuffle), stats broadcast back, top-k is "
+        "TakeOrderedAndProject, zero Python",
+        "partial_count" in bm_plan
+        and "BroadcastNestedLoopJoin" in bm_plan  # 1-row stats broadcast
+        and "TakeOrderedAndProject" in bm_plan
+        and "EvalPython" not in bm_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
