@@ -2127,6 +2127,53 @@ def q_pmi_collocations(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_session_funnel(spark, sf_dir):
+    """Funnel progression per session (operators/funnels.session_funnel):
+    greedy-leftmost subsequence matching of view->click->purchase inside
+    4h-gap sessions — ONE in-row aggregate over the session's ordered
+    type array, no explode, no joins. The oracle re-expresses greedy
+    matching as a min-position chain (first view; first click after it;
+    first purchase after that) — provably the same rule."""
+    from anomalydetector_spark.operators.funnels import session_funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = session_funnel(
+        ev, _FUNNEL_STEPS, gap_seconds=_SESSION_GAP_S,
+        tiebreak_cols=["event_id"],
+    )
+    return out.withColumn("reached", F.col("reached").cast("long"))
+
+
+def q_funnel_counts(spark, sf_dir):
+    """The funnel report (operators/funnels.funnel_counts): sessions
+    reaching each step, 6-dp conversion vs all sessions and vs the
+    previous step — one conditional-sum aggregation unpivoted in-row."""
+    from anomalydetector_spark.operators.funnels import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return funnel_counts(
+        ev, _FUNNEL_STEPS, gap_seconds=_SESSION_GAP_S,
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/funnels.cohort_retention):
+    users bucketed by first-activity ISO week, exact active fraction per
+    (cohort, offset) — two (user, week) aggregations + one rollup, exact
+    integer epoch arithmetic for offsets."""
+    from anomalydetector_spark.operators.funnels import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Exact cross-snapshot churn (operators/snapshot.snapshot_diff):
     snapshot B is a deterministic perturbation of documents (every 17th
@@ -2432,6 +2479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
         "pmi_collocations": q_pmi_collocations,
+        "session_funnel": q_session_funnel,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
         "mad_outliers_events": q_mad_outliers_events,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
@@ -2731,6 +2781,53 @@ def _bpe_apply_oracle() -> str:
         FROM documents d LEFT JOIN per_doc USING (doc_id)"""
     )
 
+
+
+# Shared session+position CTE chain for the funnel oracles: the
+# sessionizer window program, then per-session event positions and the
+# greedy min-position chain for view -> click -> purchase.
+_FUNNEL_CHAIN = """
+    WITH flg AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+      FROM flg
+    ), p AS (
+      SELECT user_id, session_index, event_type,
+             row_number() OVER (PARTITION BY user_id, session_index
+                                ORDER BY ts, event_id) AS pos
+      FROM s
+    ), m1 AS (
+      SELECT user_id, session_index, min(pos) AS p1
+      FROM p WHERE event_type = 'view' GROUP BY 1, 2
+    ), m2 AS (
+      SELECT p.user_id, p.session_index, min(pos) AS p2
+      FROM p JOIN m1 USING (user_id, session_index)
+      WHERE event_type = 'click' AND pos > p1 GROUP BY 1, 2
+    ), m3 AS (
+      SELECT p.user_id, p.session_index, min(pos) AS p3
+      FROM p JOIN m2 USING (user_id, session_index)
+      WHERE event_type = 'purchase' AND pos > p2 GROUP BY 1, 2
+    ), reached AS (
+      SELECT b.user_id, b.session_index,
+             CAST(CASE WHEN p3 IS NOT NULL THEN 3
+                       WHEN p2 IS NOT NULL THEN 2
+                       WHEN p1 IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS reached
+      FROM (SELECT DISTINCT user_id, session_index FROM p) b
+      LEFT JOIN m1 USING (user_id, session_index)
+      LEFT JOIN m2 USING (user_id, session_index)
+      LEFT JOIN m3 USING (user_id, session_index)
+    )
+"""
 
 def oracle_sql() -> dict[str, str]:
     shingles = _DUCK_SHINGLES.format(toks="toks")
@@ -4415,6 +4512,56 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
             FROM flg
+        """,
+        "session_funnel": _FUNNEL_CHAIN + """
+            SELECT user_id, session_index, reached FROM reached
+        """,
+        "funnel_counts": _FUNNEL_CHAIN + """
+            , agg AS (
+              SELECT count(*)::BIGINT AS total,
+                     sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END)::BIGINT AS r0,
+                     sum(CASE WHEN reached >= 2 THEN 1 ELSE 0 END)::BIGINT AS r1,
+                     sum(CASE WHEN reached >= 3 THEN 1 ELSE 0 END)::BIGINT AS r2
+              FROM reached)
+            SELECT * FROM (
+              SELECT 1 AS step, 'view' AS step_name, r0 AS n_sessions,
+                     total AS total_sessions,
+                     round(CAST(r0 AS DOUBLE) / greatest(total, 1), 6) AS conversion,
+                     CAST(NULL AS DOUBLE) AS step_conversion
+              FROM agg
+              UNION ALL
+              SELECT 2, 'click', r1, total,
+                     round(CAST(r1 AS DOUBLE) / greatest(total, 1), 6),
+                     CASE WHEN r0 > 0
+                          THEN round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE), 6) END
+              FROM agg
+              UNION ALL
+              SELECT 3, 'purchase', r2, total,
+                     round(CAST(r2 AS DOUBLE) / greatest(total, 1), 6),
+                     CASE WHEN r1 > 0
+                          THEN round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE), 6) END
+              FROM agg)
+        """,
+        "cohort_retention": """
+            WITH weekly AS (
+              SELECT DISTINCT user_id AS u,
+                     date_trunc('week', ts)::TIMESTAMP AS w
+              FROM events WHERE ts IS NOT NULL),
+            first AS (
+              SELECT u, min(w) AS cohort FROM weekly GROUP BY 1),
+            act AS (
+              SELECT cohort AS cohort_week,
+                     CAST((epoch(w) - epoch(cohort)) / 604800 AS BIGINT)
+                       AS week_offset,
+                     count(DISTINCT u)::BIGINT AS n_active
+              FROM weekly JOIN first USING (u) GROUP BY 1, 2),
+            sz AS (
+              SELECT cohort AS cohort_week, count(DISTINCT u)::BIGINT AS cohort_size
+              FROM first GROUP BY 1)
+            SELECT cohort_week, week_offset, n_active, cohort_size,
+                   round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+                     AS retention
+            FROM act JOIN sz USING (cohort_week)
         """,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "session_stats_bucketed": _SESSION_STATS_ORACLE,
