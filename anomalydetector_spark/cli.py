@@ -800,6 +800,66 @@ def cmd_tokenize(args, spark: SparkSession) -> None:
         )
 
 
+def cmd_sessions(args, spark: SparkSession) -> None:
+    """Events → gap-based session analytics (operators/sessions,
+    operators/funnels): per-session stats parquet, plus (optionally) the
+    funnel report and weekly cohort retention."""
+    from anomalydetector_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+        sessionize_bucketed,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    events = read_table(spark, args.input_path)
+    tiebreak = [args.order_tiebreak] if args.order_tiebreak else None
+    kw = dict(tiebreak_cols=tiebreak, closed=args.gap_boundary)
+    if args.bucketed:
+        sess = sessionize_bucketed(
+            events, args.key_column, args.timestamp_column,
+            args.gap_seconds, bucket=args.bucket, **kw,
+        )
+    else:
+        sess = sessionize(
+            events, args.key_column, args.timestamp_column,
+            args.gap_seconds, **kw,
+        )
+    stats = session_stats(
+        sess, args.key_column, args.timestamp_column,
+        type_col=args.type_column,
+    )
+    stats.write.mode("overwrite").parquet(args.output_path)
+    n = spark.read.parquet(args.output_path).count()
+    print(f"sessions: {n} session rows -> {args.output_path}")
+
+    if args.funnel_steps:
+        from anomalydetector_spark.operators.funnels import funnel_counts
+
+        steps = [t for t in args.funnel_steps.split(",") if t]
+        report = funnel_counts(
+            events, steps,
+            key_cols=args.key_column, ts_col=args.timestamp_column,
+            type_col=args.type_column, gap_seconds=args.gap_seconds,
+            tiebreak_cols=tiebreak,
+        )
+        out = f"{args.output_path}_funnel"
+        report.write.mode("overwrite").parquet(out)
+        for r in spark.read.parquet(out).orderBy("step").collect():
+            print(
+                f"funnel step {r['step']} ({r['step_name']}): "
+                f"{r['n_sessions']}/{r['total_sessions']} "
+                f"conversion={r['conversion']}"
+            )
+    if args.retention:
+        from anomalydetector_spark.operators.funnels import cohort_retention
+
+        out = f"{args.output_path}_retention"
+        cohort_retention(
+            events, key_col=args.key_column, ts_col=args.timestamp_column
+        ).write.mode("overwrite").parquet(out)
+        print(f"retention: -> {out}")
+
+
 def cmd_keywords(args, spark: SparkSession) -> None:
     """Corpus → per-document TF-IDF keyword profiles (operators/tfidf):
     smoothed-IDF table (written alongside for reuse/inspection) and the
@@ -1481,6 +1541,41 @@ def main(argv=None):
                     help="preserve case (default lowercases before "
                          "counting, the standard keyword convention)")
 
+    se = sub.add_parser(
+        "sessions",
+        help="gap-based session stats (+ funnel report, cohort retention)",
+    )
+    se.add_argument("--input-path", required=True)
+    se.add_argument("--output-path", required=True,
+                    help="session-stats parquet; funnel/retention land at "
+                         "<output-path>_funnel / _retention")
+    se.add_argument("--key-column", default="user_id")
+    se.add_argument("--timestamp-column", default="ts")
+    se.add_argument("--type-column", default="event_type")
+    se.add_argument("--gap-seconds", type=float, default=4 * 3600)
+    se.add_argument("--gap-boundary", choices=["inclusive", "exclusive"],
+                    default="inclusive",
+                    help="whether two events exactly gap apart share a "
+                         "session (inclusive, default — also what "
+                         "Structured Streaming's session_window does) or "
+                         "split (exclusive, the strict convention)")
+    se.add_argument("--order-tiebreak", default="event_id",
+                    help="column making the per-key order total when "
+                         "timestamps repeat (empty string to disable)")
+    se.add_argument("--bucketed", action="store_true",
+                    help="hot-key-safe twin: local sessions per (key, "
+                         "--bucket) window partition + exact boundary "
+                         "repair — same rows, three shuffles instead of "
+                         "one; use when one key owns a large share")
+    se.add_argument("--bucket", default="1 day")
+    se.add_argument("--funnel-steps", default=None,
+                    help="comma-separated ordered step types (e.g. "
+                         "view,click,purchase): also write + print the "
+                         "greedy-leftmost funnel report")
+    se.add_argument("--retention", action="store_true",
+                    help="also write weekly cohort retention")
+
+
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
 
@@ -1506,6 +1601,8 @@ def main(argv=None):
             cmd_tokenize(args, spark)
         elif args.cmd == "keywords":
             cmd_keywords(args, spark)
+        elif args.cmd == "sessions":
+            cmd_sessions(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:
