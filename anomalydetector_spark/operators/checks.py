@@ -467,3 +467,59 @@ def check_key_text_consistency(
         ),
         bad_keys,
     )
+
+
+def check_robust_outliers(
+    df: DataFrame,
+    column: str,
+    partition_by: Column | str | None = None,
+    k: float = 5.0,
+    max_outlier_frac: float = 0.0,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """Data-derived magnitude gate: flag values with ``|x - median| >
+    k * MAD`` of their partition (operators/robust — exact type-1
+    estimators on the counts cube, never a per-partition sort). Where
+    P9's ``bounds`` needs caller-supplied limits, this one derives them
+    robustly from the column itself; the estimator has a 50% breakdown
+    point, so the outliers it hunts cannot drag it.
+
+    ``max_outlier_frac`` tolerates heavy-but-expected tails: the
+    partition passes while ``violation_count <= max_outlier_frac *
+    rows_scanned`` (default 0 — any outlier fails, matching the other
+    checks' semantics). Null values are never outliers (P4/P8 own
+    nulls); a partition whose MAD is 0 (over half its values identical)
+    flags EVERY deviating value — the estimator's documented
+    quantized-data bite, deliberate here: a validation check SHOULD
+    scream when a near-constant column suddenly varies.
+    """
+    from anomalydetector_spark.operators.robust import mad_outliers
+
+    name = f"robust_outliers_{column}"
+    p = _part(df, partition_by)
+    flagged = mad_outliers(p, column, by=("partition_key",), k=k)
+    bad = F.coalesce(F.col("is_outlier"), F.lit(False))
+    counted = flagged.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    message = errors.ROBUST_OUTLIERS.format(column, k)
+    verdicts = counted.select(
+        F.lit(name).alias("check_name"),
+        "partition_key",
+        (
+            F.col("violation_count").cast("double")
+            <= F.lit(max_outlier_frac) * F.col("rows_scanned").cast("double")
+        ).alias("passed"),
+        F.when(
+            F.col("violation_count").cast("double")
+            > F.lit(max_outlier_frac) * F.col("rows_scanned").cast("double"),
+            F.lit(message),
+        ).alias("error_message"),
+        "violation_count",
+        "rows_scanned",
+    )
+    return CheckResult(
+        verdicts,
+        _violation_rows(flagged, bad, name, keep or [column]),
+    )

@@ -28,3 +28,7 @@ TEXT_EXTRACTION_MISMATCH = (
 )
 INCONSISTENT_KEY_TEXT = 'Rows sharing the same "{0}" disagree on text bytes.'
 FD_VIOLATION = 'Functional dependency "{0}" -> "{1}" violated: some "{0}" values map to multiple "{1}" values.'
+ROBUST_OUTLIERS = (
+    'Column "{0}" has values farther than {1}x the MAD from the '
+    "partition median."
+)

@@ -38,7 +38,7 @@ CUBE_KINDS = {"min_rows", "not_null_ts", "referential"}
 class CheckSpec:
     """One declarative check. ``kind`` ∈ {min_rows, not_null_ts,
     not_null, unique, referential, finite, bounds, float_castable,
-    ascending, column_presence}."""
+    ascending, column_presence, robust_outliers}."""
 
     kind: str
     column: str | None = None
@@ -49,6 +49,9 @@ class CheckSpec:
     upper: float | None = None
     order_col: str | None = None
     required: tuple[str, ...] = ()
+    # robust_outliers only
+    k: float = 5.0
+    max_outlier_frac: float = 0.0
     # referential only: dimension-join ladder rung + salt count
     # (operators/referential.dim_join)
     strategy: str = "broadcast"
@@ -104,6 +107,15 @@ def ascending(ts_col: str, order_col: str) -> CheckSpec:
 
 def column_presence(*required: str) -> CheckSpec:
     return CheckSpec("column_presence", required=tuple(required))
+
+
+def robust_outliers(
+    column: str, k: float = 5.0, max_outlier_frac: float = 0.0
+) -> CheckSpec:
+    """Data-derived magnitude gate: |x - median| > k*MAD per partition
+    (checks.check_robust_outliers — exact counts-cube estimators)."""
+    return CheckSpec("robust_outliers", column=column, k=k,
+                     max_outlier_frac=max_outlier_frac)
 
 
 @dataclass
@@ -287,6 +299,11 @@ def run_suite(
             r = C.check_float_castable(df, s.column, partition_by)
         elif s.kind == "ascending":
             r = C.check_ascending_by(df, s.column, s.order_col, partition_by)
+        elif s.kind == "robust_outliers":
+            r = C.check_robust_outliers(
+                df, s.column, partition_by,
+                k=s.k, max_outlier_frac=s.max_outlier_frac,
+            )
         else:
             raise ValueError(f"unknown check kind: {s.kind!r}")
         verdicts.append(r.verdicts)
