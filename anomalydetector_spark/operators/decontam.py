@@ -215,7 +215,11 @@ def near_dup_contaminated_ids(
         .select("_setk")
         .distinct()
     )
-    return c.join(F.broadcast(dirty_sets), "_setk", "left_semi").select(
+    # no broadcast hint here: dirty_sets is CORPUS-bounded (every
+    # contaminated distinct set), not eval-bounded — on a heavily
+    # contaminated 10^12-doc table it can be arbitrarily large, so AQE
+    # decides (it broadcasts the usual benchmark-sized case on its own)
+    return c.join(dirty_sets, "_setk", "left_semi").select(
         F.col("_id").alias(id_col)
     )
 

@@ -112,7 +112,11 @@ def funnel_counts(
     agg = per_session.agg(
         F.count(F.lit(1)).alias("_total"),
         *[
-            F.sum((F.col("reached") >= i + 1).cast("long")).alias(f"_r{i}")
+            # coalesce: sum over an EMPTY frame is NULL, and the report
+            # should read 0-session steps as 0, not null
+            F.coalesce(
+                F.sum((F.col("reached") >= i + 1).cast("long")), F.lit(0)
+            ).alias(f"_r{i}")
             for i in range(len(steps))
         ],
     )

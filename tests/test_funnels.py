@@ -142,3 +142,13 @@ def test_cohort_retention_exact(spark):
 def test_empty_steps_raise(spark):
     with pytest.raises(ValueError):
         session_funnel(_ev(spark, [(1, 1, T0, "view")]), [])
+
+
+def test_funnel_counts_empty_input(spark):
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    rows = {r["step"]: r for r in funnel_counts(df, STEPS).collect()}
+    assert len(rows) == 3
+    assert all(r["n_sessions"] == 0 and r["total_sessions"] == 0 for r in rows.values())
+    assert all(r["conversion"] == 0.0 for r in rows.values())
