@@ -899,22 +899,26 @@ def q_decontaminate_neardup(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures (xxhash64 token hashes folded in one Arrow
-    pass → rows-only; DuckDB has no xxhash64)."""
+    """SimHash signatures, ``hash_fn="md5"`` so the signatures are
+    hash-ORACLED end-to-end: DuckDB recomputes per-token ``md5_long``
+    hashes, all 60 bit-plane majority votes, and the prefix, pinning the
+    exact fold arithmetic the production xxhash64 path shares
+    (``simhash_fold_np`` is the same function in both modes)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_signatures(docs)
+    return simhash_signatures(docs, hash_fn="md5")
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3 via block-permutation
     probing (4 disjoint 16-bit blocks — recall GUARANTEED 1.0 by
-    pigeonhole, so the result equals the brute-force all-pairs set;
-    equality is pytest-verified on this very table). Rows-only: the
-    signatures need xxhash64, which DuckDB lacks."""
+    pigeonhole, so the result equals the brute-force all-pairs set).
+    With ``hash_fn="md5"`` the oracle computes that brute-force set in
+    DuckDB (bit_count over xor of recomputed signatures) — a HASH gate
+    on the full probing pipeline, not just a recall floor."""
     from anomalydetector_spark.operators.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    return simhash_near_duplicates(docs, max_hamming=3, hash_fn="md5")
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -2846,6 +2850,32 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {n} AS band, band{n} AS band_sig FROM sigs"
         for n in range(4)
     )
+    # Shared SimHash signature chain (md5 token-hash mode): per-token
+    # 60-bit md5_long hashes → per-bit-plane majority votes → signature.
+    # Mirrors simhash_signatures(hash_fn="md5") + simhash_fold_np exactly
+    # (strict majority 2*ones > n; empty/NULL text folds to signature 0).
+    simhash_sig_chain = f"""
+            tok_h AS (
+              SELECT doc_id, {_DUCK_MD5L.format(x='t')} AS h
+              FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents)),
+            cnt AS (
+              SELECT doc_id, count(*) AS n FROM tok_h GROUP BY doc_id),
+            ones AS (
+              SELECT doc_id, bits.b AS b,
+                     count(*) FILTER (WHERE (h >> bits.b) & 1 = 1) AS ones
+              FROM tok_h CROSS JOIN (SELECT range AS b FROM range(60)) bits
+              GROUP BY doc_id, bits.b),
+            sig AS (
+              SELECT o.doc_id,
+                     CAST(sum(CASE WHEN 2 * o.ones > c.n
+                                   THEN (1::BIGINT << o.b) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM ones o JOIN cnt c USING (doc_id)
+              GROUP BY o.doc_id),
+            full_sig AS (
+              SELECT d.doc_id,
+                     COALESCE(s.simhash, 0)::BIGINT AS simhash
+              FROM documents d LEFT JOIN sig s USING (doc_id))"""
 
     return {
         "stats_pass_events": """
@@ -3913,6 +3943,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH {simhash_sig_chain}
+            SELECT doc_id, simhash,
+                   (simhash >> 48)::BIGINT AS prefix16
+            FROM full_sig
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {simhash_sig_chain}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM full_sig a JOIN full_sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (

@@ -282,7 +282,10 @@ def hash_bytes(b: bytes) -> int:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash, prefix16) — prefix bucketing gives cheap Hamming-
     neighborhood candidate generation (near-dups almost always share the
@@ -291,15 +294,43 @@ def simhash_signatures(
     radii).
 
     Token hashing happens inside whole-stage codegen: split → filter
-    empties → per-token ``xxhash64`` via a ``transform`` lambda, so the
-    Arrow batch that reaches Python carries int64 arrays, not strings.
+    empties → per-token hash via a ``transform`` lambda, so the Arrow
+    batch that reaches Python carries int64 arrays, not strings.
+
+    ``hash_fn`` selects the per-token hash:
+
+    * ``"xxhash64"`` (default, production) — fastest, full 64-bit planes.
+    * ``"md5"`` — ``functions.md5_long`` (first 15 md5 hex chars → 60-bit
+      non-negative int). Exactly reproducible in ANSI SQL
+      (``('0x' || substr(md5(t),1,15))::BIGINT``), which is what lets the
+      driver hash-oracle the signature AND pair queries end-to-end.
+      Bit planes 60-63 are constantly zero, so signatures live in 60
+      bits; the Manku block-probing recall guarantee is unaffected
+      (differing bits still touch ≤ d of the 4 disjoint 16-bit blocks).
+
+    Both modes share :func:`simhash_fold_np` verbatim — the oracle on the
+    md5 twin therefore pins the fold arithmetic the xxhash64 path runs.
     """
+    if hash_fn == "xxhash64":
+        # Strictly-unary wrapper: F.transform inspects the lambda's
+        # signature and rejects varargs callables like F.xxhash64 itself.
+        def token_hash(t):
+            return F.xxhash64(t)
+
+    elif hash_fn == "md5":
+        from anomalydetector_spark.functions import md5_long
+
+        def token_hash(t):
+            return md5_long(t)
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
     token_hashes = F.transform(
         F.filter(
             F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
             lambda t: t != F.lit(""),
         ),
-        lambda t: F.xxhash64(t),
+        token_hash,
     )
     return df.select(
         F.col(id_col), simhash_fold(token_hashes).alias("simhash")
@@ -323,6 +354,7 @@ def simhash_near_duplicates(
     prefix_bits: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs ``(id_a, id_b, hamming)`` with
     ``hamming ≤ max_hamming``, candidates from multi-table BLOCK
@@ -346,9 +378,9 @@ def simhash_near_duplicates(
     """
     if n_tables * prefix_bits > 64:
         raise ValueError("n_tables * prefix_bits must be <= 64")
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col).select(
-        id_col, "simhash"
-    )
+    sigs = simhash_signatures(
+        df, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    ).select(id_col, "simhash")
     buckets = sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
