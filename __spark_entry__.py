@@ -2116,6 +2116,50 @@ def q_mad_outliers_events(spark, sf_dir):
     return mad_outliers(ev, "value", by=("event_type",), k=5.0)
 
 
+def _event_graph_edges(spark, sf_dir):
+    """Deterministic SQL-expressible fixture graph from the events table:
+    src = user_id % 50, dst = event_id % 61 (so nodes 50-60 appear only
+    as destinations — a real dangling set exercising the teleport-mass
+    arithmetic), self-loops dropped, multiplicity as weight."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        (F.col("event_id") % 61).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """PageRank by distributed power iteration (operators/graph.pagerank):
+    edge multiset collapsed to (src, dst, weight) with map-side partial
+    counts, transition matrix w/out_weight materialized once and persisted
+    partitioned by src, 8 fixed iterations each = one rank-frame equi-join
+    + one map-side-combined groupBy(dst) + a scalar dangling-mass
+    aggregate, localCheckpoint truncating lineage per round. Ranks pinned
+    to 6 dp; the oracle replays the LITERAL arithmetic ((1.0-0.85)/N +
+    0.85*(contrib + dm/N)) with 8 unrolled DuckDB CTEs."""
+    from anomalydetector_spark.operators.graph import pagerank
+
+    return pagerank(
+        _event_graph_edges(spark, sf_dir), iterations=8, round_dp=6
+    )
+
+
+def q_host_degrees(spark, sf_dir):
+    """Link-graph degree profile (operators/graph.degree_stats): both
+    endpoints unioned into one tagged long format so a SINGLE map-side-
+    combined groupBy(id) yields out/in edge counts and weights — no join,
+    exact zeros for one-sided nodes. Weights are the collapsed edge
+    multiplicities; everything integer-exact, hash-oracled."""
+    from anomalydetector_spark.operators.graph import degree_stats
+
+    edges = (
+        _event_graph_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return degree_stats(edges)
+
+
 def q_pmi_collocations(spark, sf_dir):
     """PMI/NPMI collocation mining (operators/collocations.pmi_collocations):
     top-100 adjacent-bigram collocations with corpus count >= 5, scores in
@@ -2487,6 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
         "mad_outliers_events": q_mad_outliers_events,
+        "host_pagerank": q_host_pagerank,
+        "host_degrees": q_host_degrees,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -2876,6 +2922,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id,
                      COALESCE(s.simhash, 0)::BIGINT AS simhash
               FROM documents d LEFT JOIN sig s USING (doc_id))"""
+
+    # PageRank fixture-graph base CTEs (mirrors _event_graph_edges +
+    # operators/graph.pagerank's pre-iteration stages verbatim: collapse
+    # multiplicity to weight, p = w/out_weight, distinct node union,
+    # dangling = nodes with no out-edge).
+    pagerank_base = """
+            raw AS (
+              SELECT user_id % 50 AS src, event_id % 61 AS dst FROM events
+              WHERE user_id % 50 != event_id % 61),
+            e AS (
+              SELECT src, dst, count(*)::DOUBLE AS w
+              FROM raw GROUP BY src, dst),
+            outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            norm AS (
+              SELECT e.src, e.dst, e.w / o.ow AS p
+              FROM e JOIN outw o ON e.src = o.src),
+            nodes AS (
+              SELECT DISTINCT src AS id FROM e
+              UNION
+              SELECT DISTINCT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            dangling AS (
+              SELECT id FROM nodes
+              WHERE id NOT IN (SELECT src FROM e)),
+            r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    # 8 unrolled power iterations, the LITERAL arithmetic of
+    # graph.pagerank: r' = (1.0 - 0.85)/N + 0.85*(coalesce(s,0) + dm/N)
+    pagerank_iters = "".join(
+        f""",
+            r{k} AS (
+              SELECT nd.id,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * (COALESCE(c.s, 0.0)
+                               + (SELECT COALESCE(sum(pr.r), 0.0)
+                                  FROM r{k - 1} pr
+                                  JOIN dangling d ON pr.id = d.id)
+                                 / (SELECT n FROM nn)) AS r
+              FROM nodes nd
+              LEFT JOIN (SELECT e.dst AS id, sum(e.p * pr.r) AS s
+                         FROM norm e JOIN r{k - 1} pr ON pr.id = e.src
+                         GROUP BY e.dst) c ON nd.id = c.id)"""
+        for k in range(1, 9)
+    )
 
     return {
         "stats_pass_events": """
@@ -4829,6 +4918,28 @@ def oracle_sql() -> dict[str, str]:
                 AND (alpha_words / nw1 >= 0.8)
                 AND (stop_hits >= 2) AS keep
             FROM m
+        """,
+        "host_pagerank": f"""
+            WITH {pagerank_base}{pagerank_iters}
+            SELECT id, round(r, 6) AS pagerank FROM r8
+        """,
+        "host_degrees": """
+            WITH raw AS (
+              SELECT user_id % 50 AS src, event_id % 61 AS dst FROM events
+              WHERE user_id % 50 != event_id % 61),
+            e AS (
+              SELECT src, dst, count(*)::DOUBLE AS w
+              FROM raw GROUP BY src, dst),
+            long AS (
+              SELECT src AS id, 1 AS oe, w AS ow, 0 AS ie, 0.0 AS iw FROM e
+              UNION ALL
+              SELECT dst, 0, 0.0, 1, w FROM e)
+            SELECT id,
+                   sum(oe)::BIGINT AS out_edges,
+                   sum(ie)::BIGINT AS in_edges,
+                   sum(ow) AS out_weight,
+                   sum(iw) AS in_weight
+            FROM long GROUP BY id
         """,
         "bm25": f"""
             WITH toks AS (

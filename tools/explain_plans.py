@@ -1073,6 +1073,59 @@ def main() -> None:
         and "EvalPython" not in bm_plan,
     )
 
+    from anomalydetector_spark.operators.graph import (
+        degree_stats,
+        extract_outlinks,
+        host_link_graph,
+        pagerank,
+    )
+
+    edge_rows = spark.range(50000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    # One iteration's plan carries the whole per-round shape (every later
+    # round sees a localCheckpoint scan instead of the live lineage).
+    pr_plan = plan_of(
+        pagerank(edge_rows, iterations=1, checkpoint=False)
+    )
+    ok &= check(
+        "PageRank iteration: equi-joins only (rank frame meets the "
+        "partitioned transition matrix; no cartesian), map-side partial "
+        "sum before the contribution shuffle, zero Python",
+        "CartesianProduct" not in pr_plan
+        and "BroadcastNestedLoopJoin" not in pr_plan
+        and "partial_sum" in pr_plan
+        and "EvalPython" not in pr_plan,
+    )
+
+    deg_plan = plan_of(degree_stats(edge_rows, weight_col=None))
+    ok &= check(
+        "degree stats: single aggregation over the tagged union (one "
+        "shuffle, partial aggregate, NO join), zero Python",
+        "Join" not in deg_plan
+        and "partial_sum" in deg_plan
+        and "EvalPython" not in deg_plan,
+    )
+
+    page_link_rows = spark.range(5000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 11).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+        F.concat(F.lit('<a href="https://h'),
+                 (F.col("id") % 7).cast("string"),
+                 F.lit('.example.org/x">l</a>')).alias("html"),
+    )
+    hg_plan = plan_of(
+        host_link_graph(extract_outlinks(page_link_rows, is_binary=False))
+    )
+    ok &= check(
+        "outlink extraction + host graph: pure codegen explode into ONE "
+        "map-side-combined aggregation (page edges collapse before any "
+        "shuffle), zero Python",
+        "partial_count" in hg_plan
+        and "EvalPython" not in hg_plan
+        and "CartesianProduct" not in hg_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
