@@ -21,9 +21,9 @@ Scale shape (the 100-TB contract):
   map-side-combined ``groupBy(dst)``, and the new rank is a left join
   back onto the bounded node list.
 * Dangling mass (rank parked on nodes with no out-edges) is a single
-  tiny aggregate per iteration over the precomputed dangling id set —
-  a scalar driver action, same cost class as the convergence ``count()``
-  in :func:`~anomalydetector_spark.operators.components.connected_components`.
+  tiny aggregate per iteration over the precomputed dangling id set,
+  kept IN the plan as a broadcast 1-row frame — no extra driver action
+  per round; the only per-iteration job is the eager checkpoint.
 * Each iteration's ranks are ``localCheckpoint``-ed to truncate lineage
   (iterative joins otherwise double the plan per round); on a real
   cluster prefer ``setCheckpointDir`` + ``.checkpoint()``.
@@ -219,9 +219,9 @@ def pagerank(
     See the module docstring for the 100-TB shape: per iteration, one
     equi-join of the two-column rank frame against the persisted
     src-partitioned transition matrix, one map-side-combined
-    ``groupBy(dst)``, one bounded-node-list left join, one scalar
-    dangling-mass aggregate, and a ``localCheckpoint`` to truncate
-    lineage.
+    ``groupBy(dst)``, one bounded-node-list left join, one in-plan
+    broadcast dangling-mass aggregate, and a ``localCheckpoint`` to
+    truncate lineage.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -262,10 +262,16 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     try:
         for _ in range(iterations):
-            dm = (
-                ranks.join(dangling, "id", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .first()[0]
+            # dangling mass stays IN the plan as a broadcast 1-row frame
+            # (a scalar .first() here would cost a whole extra job per
+            # iteration); the division by N happens on the same operands
+            # in the same order as the oracle's subquery.
+            dm_n = F.broadcast(
+                ranks.join(dangling, "id", "left_semi").agg(
+                    (
+                        F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))
+                    ).alias("_dm_over_n")
+                )
             )
             contrib = (
                 norm.join(
@@ -278,12 +284,13 @@ def pagerank(
             # (1.0 - d)/N + d * (coalesce(s, 0.0) + dm/N)
             ranks = (
                 nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+                .crossJoin(dm_n)
                 .select(
                     "id",
                     (
                         F.lit((1.0 - damping) / n)
                         + F.lit(damping)
-                        * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+                        * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("_dm_over_n"))
                     ).alias("rank"),
                 )
             )

@@ -1089,12 +1089,13 @@ def main() -> None:
         pagerank(edge_rows, iterations=1, checkpoint=False)
     )
     ok &= check(
-        "PageRank iteration: equi-joins only (rank frame meets the "
-        "partitioned transition matrix; no cartesian), map-side partial "
-        "sum before the contribution shuffle, zero Python",
+        "PageRank iteration: rank frame meets the transition matrix by "
+        "equi-join (no cartesian), map-side partial sum before the "
+        "contribution shuffle, dangling mass rides as a broadcast 1-row "
+        "frame (the only nested-loop join), zero Python",
         "CartesianProduct" not in pr_plan
-        and "BroadcastNestedLoopJoin" not in pr_plan
         and "partial_sum" in pr_plan
+        and "BroadcastExchange" in pr_plan  # the 1-row dangling-mass frame
         and "EvalPython" not in pr_plan,
     )
 
