@@ -2160,6 +2160,41 @@ def q_host_degrees(spark, sf_dir):
     return degree_stats(edges)
 
 
+def q_outlink_hosts(spark, sf_dir):
+    """End-to-end outlink extraction + host-graph collapse
+    (operators/graph.extract_outlinks + host_link_graph): html pages are
+    built in-query from doc_id arithmetic (one absolute link, one
+    protocol-relative link, one root-relative self-loop, one javascript:
+    target per page), then the pure-codegen href regex + resolution chain
+    + self-loop filter + map-side-combined aggregation produce the host
+    graph. The DuckDB oracle NEVER parses html — it derives the expected
+    edge multiset directly from the same doc_id arithmetic, so the whole
+    regex/resolution path is what the hash gate certifies."""
+    from anomalydetector_spark.operators.graph import (
+        extract_outlinks,
+        host_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mod = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    pages = docs.select(
+        F.concat(
+            F.lit("https://src"), mod(11), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://dst'), mod(7),
+            F.lit('.example.org/x">d</a>'),
+            F.lit('<a href="//cdn'), mod(5),
+            F.lit('.example.net/l.js">c</a>'),
+            F.lit('<a href="/rel/p">self</a>'),
+            F.lit('<a href="javascript:void(0)">j</a></body></html>'),
+        ).alias("html"),
+    )
+    links = extract_outlinks(pages, is_binary=False)
+    return host_link_graph(links, level="host")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """PMI/NPMI collocation mining (operators/collocations.pmi_collocations):
     top-100 adjacent-bigram collocations with corpus count >= 5, scores in
@@ -2533,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": q_mad_outliers_events,
         "host_pagerank": q_host_pagerank,
         "host_degrees": q_host_degrees,
+        "outlink_hosts": q_outlink_hosts,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -4922,6 +4958,18 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": f"""
             WITH {pagerank_base}{pagerank_iters}
             SELECT id, round(r, 6) AS pagerank FROM r8
+        """,
+        "outlink_hosts": """
+            WITH e AS (
+              SELECT 'src' || (doc_id % 11) || '.example.com' AS src,
+                     'dst' || (doc_id % 7) || '.example.org' AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'src' || (doc_id % 11) || '.example.com',
+                     'cdn' || (doc_id % 5) || '.example.net'
+              FROM documents)
+            SELECT src, dst, count(*)::BIGINT AS weight
+            FROM e GROUP BY src, dst
         """,
         "host_degrees": """
             WITH raw AS (

@@ -55,8 +55,16 @@ def extract_outlinks(
     html_col: str = "html",
     url_col: str = "url",
     is_binary: bool | None = None,
+    with_anchor: bool = False,
 ) -> DataFrame:
     """``(src_url, dst_url)`` — one row per ``href`` in each page's html.
+
+    With ``with_anchor=True`` the scan is restricted to ``<a>``
+    elements and an ``anchor_text`` column (inner tags stripped,
+    trimmed) is added — anchor text aggregated per target is a classic
+    web-retrieval/quality signal. The default mode scans every
+    ``href=`` attribute (``<a>``, ``<link>``, …), which is what the
+    crawl-frontier side wants.
 
     Entirely JVM-side: ``regexp_extract_all`` pulls every
     ``href="..."`` / ``href='...'`` target, ``explode`` fans out, and
@@ -80,22 +88,36 @@ def extract_outlinks(
     """
     if is_binary is None:
         is_binary = dict(df.dtypes).get(html_col) == "binary"
-    html = F.col(html_col)
-    if is_binary:
-        html = F.decode(html, "UTF-8")
-    raw = F.explode(
-        F.regexp_extract_all(
-            F.coalesce(html, F.lit("")),
-            F.lit(r"""href\s*=\s*["']([^"']+)["']"""),
-            F.lit(1),
-        )
-    ).alias("_raw")
+    html = F.coalesce(
+        F.decode(F.col(html_col), "UTF-8") if is_binary else F.col(html_col),
+        F.lit(""),
+    )
+    if with_anchor:
+        # whole <a> elements, so href and anchor text stay aligned
+        raw = F.explode(
+            F.regexp_extract_all(
+                html, F.lit(r"(?s)<[Aa](\s[^>]*)?>.*?</[Aa]\s*>"), F.lit(0)
+            )
+        ).alias("_elem")
+    else:
+        raw = F.explode(
+            F.regexp_extract_all(
+                html, F.lit(r"""href\s*=\s*["']([^"']+)["']"""), F.lit(1)
+            )
+        ).alias("_raw")
     page = F.col("src_url")  # available after the first select below
     scheme = F.lower(
         F.regexp_extract(F.trim(page), r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
     )
     base = F.concat(scheme, F.lit("://"), url_host(page))
-    t = F.trim(F.col("_raw"))
+    target = (
+        F.regexp_extract(
+            F.col("_elem"), r"""href\s*=\s*["']([^"']+)["']""", 1
+        )
+        if with_anchor
+        else F.col("_raw")
+    )
+    t = F.trim(target)
     resolved = (
         F.when(t.rlike(_NON_LINK_SCHEMES), F.lit(None))
         .when(t.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), t)
@@ -103,10 +125,20 @@ def extract_outlinks(
         .when(t.startswith("/"), F.concat(base, t))
         .otherwise(F.lit(None))
     )
-    return (
-        df.select(F.col(url_col).alias("src_url"), raw)
-        .select("src_url", resolved.alias("dst_url"))
-        .filter(F.col("dst_url").isNotNull())
+    first = df.select(F.col(url_col).alias("src_url"), raw)
+    if with_anchor:
+        anchor = F.trim(
+            F.regexp_replace(
+                F.regexp_extract(F.col("_elem"), r"(?s)^<[^>]*>(.*)</[Aa]\s*>$", 1),
+                r"<[^>]*>",
+                "",
+            )
+        )
+        return first.select(
+            "src_url", resolved.alias("dst_url"), anchor.alias("anchor_text")
+        ).filter(F.col("dst_url").isNotNull())
+    return first.select("src_url", resolved.alias("dst_url")).filter(
+        F.col("dst_url").isNotNull()
     )
 
 

@@ -211,3 +211,37 @@ def test_host_link_graph_host_level(spark, pages_df):
 def test_host_link_graph_bad_level(spark, pages_df):
     with pytest.raises(ValueError):
         host_link_graph(extract_outlinks(pages_df, is_binary=False), level="x")
+
+
+def test_extract_outlinks_with_anchor(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                url="https://a.example.com/",
+                html=(
+                    '<a href="https://b.example.org/x">plain</a>'
+                    '<a class="c" href="/y"><b>Bold</b> link </a>'
+                    '<a name="no-href">skip</a>'
+                    '<a href="javascript:void(0)">js</a>'
+                    '<link href="https://css.example.net/s.css">'
+                ),
+            )
+        ]
+    )
+    got = {
+        (r["dst_url"], r["anchor_text"])
+        for r in extract_outlinks(
+            df, is_binary=False, with_anchor=True
+        ).collect()
+    }
+    # inner tags stripped + trimmed; no-href and javascript <a>s dropped;
+    # the <link> element is NOT in anchor mode's scan
+    assert got == {
+        ("https://b.example.org/x", "plain"),
+        ("https://a.example.com/y", "Bold link"),
+    }
+    # default mode still sees the <link> href
+    all_hrefs = {
+        r["dst_url"] for r in extract_outlinks(df, is_binary=False).collect()
+    }
+    assert "https://css.example.net/s.css" in all_hrefs
