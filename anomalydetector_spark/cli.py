@@ -860,6 +860,54 @@ def cmd_sessions(args, spark: SparkSession) -> None:
         print(f"retention: -> {out}")
 
 
+def cmd_link_graph(args, spark: SparkSession) -> None:
+    """Pages (url, html) → weighted host/domain link graph parquet,
+    optionally + PageRank and degree-stats parquet (operators/graph).
+    Page-level edges collapse to host level with map-side partials
+    before anything iterative runs — the graph artifacts stay bounded
+    by the host count no matter the crawl size."""
+    from anomalydetector_spark.operators.graph import (
+        degree_stats,
+        extract_outlinks,
+        host_link_graph,
+        pagerank,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    pages = read_table(spark, args.input_path)
+    links = extract_outlinks(
+        pages, html_col=args.html_column, url_col=args.url_column
+    )
+    edges = host_link_graph(links, level=args.level)
+    edges.write.mode("overwrite").parquet(args.output_path)
+    edges = spark.read.parquet(args.output_path)
+    print(f"link-graph: {edges.count()} {args.level} edges -> {args.output_path}")
+
+    if args.pagerank_iterations:
+        out = f"{args.output_path}_ranks"
+        ranks = pagerank(
+            edges,
+            weight_col="weight",
+            iterations=args.pagerank_iterations,
+            damping=args.damping,
+            round_dp=6,
+        )
+        ranks.write.mode("overwrite").parquet(out)
+        top = (
+            spark.read.parquet(out)
+            .orderBy(F.desc("pagerank"), "id")
+            .limit(5)
+            .collect()
+        )
+        print(f"pagerank: {args.pagerank_iterations} iterations -> {out}")
+        for r in top:
+            print(f"  {r['id']}: {r['pagerank']}")
+    if args.degrees:
+        out = f"{args.output_path}_degrees"
+        degree_stats(edges).write.mode("overwrite").parquet(out)
+        print(f"degrees: -> {out}")
+
+
 def cmd_keywords(args, spark: SparkSession) -> None:
     """Corpus → per-document TF-IDF keyword profiles (operators/tfidf):
     smoothed-IDF table (written alongside for reuse/inspection) and the
@@ -1575,6 +1623,26 @@ def main(argv=None):
     se.add_argument("--retention", action="store_true",
                     help="also write weekly cohort retention")
 
+    lg = sub.add_parser(
+        "link-graph",
+        help="pages (url, html) -> host/domain link graph "
+             "(+ PageRank, degree stats)",
+    )
+    lg.add_argument("--input-path", required=True)
+    lg.add_argument("--output-path", required=True,
+                    help="edges parquet; ranks/degrees land at "
+                         "<output-path>_ranks / _degrees")
+    lg.add_argument("--url-column", default="url")
+    lg.add_argument("--html-column", default="html")
+    lg.add_argument("--level", choices=["domain", "host"], default="domain",
+                    help="collapse to registrable domain (default, the "
+                         "per-domain-cap key) or full host")
+    lg.add_argument("--pagerank-iterations", type=int, default=0,
+                    help="run PageRank for N fixed iterations and write "
+                         "<output-path>_ranks (0 = skip)")
+    lg.add_argument("--damping", type=float, default=0.85)
+    lg.add_argument("--degrees", action="store_true",
+                    help="also write per-node degree stats")
 
     args = parser.parse_args(argv)
     from anomalydetector_spark.session import get_spark
@@ -1603,6 +1671,8 @@ def main(argv=None):
             cmd_keywords(args, spark)
         elif args.cmd == "sessions":
             cmd_sessions(args, spark)
+        elif args.cmd == "link-graph":
+            cmd_link_graph(args, spark)
         else:
             cmd_validate(args, spark)
     except Exception as e:

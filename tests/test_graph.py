@@ -245,3 +245,44 @@ def test_extract_outlinks_with_anchor(spark):
         r["dst_url"] for r in extract_outlinks(df, is_binary=False).collect()
     }
     assert "https://css.example.net/s.css" in all_hrefs
+
+
+def test_link_graph_cli(spark, tmp_path):
+    from anomalydetector_spark import cli
+
+    inp = str(tmp_path / "pages")
+    spark.range(60).select(
+        F.concat(
+            F.lit("https://s"), (F.col("id") % 4).cast("string"),
+            F.lit(".example.com/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<a href="https://t'), (F.col("id") % 3).cast("string"),
+                F.lit('.example.org/x">l</a>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    ).write.parquet(inp)
+    out = str(tmp_path / "graph")
+    cli.main(
+        [
+            "link-graph",
+            "--input-path", inp,
+            "--output-path", out,
+            "--level", "host",
+            "--pagerank-iterations", "5",
+            "--degrees",
+        ]
+    )
+    edges = spark.read.parquet(out)
+    # 4 src hosts x 3 dst hosts, every combination hit (60 = lcm-friendly)
+    assert edges.count() == 12
+    assert edges.agg(F.sum("weight")).first()[0] == 60
+    ranks = spark.read.parquet(out + "_ranks")
+    assert ranks.count() == 7
+    assert sum(r["pagerank"] for r in ranks.collect()) == pytest.approx(
+        1.0, abs=1e-4  # ranks are 6dp-rounded
+    )
+    degs = spark.read.parquet(out + "_degrees")
+    assert degs.filter(F.col("out_edges") == 0).count() == 3  # dst hosts dangle
