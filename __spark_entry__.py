@@ -2160,6 +2160,22 @@ def q_host_degrees(spark, sf_dir):
     return degree_stats(edges)
 
 
+def q_trustrank(spark, sf_dir):
+    """Personalized PageRank / TrustRank (operators/graph.pagerank with
+    seeds): teleport mass confined to the trusted seed set (node ids
+    < 5), so rank reaches only what the seeds transitively link to —
+    the Gyöngyi et al. web-spam-demotion construction. Same distributed
+    shape as host_pagerank (one equi-join + one map-side-combined
+    groupBy + in-plan broadcast dangling mass per round); the oracle
+    replays the seeded arithmetic ((1.0-0.85)*t + 0.85*(s + dm*t)) in 8
+    unrolled CTEs."""
+    from anomalydetector_spark.operators.graph import pagerank
+
+    edges = _event_graph_edges(spark, sf_dir)
+    seeds = spark.range(5)  # trusted node ids 0..4 (all are sources)
+    return pagerank(edges, iterations=8, round_dp=6, seeds=seeds)
+
+
 def q_outlink_hosts(spark, sf_dir):
     """End-to-end outlink extraction + host-graph collapse
     (operators/graph.extract_outlinks + host_link_graph): html pages are
@@ -2569,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_degrees": q_host_degrees,
         "outlink_hosts": q_outlink_hosts,
+        "trustrank": q_trustrank,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -2971,15 +2988,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT src, dst, count(*)::DOUBLE AS w
               FROM raw GROUP BY src, dst),
             outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
-            norm AS (
+            norm AS MATERIALIZED (
               SELECT e.src, e.dst, e.w / o.ow AS p
               FROM e JOIN outw o ON e.src = o.src),
-            nodes AS (
+            nodes AS MATERIALIZED (
               SELECT DISTINCT src AS id FROM e
               UNION
               SELECT DISTINCT dst FROM e),
             nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-            dangling AS (
+            dangling AS MATERIALIZED (
               SELECT id FROM nodes
               WHERE id NOT IN (SELECT src FROM e)),
             r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
@@ -2987,7 +3004,7 @@ def oracle_sql() -> dict[str, str]:
     # graph.pagerank: r' = (1.0 - 0.85)/N + 0.85*(coalesce(s,0) + dm/N)
     pagerank_iters = "".join(
         f""",
-            r{k} AS (
+            r{k} AS MATERIALIZED (
               SELECT nd.id,
                      (1.0 - 0.85) / (SELECT n FROM nn)
                      + 0.85 * (COALESCE(c.s, 0.0)
@@ -2998,6 +3015,35 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes nd
               LEFT JOIN (SELECT e.dst AS id, sum(e.p * pr.r) AS s
                          FROM norm e JOIN r{k - 1} pr ON pr.id = e.src
+                         GROUP BY e.dst) c ON nd.id = c.id)"""
+        for k in range(1, 9)
+    )
+
+    # TrustRank twin: teleport vector t confined to seed ids < 5,
+    # r0 = t, r' = (1.0-0.85)*t + 0.85*(contrib + dm*t) — the literal
+    # seeded arithmetic of graph.pagerank(seeds=...).
+    trustrank_prefix = """,
+            seeds AS (SELECT id FROM nodes WHERE id < 5),
+            sc AS (SELECT count(*)::DOUBLE AS c FROM seeds),
+            tvec AS MATERIALIZED (
+              SELECT id,
+                     CASE WHEN id < 5 THEN 1.0 / (SELECT c FROM sc)
+                          ELSE 0.0 END AS t
+              FROM nodes),
+            t0 AS (SELECT id, t AS r FROM tvec)"""
+    trustrank_iters = "".join(
+        f""",
+            t{k} AS MATERIALIZED (
+              SELECT nd.id,
+                     (1.0 - 0.85) * nd.t
+                     + 0.85 * (COALESCE(c.s, 0.0)
+                               + (SELECT COALESCE(sum(pr.r), 0.0)
+                                  FROM t{k - 1} pr
+                                  JOIN dangling d ON pr.id = d.id)
+                                 * nd.t) AS r
+              FROM tvec nd
+              LEFT JOIN (SELECT e.dst AS id, sum(e.p * pr.r) AS s
+                         FROM norm e JOIN t{k - 1} pr ON pr.id = e.src
                          GROUP BY e.dst) c ON nd.id = c.id)"""
         for k in range(1, 9)
     )
@@ -4958,6 +5004,10 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": f"""
             WITH {pagerank_base}{pagerank_iters}
             SELECT id, round(r, 6) AS pagerank FROM r8
+        """,
+        "trustrank": f"""
+            WITH {pagerank_base}{trustrank_prefix}{trustrank_iters}
+            SELECT id, round(r, 6) AS pagerank FROM t8
         """,
         "outlink_hosts": """
             WITH e AS (

@@ -227,6 +227,7 @@ def pagerank(
     iterations: int = 20,
     checkpoint: bool = True,
     round_dp: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` by power iteration; returns
     ``(id, pagerank)`` for every node appearing as a source or
@@ -242,6 +243,20 @@ def pagerank(
     1.0 every iteration. Parallel edges are collapsed by summing
     weights (``weight_col=None`` counts multiplicity), so callers can
     feed raw link rows or a pre-aggregated graph interchangeably.
+
+    ``seeds`` switches to PERSONALIZED PageRank — the TrustRank
+    construction (Gyöngyi et al., VLDB 2004) used for web-spam
+    demotion: teleport mass goes uniformly to the seed set ``S``
+    instead of all nodes,
+
+    ``r'(v) = (1-d)·t(v) + d · (Σ p(u,v)·r(u) + D·t(v))``,
+    ``t(v) = 1/|S|`` for ``v ∈ S`` else ``0``,
+
+    so rank can only reach nodes the trusted set links to
+    (transitively); spam farms unreferenced by ``S`` score exactly 0.
+    ``seeds`` is any one-column-keyed frame (first column = node id);
+    it stays distributed — one bounded left join tags the node list,
+    never a collect. Mass is still conserved at 1.0.
 
     Exactly ``iterations`` rounds run — no data-dependent early exit —
     so the result is deterministic up to FP summation order, and
@@ -289,22 +304,44 @@ def pagerank(
         e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).persist()
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    base = nodes
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).alias("id")
+        ).distinct()
+        tagged = nodes.join(
+            seed_ids.withColumn("_is_seed", F.lit(True)), "id", "left"
+        )
+        n_seeds = tagged.filter(F.col("_is_seed")).count()
+        if n_seeds == 0:
+            raise ValueError("seeds contains no node of the graph")
+        base = tagged.select(
+            "id",
+            F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        ).persist()
+        ranks = base.select("id", F.col("t").alias("rank"))
+    else:
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
     try:
         for _ in range(iterations):
             # dangling mass stays IN the plan as a broadcast 1-row frame
             # (a scalar .first() here would cost a whole extra job per
-            # iteration); the division by N happens on the same operands
-            # in the same order as the oracle's subquery.
-            dm_n = F.broadcast(
-                ranks.join(dangling, "id", "left_semi").agg(
-                    (
-                        F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))
-                    ).alias("_dm_over_n")
-                )
+            # iteration); uniform mode pre-divides by N on the same
+            # operands in the same order as the oracle's subquery,
+            # seeded mode carries the raw mass (multiplied by t(v) at
+            # the update).
+            dm_agg = ranks.join(dangling, "id", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
+            if seeds is None:
+                dm_agg = dm_agg.select(
+                    (F.col("_dm") / F.lit(float(n))).alias("_dm")
+                )
+            dm_frame = F.broadcast(dm_agg)
             contrib = (
                 norm.join(
                     ranks.select(F.col("id").alias("src"), "rank"), "src"
@@ -313,19 +350,23 @@ def pagerank(
                 .agg(F.sum(F.col("p") * F.col("rank")).alias("s"))
             )
             # arithmetic order mirrored LITERALLY by the DuckDB oracle:
-            # (1.0 - d)/N + d * (coalesce(s, 0.0) + dm/N)
-            ranks = (
-                nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-                .crossJoin(dm_n)
-                .select(
-                    "id",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("_dm_over_n"))
-                    ).alias("rank"),
+            # uniform: (1.0 - d)/N + d * (coalesce(s, 0.0) + dm/N)
+            # seeded:  (1.0 - d)*t  + d * (coalesce(s, 0.0) + dm*t)
+            joined = base.join(
+                contrib.withColumnRenamed("dst", "id"), "id", "left"
+            ).crossJoin(dm_frame)
+            if seeds is None:
+                new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                    F.coalesce(F.col("s"), F.lit(0.0)) + F.col("_dm")
                 )
-            )
+            else:
+                new_rank = F.lit(1.0 - damping) * F.col("t") + F.lit(
+                    damping
+                ) * (
+                    F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.col("_dm") * F.col("t")
+                )
+            ranks = joined.select("id", new_rank.alias("rank"))
             if checkpoint:
                 ranks = ranks.localCheckpoint(eager=True)
         if round_dp is not None:
@@ -335,3 +376,5 @@ def pagerank(
         norm.unpersist()
         nodes.unpersist()
         dangling.unpersist()
+        if seeds is not None:
+            base.unpersist()

@@ -16,9 +16,10 @@ from anomalydetector_spark.operators.graph import (
 )
 
 
-def pagerank_np(edges, damping=0.85, iterations=20):
+def pagerank_np(edges, damping=0.85, iterations=20, seeds=None):
     """Pure-python mirror of the distributed formula — identical
-    arithmetic: p = w/out_w, r' = (1-d)/N + d*(contrib + dm/N)."""
+    arithmetic: p = w/out_w; uniform r' = (1-d)/N + d*(contrib + dm/N),
+    seeded r' = (1-d)*t + d*(contrib + dm*t)."""
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
@@ -28,13 +29,21 @@ def pagerank_np(edges, damping=0.85, iterations=20):
     out_w = {}
     for (s, _), ww in w.items():
         out_w[s] = out_w.get(s, 0.0) + ww
-    r = np.full(n, 1.0 / n)
+    if seeds is not None:
+        in_graph = [v for v in nodes if v in set(seeds)]
+        t = np.array([1.0 / len(in_graph) if v in set(seeds) else 0.0 for v in nodes])
+        r = t.copy()
+    else:
+        r = np.full(n, 1.0 / n)
     for _ in range(iterations):
         dm = sum(r[idx[v]] for v in nodes if v not in out_w)
         contrib = np.zeros(n)
         for (s, d), ww in w.items():
             contrib[idx[d]] += (ww / out_w[s]) * r[idx[s]]
-        r = (1.0 - damping) / n + damping * (contrib + dm / n)
+        if seeds is not None:
+            r = (1.0 - damping) * t + damping * (contrib + dm * t)
+        else:
+            r = (1.0 - damping) / n + damping * (contrib + dm / n)
     return dict(zip(nodes, r))
 
 
@@ -286,3 +295,40 @@ def test_link_graph_cli(spark, tmp_path):
     )
     degs = spark.read.parquet(out + "_degrees")
     assert degs.filter(F.col("out_edges") == 0).count() == 3  # dst hosts dangle
+
+
+def test_trustrank_matches_numpy_mirror(spark, edges_df):
+    seeds = spark.createDataFrame([(0,), (2,)], "id bigint")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(
+            edges_df, weight_col="w", iterations=10, seeds=seeds
+        ).collect()
+    }
+    want = pagerank_np(EDGES, iterations=10, seeds=[0, 2])
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_unreachable_scores_zero(spark):
+    """Two disconnected components; seeding only one leaves the other
+    at EXACTLY 0 — the spam-demotion property."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(df, iterations=8, seeds=seeds).collect()
+    }
+    assert got["spam1"] == 0.0 and got["spam2"] == 0.0
+    assert got["a"] > got["b"] > 0
+
+
+def test_trustrank_disjoint_seeds_raise(spark, edges_df):
+    seeds = spark.createDataFrame([(999,)], "id bigint")
+    with pytest.raises(ValueError):
+        pagerank(edges_df, weight_col="w", iterations=2, seeds=seeds)
