@@ -2160,6 +2160,30 @@ def q_host_degrees(spark, sf_dir):
     return degree_stats(edges)
 
 
+_ZORDER_BOUNDS = [(0.0, 100.0), (0.0, 150.0)]
+
+
+def q_zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/layout.zorder_key):
+    per-column quantization against literal bounds + bit interleave as
+    ONE whole-stage-codegen expression tree — a free projection, no
+    shuffle, no Python. This key drives write_clustered's range
+    repartition so box predicates prune files/row-groups in EVERY
+    participating dimension (the pruning payoff is pinned by
+    tests/test_layout.py: 16-file box query touches <=4 clustered files
+    vs >=12 random). Oracled by the generated SQL twin (layout.
+    zorder_sql — same expression, same double arithmetic)."""
+    from anomalydetector_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(["value", "user_id"], _ZORDER_BOUNDS, bits=8).alias(
+            "zkey"
+        ),
+    )
+
+
 def q_trustrank(spark, sf_dir):
     """Personalized PageRank / TrustRank (operators/graph.pagerank with
     seeds): teleport mass confined to the trusted seed set (node ids
@@ -2586,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degrees": q_host_degrees,
         "outlink_hosts": q_outlink_hosts,
         "trustrank": q_trustrank,
+        "zorder_events": q_zorder_events,
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
@@ -2975,6 +3000,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id,
                      COALESCE(s.simhash, 0)::BIGINT AS simhash
               FROM documents d LEFT JOIN sig s USING (doc_id))"""
+
+    from anomalydetector_spark.operators.layout import (
+        zorder_sql as _zorder_sql,
+    )
 
     # PageRank fixture-graph base CTEs (mirrors _event_graph_edges +
     # operators/graph.pagerank's pre-iteration stages verbatim: collapse
@@ -5008,6 +5037,11 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": f"""
             WITH {pagerank_base}{trustrank_prefix}{trustrank_iters}
             SELECT id, round(r, 6) AS pagerank FROM t8
+        """,
+        "zorder_events": f"""
+            SELECT event_id,
+                   {_zorder_sql(['value', 'user_id'], _ZORDER_BOUNDS, bits=8)} AS zkey
+            FROM events
         """,
         "outlink_hosts": """
             WITH e AS (

@@ -1127,6 +1127,26 @@ def main() -> None:
         and "CartesianProduct" not in hg_plan,
     )
 
+    from anomalydetector_spark.operators.layout import zorder_key
+
+    zo_plan = plan_of(
+        spark.range(10000).select(
+            F.col("id"),
+            zorder_key(
+                [(F.col("id") % 100).cast("double"), (F.col("id") % 150).cast("double")],
+                [(0.0, 100.0), (0.0, 150.0)],
+                bits=8,
+            ).alias("zkey"),
+        )
+    )
+    ok &= check(
+        "Z-order key is a zero-shuffle pure-codegen projection "
+        "(free when fused into a scan)",
+        "Exchange" not in zo_plan
+        and "EvalPython" not in zo_plan
+        and "codegen id" in zo_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
