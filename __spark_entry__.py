@@ -283,6 +283,28 @@ def q_referential_anti_shuffle(spark, sf_dir):
     )
 
 
+def q_referential_anti_bloom(spark, sf_dir):
+    """Same referential check on the semi-join-reduction rung
+    (strategy='shuffle_bloom'): the dim's Bloom bitmap rides as a
+    broadcast 1-row map column, every fact row gets a pure-codegen
+    membership probe, bloom-NEGATIVE rows are emitted as definite
+    violations without ever shuffling, and only the bloom-positive
+    remainder (hits + the FP fraction) enters the shuffle-hash anti
+    join. Exact because the filter has no false negatives; the same
+    oracle as `referential_anti_shuffle` certifies this physical plan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    r = check_referential(
+        orders, "o_custkey", cust, "c_custkey", "o_orderpriority",
+        strategy="shuffle_bloom",
+    )
+    return r.verdicts.select(
+        F.col("partition_key").alias("o_orderpriority"),
+        "violation_count",
+        "rows_scanned",
+    )
+
+
 def q_fd_check(spark, sf_dir):
     """Generic functional-dependency check (checks.check_functional_dependency):
     l_partkey → l_suppkey per returnflag. TPC-H supplies each part from ~4
@@ -2537,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_bounds": q_value_bounds,
         "referential_anti": q_referential_anti,
         "referential_anti_shuffle": q_referential_anti_shuffle,
+        "referential_anti_bloom": q_referential_anti_bloom,
         "fd_check": q_fd_check,
         "quarantine_rows": q_quarantine_rows,
         "semi_join": q_semi_join,
@@ -3362,6 +3385,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "referential_anti": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS violation_count,
+                   count(*) AS rows_scanned
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "referential_anti_bloom": """
             SELECT o_orderpriority,
                    sum(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS violation_count,
                    count(*) AS rows_scanned

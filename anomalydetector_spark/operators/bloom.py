@@ -59,16 +59,20 @@ def bloom_params(n_keys: int, fp_rate: float = 0.01) -> Tuple[int, int]:
     return m_bits, n_hashes
 
 
+def _position(key: Column, m_bits: int, seed: int, i: int) -> Column:
+    """The key's i-th bit position in [0, m_bits) — the single hash
+    expression both the build and every probe (array-based or scalar)
+    derive from, so they can never drift."""
+    return F.pmod(
+        md5_long(F.concat(key.cast("string"), F.lit(f":b{seed}:{i}"))),
+        F.lit(m_bits),
+    )
+
+
 def _positions(key: Column, m_bits: int, n_hashes: int, seed: int) -> Column:
     """Array of the key's ``n_hashes`` bit positions in [0, m_bits)."""
     return F.array(
-        *[
-            F.pmod(
-                md5_long(F.concat(key.cast("string"), F.lit(f":b{seed}:{i}"))),
-                F.lit(m_bits),
-            )
-            for i in range(n_hashes)
-        ]
+        *[_position(key, m_bits, seed, i) for i in range(n_hashes)]
     )
 
 

@@ -22,6 +22,17 @@ Physical strategy is a ladder, chosen by dimension size:
   one. Exact: the replicated dimension contains every salt for every
   key, so match/no-match per fact row is unchanged. (AQE's skew-join
   splitting only applies to sort-merge joins, hence the explicit salt.)
+* ``shuffle_bloom``: semi-join reduction for dimensions too big to
+  broadcast but whose MISSES dominate (or whose hits do — either way
+  most rows are decidable without the join). The dim's Bloom bitmap
+  (``operators/bloom``) rides as a broadcast 1-row map column; every
+  fact row gets a pure-codegen membership probe, and only
+  bloom-POSITIVE rows enter the shuffle join. No false negatives by
+  construction, so bloom-negative rows are DEFINITE non-members: for
+  an anti join they are emitted directly, for a semi join dropped —
+  exact either way, with shuffled bytes cut to (hit rate + FP rate) of
+  the fact. The bitmap must fit a broadcast row (~1.2 MB per 10^6 dim
+  keys at 1% FP) — for 10^9-key dims stay on ``shuffle``/``salted``.
 """
 
 from __future__ import annotations
@@ -36,7 +47,13 @@ from anomalydetector_spark.operators.checks import (
     _verdict_from_violation_count,
 )
 
-REF_STRATEGIES = ("broadcast", "auto", "shuffle", "shuffle_salted")
+REF_STRATEGIES = (
+    "broadcast",
+    "auto",
+    "shuffle",
+    "shuffle_salted",
+    "shuffle_bloom",
+)
 
 
 def _salt_expr(salt_on: Column | str | None, salts: int) -> Column:
@@ -65,11 +82,13 @@ def dim_join(
     strategy: str = "broadcast",
     salts: int = 16,
     salt_on: Column | str | None = None,
+    bloom_fp: float = 0.01,
 ) -> DataFrame:
     """Join ``fact`` against the distinct parent key set under the chosen
     physical strategy. ``how='left'`` appends a ``_known`` boolean column
     (True where the key exists, NULL otherwise); ``how='left_anti'`` /
-    ``'left_semi'`` return the usual filtered fact rows."""
+    ``'left_semi'`` return the usual filtered fact rows. ``bloom_fp``
+    sizes the ``shuffle_bloom`` rung's bitmap (ignored elsewhere)."""
     if strategy not in REF_STRATEGIES:
         raise ValueError(
             f"strategy must be one of {REF_STRATEGIES}, got {strategy!r}"
@@ -85,12 +104,85 @@ def dim_join(
     if strategy == "shuffle":
         return fact.join(dim.hint("shuffle_hash"), child_col, how)
 
+    if strategy == "shuffle_bloom":
+        return _bloom_reduced_join(fact, dim, child_col, how, bloom_fp)
+
     # shuffle_salted: spread each hot fact key across `salts` tasks
     fact_s = fact.withColumn("_ref_salt", _salt_expr(salt_on, salts))
     dim_s = dim.withColumn(
         "_ref_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     ).hint("shuffle_hash")
     return fact_s.join(dim_s, [child_col, "_ref_salt"], how).drop("_ref_salt")
+
+
+def _bloom_probe(key: Column, m_bits: int, n_hashes: int, seed: int) -> Column:
+    """Pure-codegen membership probe against the broadcast ``_bloom``
+    map column: every one of the key's bit positions must be set. Uses
+    the same scalar position expression the build uses."""
+    from anomalydetector_spark.operators.bloom import _position
+
+    out = None
+    for i in range(n_hashes):
+        p = _position(key, m_bits, seed, i)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(32)).cast("int")
+        )
+        word = F.coalesce(
+            F.element_at(F.col("_bloom"), (p / 32).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        c = word.bitwiseAND(mask) == mask
+        out = c if out is None else (out & c)
+    return out
+
+
+def _bloom_reduced_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    child_col: str,
+    how: str,
+    bloom_fp: float,
+) -> DataFrame:
+    """Semi-join reduction: probe every fact row against the dim's
+    broadcast Bloom bitmap in codegen; only bloom-positive rows (true
+    members + the FP fraction) reach the shuffle join. Bloom-negative
+    rows are definite non-members — emitted directly for anti/left,
+    dropped for semi. Exact for every ``how`` because the filter has no
+    false negatives."""
+    from anomalydetector_spark.operators.bloom import bloom_params, build_bloom
+
+    n_keys = dim.count()  # dim is already distinct; bounded action
+    m_bits, n_hashes = bloom_params(max(n_keys, 1), bloom_fp)
+    bloom_row = F.broadcast(
+        build_bloom(dim, child_col, m_bits=m_bits, n_hashes=n_hashes).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("chunk", "bits"))
+            ).alias("_bloom")
+        )
+    )
+    probed = fact.crossJoin(bloom_row).withColumn(
+        "_maybe",
+        F.col(child_col).isNotNull()
+        & _bloom_probe(F.col(child_col), m_bits, n_hashes, seed=0),
+    )
+    candidates = (
+        probed.filter(F.col("_maybe")).drop("_bloom", "_maybe")
+    )
+    negatives = probed.filter(~F.col("_maybe")).drop("_bloom", "_maybe")
+    dim_h = dim.hint("shuffle_hash")
+    if how == "left_semi":
+        return candidates.join(dim_h, child_col, "left_semi")
+    if how == "left_anti":
+        return candidates.join(dim_h, child_col, "left_anti").unionByName(
+            negatives
+        )
+    if how == "left":
+        # dim already carries _known=True (added by dim_join for left)
+        joined = candidates.join(dim_h, child_col, "left")
+        return joined.unionByName(
+            negatives.withColumn("_known", F.lit(None).cast("boolean"))
+        )
+    raise ValueError(f"shuffle_bloom does not support how={how!r}")
 
 
 def check_referential(
@@ -103,6 +195,7 @@ def check_referential(
     strategy: str = "broadcast",
     salts: int = 16,
     salt_on: Column | str | None = None,
+    bloom_fp: float = 0.01,
 ) -> CheckResult:
     """Every non-null ``child[child_col]`` must exist in
     ``parent[parent_col]``. Violations via LEFT ANTI join under the
@@ -120,6 +213,7 @@ def check_referential(
         strategy=strategy,
         salts=salts,
         salt_on=salt_on,
+        bloom_fp=bloom_fp,
     )
 
     counted = (

@@ -214,7 +214,9 @@ def test_referential_strategy_ladder(spark):
     )
 
     results = {}
-    for strategy in ("broadcast", "auto", "shuffle", "shuffle_salted"):
+    for strategy in (
+        "broadcast", "auto", "shuffle", "shuffle_salted", "shuffle_bloom"
+    ):
         res = check_referential(
             child, "domain", parent, "domain",
             strategy=strategy, salts=8, salt_on="k",
@@ -228,6 +230,9 @@ def test_referential_strategy_ladder(spark):
             assert "BroadcastHashJoin" in plan
         elif strategy in ("shuffle", "shuffle_salted"):
             assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+        elif strategy == "shuffle_bloom":
+            # candidates shuffle-join; the bitmap rides a broadcast row
+            assert "ShuffledHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
 
     base = results["broadcast"]
     assert all(r == base for r in results.values())
@@ -235,6 +240,30 @@ def test_referential_strategy_ladder(spark):
 
     with pytest.raises(ValueError, match="strategy"):
         check_referential(child, "domain", parent, "domain", strategy="bogus")
+
+
+def test_bloom_rung_all_join_types_exact(spark):
+    """shuffle_bloom is exact for anti/semi/left (no false negatives by
+    construction: every dim-key bit is set), including NULL fact keys
+    and a dim larger than the probe's hit set."""
+    import pyspark.sql.functions as F2
+
+    from anomalydetector_spark.operators.referential import dim_join
+
+    fact = spark.range(5000).select(
+        F2.when(F2.col("id") % 13 == 0, None)
+        .otherwise(F2.col("id") % 700)
+        .alias("k"),
+        F2.col("id").alias("rid"),
+    )
+    dim = spark.range(500).select(F2.col("id").alias("k"))
+    for how in ("left_anti", "left_semi", "left"):
+        a = dim_join(fact, dim, "k", how=how, strategy="broadcast")
+        b = dim_join(fact, dim, "k", how=how, strategy="shuffle_bloom")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="shuffle_bloom"):
+        dim_join(fact, dim, "k", how="inner", strategy="shuffle_bloom")
 
 
 def test_engine_ref_strategy_parity(spark):
