@@ -2392,6 +2392,25 @@ def q_numeric_drift(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov drift
+    (operators/divergence.numeric_window_ks) of events.value — quantized
+    to integer units, the operator's target shape (exact KS needs a
+    bounded support; unbounded doubles go to the binned EMD/L-inf twin)
+    — between consecutive 1-day windows. KS is the max over the union
+    support of the cross-multiplied cumulative difference
+    |C(v)·T_prev − D(v)·T_cur| carried in decimal(38,0) with ONE final
+    double division, so the DuckDB HUGEINT twin hashes identically."""
+    from anomalydetector_spark.operators.divergence import numeric_window_ks
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("ts", F.floor("value").alias("value"))
+    )
+    return numeric_window_ks(ev, window="1 day")
+
+
 def q_partition_churn(spark, sf_dir):
     """Per-PARTITION churn gate (operators/snapshot.partition_digests +
     changed_partitions): snapshot B drops the src0 partition, edits one
@@ -2637,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
+        "ks_drift": q_ks_drift,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
@@ -5462,6 +5482,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc.ppl <= cut2 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM scored sc LEFT JOIN cuts USING (lang)
+        """,
+        "ks_drift": r"""
+            WITH e AS (
+              SELECT date_trunc('day', ts) AS w, floor(value) AS value
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            c AS (
+              SELECT w, value, count(*)::HUGEINT AS n
+              FROM e GROUP BY 1, 2),
+            t AS (SELECT w, sum(n)::HUGEINT AS tt FROM c GROUP BY 1),
+            support AS (
+              SELECT DISTINCT w, value FROM (
+                SELECT w, value FROM c
+                UNION ALL
+                SELECT w + INTERVAL 1 DAY AS w, value FROM c)),
+            x AS (
+              SELECT s.w, s.value, tc.tt * tp.tt AS den,
+                     coalesce(cc.n, 0)::HUGEINT * tp.tt
+                       - coalesce(pc.n, 0)::HUGEINT * tc.tt AS x
+              FROM support s
+              JOIN t tc ON tc.w = s.w
+              JOIN t tp ON tp.w = s.w - INTERVAL 1 DAY
+              LEFT JOIN c cc ON cc.w = s.w AND cc.value = s.value
+              LEFT JOIN c pc ON pc.w = s.w - INTERVAL 1 DAY
+                            AND pc.value = s.value),
+            cumx AS (
+              SELECT w, den,
+                     sum(x) OVER (PARTITION BY w ORDER BY value) AS cum
+              FROM x)
+            SELECT w::TIMESTAMP AS window_start,
+                   CAST(max(abs(cum)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) AS ks,
+                   count(*)::BIGINT AS n_support
+            FROM cumx GROUP BY 1
         """,
         "numeric_drift": r"""
             WITH e AS (

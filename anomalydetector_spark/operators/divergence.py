@@ -199,6 +199,111 @@ def numeric_drift_from_bin_counts(
     )
 
 
+def ks_drift_from_value_counts(
+    counts: DataFrame, part_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift between consecutive
+    windows from value-granular counts ``(*part_cols, w_start, w_end,
+    value, n)`` — the unbinned member of the numeric-drift family.
+
+    ``KS = sup_v |F_cur(v) − F_prev(v)|``. Both empirical CDFs are step
+    functions that only change at support points, so the sup is the max
+    over the UNION support of the running cumulative difference —
+    computed as the cross-multiplied integer ``|C(v)·T_q − D(v)·T_p|``
+    carried in decimal(38,0) with one final double division, exactly
+    like the binned EMD path: no float summation order anywhere, so the
+    statistic is partitioning-independent and a SQL oracle reproduces it
+    bit-for-bit.
+
+    Scale shape: O(#windows × distinct values) after the caller's first
+    aggregation. That is exact and cheap for DISCRETE monitors (lengths,
+    token counts, status codes, quantized scores — the validation
+    engine's stat columns); for unbounded-cardinality doubles use the
+    binned :func:`numeric_drift_from_bin_counts` or quantize first —
+    the counts cube itself would otherwise approach the row count.
+
+    Output: (*part_cols, window_start, ks, n_support) — one row per
+    window with a predecessor, ready for ``drift.score_drift``.
+    """
+    part = list(part_cols)
+    dec = "decimal(38,0)"
+    tot = Window.partitionBy(*part, "w_start")
+    wc = counts.withColumn(
+        "t", F.sum("n").over(tot).cast(dec)
+    ).withColumn("n", F.col("n").cast(dec))
+
+    cur = wc.select(
+        *part, "w_start", "value", F.col("n").alias("c"),
+        F.col("t").alias("tc"),
+    )
+    prev = wc.select(
+        *part,
+        F.col("w_end").alias("w_start"),
+        "value",
+        F.col("n").alias("d"),
+        F.col("t").alias("td"),
+    )
+    pairs = cur.join(prev, [*part, "w_start", "value"], "full_outer")
+    per_w = Window.partitionBy(*part, "w_start")
+    pairs = (
+        pairs.withColumn("tc", F.max("tc").over(per_w))
+        .withColumn("td", F.max("td").over(per_w))
+        .filter(F.col("tc").isNotNull() & F.col("td").isNotNull())
+        .select(
+            *part,
+            "w_start",
+            "value",
+            F.coalesce("c", F.lit(0).cast(dec)).alias("c"),
+            F.coalesce("d", F.lit(0).cast(dec)).alias("d"),
+            "tc",
+            "td",
+        )
+    )
+    by_val = Window.partitionBy(*part, "w_start").orderBy("value")
+    diff = F.col("c") * F.col("td") - F.col("d") * F.col("tc")
+    pairs = pairs.withColumn("cum", F.sum(diff).over(by_val))
+    den = (F.col("tc") * F.col("td")).cast("double")
+    return (
+        pairs.groupBy(*part, "w_start")
+        .agg(
+            (F.max(F.abs(F.col("cum"))).cast("double") / F.first(den)).alias(
+                "ks"
+            ),
+            F.count(F.lit(1)).alias("n_support"),
+        )
+        .withColumnRenamed("w_start", "window_start")
+    )
+
+
+def numeric_window_ks(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 day",
+) -> DataFrame:
+    """Per-window exact KS statistic of ``value_col`` vs the PREVIOUS
+    window, from raw rows (NULL and NaN excluded, as in
+    :func:`numeric_window_drift`). Best for discrete/quantized columns —
+    see :func:`ks_drift_from_value_counts` for the cardinality caveat."""
+    counts = (
+        df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+        )
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            F.col(value_col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "value",
+            "n",
+        )
+    )
+    return ks_drift_from_value_counts(counts)
+
+
 def numeric_window_drift(
     df: DataFrame,
     ts_col: str = "ts",

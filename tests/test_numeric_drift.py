@@ -166,3 +166,98 @@ def test_bin_expression_is_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+# ---- exact two-sample KS (ks_drift_from_value_counts) ----
+
+from anomalydetector_spark.operators.divergence import numeric_window_ks  # noqa: E402
+
+
+def ks_py(rows):
+    """Pure-python mirror: exact integer cross-multiplied KS per
+    consecutive-day pair."""
+    by_day = {}
+    for ts, v in rows:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        day = dt.datetime(ts.year, ts.month, ts.day)
+        by_day.setdefault(day, Counter())[v] += 1
+    out = {}
+    for day, cur in sorted(by_day.items()):
+        prev = by_day.get(day - dt.timedelta(days=1))
+        if prev is None:
+            continue
+        tc, td = sum(cur.values()), sum(prev.values())
+        support = sorted(set(cur) | set(prev))
+        cum, best = 0, 0
+        for v in support:
+            cum += cur.get(v, 0) * td - prev.get(v, 0) * tc
+            best = max(best, abs(cum))
+        out[day] = (best / float(tc * td), len(support))
+    return out
+
+
+def _run_ks(spark, rows):
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    return {
+        r.window_start: (r.ks, r.n_support)
+        for r in numeric_window_ks(df).collect()
+    }
+
+
+def test_ks_matches_pure_python(spark):
+    rng = random.Random(31)
+    rows = []
+    for d in range(6):
+        for _ in range(rng.randint(40, 90)):
+            # discrete support (quantized), the operator's target shape
+            rows.append(
+                (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+                 float(max(0, min(19, round(rng.gauss(6 + d, 3.0)))))),
+            )
+    assert _run_ks(spark, rows) == ks_py(rows)
+
+
+def test_ks_identical_is_zero_and_disjoint_is_one(spark):
+    rows = [(T0 + dt.timedelta(seconds=i), float(i % 5)) for i in range(50)]
+    rows += [
+        (T0 + dt.timedelta(days=1, seconds=i), float(i % 5))
+        for i in range(50)
+    ]
+    # day 2's support is disjoint from day 1's -> KS = 1 exactly
+    rows += [
+        (T0 + dt.timedelta(days=2, seconds=i), float(100 + i % 3))
+        for i in range(30)
+    ]
+    got = _run_ks(spark, rows)
+    assert got[T0 + dt.timedelta(days=1)][0] == 0.0
+    assert got[T0 + dt.timedelta(days=2)][0] == 1.0
+
+
+def test_ks_known_hand_case(spark):
+    # prev = {1:2, 2:2}, cur = {1:1, 2:1, 3:2}
+    # support 1: |1*4 - 2*4|/16 = 4/16; support 2: |2*4 - 4*4|/16 = 8/16
+    # support 3: cum -> 0. KS = 0.5
+    rows = [(T0 + dt.timedelta(seconds=i), v) for i, v in
+            enumerate([1.0, 1.0, 2.0, 2.0])]
+    rows += [(T0 + dt.timedelta(days=1, seconds=i), v) for i, v in
+             enumerate([1.0, 2.0, 3.0, 3.0])]
+    (val,), = (v for v in [list(_run_ks(spark, rows).values())])
+    assert val == (0.5, 3)
+
+
+def test_ks_nan_null_excluded_and_partition_invariant(spark):
+    rng = random.Random(7)
+    rows = [
+        (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+         float(rng.randint(0, 8)))
+        for d in range(4) for _ in range(60)
+    ]
+    rows += [(T0 + dt.timedelta(days=1, seconds=86390), None)]
+    rows += [(T0 + dt.timedelta(days=2, seconds=86390), float("nan"))]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    a = sorted(map(tuple, numeric_window_ks(df.repartition(1)).collect()))
+    b = sorted(map(tuple, numeric_window_ks(df.repartition(16)).collect()))
+    assert a == b == sorted(
+        (k, v[0], v[1]) for k, v in ks_py(rows).items()
+    )

@@ -1147,6 +1147,26 @@ def main() -> None:
         and "codegen id" in zo_plan,
     )
 
+    from anomalydetector_spark.operators.divergence import numeric_window_ks
+
+    ks_plan = plan_of(
+        numeric_window_ks(
+            spark.range(20000).select(
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+                (F.col("id") % 37).cast("double").alias("value"),
+            )
+        )
+    )
+    ok &= check(
+        "exact KS drift: map-side-combined counts cube, consecutive-window "
+        "alignment is an EQUI-join of the bounded counts frame (no theta/"
+        "nested-loop), zero Python",
+        "partial_count" in ks_plan
+        and "CartesianProduct" not in ks_plan
+        and "BroadcastNestedLoopJoin" not in ks_plan
+        and "EvalPython" not in ks_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
