@@ -2411,6 +2411,24 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI + two-sample chi-square homogeneity + Cramér's V drift
+    (operators/divergence.numeric_window_psi) of events.value between
+    consecutive 1-day windows — 20 clamped bins over [0, 100], add-1
+    smoothing over the union support. The only transcendental per bin is
+    micro-quantized BEFORE aggregation (the PMI/NPMI contract); the PSI
+    numerator is exact decimal(38,0), both sums run over integers, so
+    the DuckDB HUGEINT twin hashes identically."""
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_psi,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    return numeric_window_psi(
+        ev, lo=0.0, hi=100.0, n_bins=20, window="1 day", alpha=1
+    )
+
+
 def q_partition_churn(spark, sf_dir):
     """Per-PARTITION churn gate (operators/snapshot.partition_digests +
     changed_partitions): snapshot B drops the src0 partition, edits one
@@ -2657,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_divergence": q_lang_divergence,
         "numeric_drift": q_numeric_drift,
         "ks_drift": q_ks_drift,
+        "psi_drift": q_psi_drift,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
@@ -5516,6 +5535,60 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "psi_drift": r"""
+            WITH e AS (
+              SELECT date_trunc('day', ts) AS w,
+                     least(greatest(
+                       CAST(floor((value - 0.0) / 5.0) AS BIGINT),
+                       0), 19) AS bin
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            c AS (SELECT w, bin, count(*)::HUGEINT AS n FROM e GROUP BY 1, 2),
+            t AS (SELECT w, sum(n)::HUGEINT AS tt FROM c GROUP BY 1),
+            support AS (
+              SELECT DISTINCT w, bin FROM (
+                SELECT w, bin FROM c
+                UNION ALL
+                SELECT w + INTERVAL 1 DAY AS w, bin FROM c)),
+            raw AS (
+              SELECT s.w, s.bin,
+                     coalesce(cc.n, 0)::HUGEINT AS c0,
+                     coalesce(pc.n, 0)::HUGEINT AS d0,
+                     tcur.tt AS tc0, tprev.tt AS td0
+              FROM support s
+              JOIN t tcur ON tcur.w = s.w
+              JOIN t tprev ON tprev.w = s.w - INTERVAL 1 DAY
+              LEFT JOIN c cc ON cc.w = s.w AND cc.bin = s.bin
+              LEFT JOIN c pc ON pc.w = s.w - INTERVAL 1 DAY
+                            AND pc.bin = s.bin),
+            b AS (SELECT w, count(*)::HUGEINT AS b FROM raw GROUP BY 1),
+            sm AS (
+              SELECT raw.w, raw.bin,
+                     (c0 + 1)::HUGEINT AS c, (d0 + 1)::HUGEINT AS d,
+                     (tc0 + b.b)::HUGEINT AS tc,
+                     (td0 + b.b)::HUGEINT AS td,
+                     b.b AS b
+              FROM raw JOIN b ON b.w = raw.w),
+            terms AS (
+              SELECT w, b, tc, td,
+                     (c * td - d * tc) AS num,
+                     CAST(round(ln((CAST(c AS DOUBLE) * CAST(td AS DOUBLE))
+                                   / (CAST(d AS DOUBLE) * CAST(tc AS DOUBLE)))
+                                * 1e6) AS HUGEINT) AS lnm,
+                     CAST(round(CAST(c * td - d * tc AS DOUBLE)
+                                * CAST(c * td - d * tc AS DOUBLE)
+                                / CAST(tc * td * (c + d) AS DOUBLE)
+                                * 1e6) AS HUGEINT) AS chim
+              FROM sm)
+            SELECT w::TIMESTAMP AS window_start,
+                   CAST(sum(num * lnm) AS DOUBLE)
+                     / CAST(max(tc * td) AS DOUBLE) / 1e6 AS psi,
+                   CAST(sum(chim) AS DOUBLE) / 1e6 AS chi2,
+                   sqrt(CAST(sum(chim) AS DOUBLE) / 1e6
+                        / CAST(max(tc + td) AS DOUBLE)) AS cramers_v,
+                   max(b)::BIGINT AS n_bins_union
+            FROM terms GROUP BY 1
         """,
         "numeric_drift": r"""
             WITH e AS (

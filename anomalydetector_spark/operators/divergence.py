@@ -199,6 +199,170 @@ def numeric_drift_from_bin_counts(
     )
 
 
+def psi_chi2_from_bin_counts(
+    counts: DataFrame,
+    part_cols: list[str] | tuple[str, ...] = (),
+    alpha: int = 1,
+) -> DataFrame:
+    """Population Stability Index + two-sample chi-square drift between
+    consecutive windows from pre-aggregated bin counts ``(*part_cols,
+    w_start, w_end, bin, n)`` — the two industry-standard monitor
+    statistics the L∞/TVD/EMD battery doesn't cover (PSI is the credit-
+    scoring / model-monitoring default; chi-square is TFDV's categorical
+    comparator). ``bin`` may be any equatable type — integer histogram
+    bins or raw category values — since neither statistic needs an
+    ordering (unlike EMD/KS).
+
+    * ``psi  = Σ_i (p_i − q_i) · ln(p_i / q_i)``  (≥ 0, symmetric)
+    * ``chi2 = Σ_i (c'_i·T'_d − d'_i·T'_c)² / (T'_c·T'_d·(c'_i+d'_i))``
+      with ``n = T'_c + T'_d`` — the two-sample TEST OF HOMOGENEITY
+      statistic for the 2×B contingency table (pooled-margin expected
+      counts; algebraically equal to ``ΣΣ (O−E)²/E`` over both rows),
+      NOT the one-sided goodness-of-fit form, which is unbounded in n
+    * ``cramers_v = sqrt(chi2 / n)``  (≤ 1 for the 2×B table since
+      ``min(r−1, c−1) = 1`` — the scale-free view)
+
+    Zero-bin policy — both statistics blow up on bins present in only
+    one window, so counts are **add-α smoothed over the UNION support of
+    each window pair**: ``c' = c + α``, ``T'_c = T_c + α·B`` where B is
+    the number of distinct bins either window hit (and symmetrically for
+    the previous window). α is an integer (default 1) so smoothed counts
+    stay exact; at α=0 the chi-square/Cramér's V pair is still defined
+    (union support guarantees ``c+d ≥ 1``) and classic-unsmoothed, but
+    PSI requires shared support. The union-support convention makes the statistic a pure
+    function of the counts frame — reproducible by a SQL oracle.
+
+    Determinism contract (the repo's cross-engine float rule): the only
+    transcendental per bin is quantized BEFORE aggregation —
+    ``ln_micro = round(ln((c'·T'_d)/(d'·T'_c)) · 1e6)`` HALF_UP (the
+    double products/divisions are correctly-rounded IEEE, identical in
+    any engine), and the per-bin chi-square term
+    ``(c'·T'_d − d'·T'_c)² / (T'_c·T'_d·d')`` is likewise computed in
+    pinned-order doubles and quantized to micro-units. The PSI numerator
+    ``(c'·T'_d − d'·T'_c)`` is EXACT decimal(38,0); both sums run over
+    integers, so no float summation order exists anywhere and the series
+    is partitioning-independent.
+
+    Scale shape: identical to the siblings — everything after the
+    caller's first aggregation is O(#windows × #bins), alignment is an
+    equi-join of that bounded frame with itself shifted one window.
+
+    Output: (*part_cols, window_start, psi, chi2, cramers_v,
+    n_bins_union) — one row per window with a predecessor, ready for
+    ``drift.score_drift``.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be a non-negative integer")
+    part = list(part_cols)
+    dec = "decimal(38,0)"
+    tot = Window.partitionBy(*part, "w_start")
+    wc = counts.withColumn(
+        "t", F.sum("n").over(tot).cast(dec)
+    ).withColumn("n", F.col("n").cast(dec))
+
+    cur = wc.select(
+        *part, "w_start", "bin", F.col("n").alias("c"),
+        F.col("t").alias("tc"),
+    )
+    prev = wc.select(
+        *part,
+        F.col("w_end").alias("w_start"),
+        "bin",
+        F.col("n").alias("d"),
+        F.col("t").alias("td"),
+    )
+    pairs = cur.join(prev, [*part, "w_start", "bin"], "full_outer")
+    per_w = Window.partitionBy(*part, "w_start")
+    a = F.lit(alpha).cast(dec)
+    pairs = (
+        pairs.withColumn("tc", F.max("tc").over(per_w))
+        .withColumn("td", F.max("td").over(per_w))
+        .filter(F.col("tc").isNotNull() & F.col("td").isNotNull())
+        .withColumn("b", F.count(F.lit(1)).over(per_w).cast(dec))
+        .select(
+            *part,
+            "w_start",
+            "bin",
+            (F.coalesce("c", F.lit(0).cast(dec)) + a).alias("c"),
+            (F.coalesce("d", F.lit(0).cast(dec)) + a).alias("d"),
+            (F.col("tc") + a * F.col("b")).alias("tc"),
+            (F.col("td") + a * F.col("b")).alias("td"),
+            "b",
+        )
+    )
+    # pinned-order doubles feeding the transcendental (each cast/product
+    # correctly rounded IEEE — identical in any engine)
+    cd, dd = F.col("c").cast("double"), F.col("d").cast("double")
+    tcd, tdd = F.col("tc").cast("double"), F.col("td").cast("double")
+    ln_micro = F.round(
+        F.log((cd * tdd) / (dd * tcd)) * F.lit(1e6), 0
+    ).cast(dec)
+    num = F.col("c") * F.col("td") - F.col("d") * F.col("tc")  # exact
+    n_both = (F.col("tc") + F.col("td")).cast("double")
+    chi2_micro = F.round(
+        num.cast("double")
+        * num.cast("double")
+        / (
+            F.col("tc") * F.col("td") * (F.col("c") + F.col("d"))
+        ).cast("double")
+        * F.lit(1e6),
+        0,
+    ).cast(dec)
+    den = (F.col("tc") * F.col("td")).cast("double")
+    return (
+        pairs.groupBy(*part, "w_start")
+        .agg(
+            (
+                F.sum(num * ln_micro).cast(dec).cast("double")
+                / F.first(den)
+                / F.lit(1e6)
+            ).alias("psi"),
+            (
+                F.sum(chi2_micro).cast(dec).cast("double") / F.lit(1e6)
+            ).alias("chi2"),
+            F.sqrt(
+                F.sum(chi2_micro).cast(dec).cast("double")
+                / F.lit(1e6)
+                / F.first(n_both)
+            ).alias("cramers_v"),
+            F.first(F.col("b").cast("long")).alias("n_bins_union"),
+        )
+        .withColumnRenamed("w_start", "window_start")
+    )
+
+
+def numeric_window_psi(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 20,
+    window: str = "1 day",
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-window PSI + chi-square + Cramér's V of ``value_col`` vs the
+    PREVIOUS window, from raw rows (NULL/NaN excluded as in
+    :func:`numeric_window_drift`, same fixed-width clamped binning)."""
+    counts = (
+        df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        )
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            numeric_bin(F.col(value_col), lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "bin",
+            "n",
+        )
+    )
+    return psi_chi2_from_bin_counts(counts, alpha=alpha)
+
+
 def ks_drift_from_value_counts(
     counts: DataFrame, part_cols: list[str] | tuple[str, ...] = ()
 ) -> DataFrame:

@@ -261,3 +261,128 @@ def test_ks_nan_null_excluded_and_partition_invariant(spark):
     assert a == b == sorted(
         (k, v[0], v[1]) for k, v in ks_py(rows).items()
     )
+
+
+# ---- PSI + chi-square (psi_chi2_from_bin_counts) ----
+
+from anomalydetector_spark.operators.divergence import (  # noqa: E402
+    numeric_window_psi,
+)
+
+
+def _half_up_micro(x):
+    """Spark round(double, 0): shortest decimal repr -> BigDecimal
+    HALF_UP (see test_bigram_lm.r)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(0, rounding=ROUND_HALF_UP))
+
+
+def psi_py(rows, lo=LO, hi=HI, nb=NB, alpha=1):
+    """Pure-python mirror replaying the operator's pinned arithmetic
+    order: exact integer smoothed counts, per-bin micro-quantized
+    transcendentals, integer sums, one final double division chain."""
+    by_day = {}
+    for ts, v in rows:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        day = dt.datetime(ts.year, ts.month, ts.day)
+        by_day.setdefault(day, Counter())[bin_py(v, lo, hi, nb)] += 1
+    out = {}
+    for day, cur in sorted(by_day.items()):
+        prev = by_day.get(day - dt.timedelta(days=1))
+        if prev is None:
+            continue
+        union = sorted(set(cur) | set(prev))
+        B = len(union)
+        tc = sum(cur.values()) + alpha * B
+        td = sum(prev.values()) + alpha * B
+        psi_num, chi_sum = 0, 0
+        for i in union:
+            c, d = cur.get(i, 0) + alpha, prev.get(i, 0) + alpha
+            num = c * td - d * tc
+            lnm = _half_up_micro(
+                math.log((float(c) * float(td)) / (float(d) * float(tc)))
+                * 1e6
+            )
+            chim = _half_up_micro(
+                float(num) * float(num)
+                / float(tc * td * (c + d)) * 1e6
+            )
+            psi_num += num * lnm
+            chi_sum += chim
+        psi = float(psi_num) / float(tc * td) / 1e6
+        chi2 = float(chi_sum) / 1e6
+        v_ = math.sqrt(float(chi_sum) / 1e6 / float(tc + td))
+        out[day] = (psi, chi2, v_, B)
+    return out
+
+
+def _run_psi(spark, rows, alpha=1):
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    return {
+        r.window_start: (r.psi, r.chi2, r.cramers_v, r.n_bins_union)
+        for r in numeric_window_psi(
+            df, lo=LO, hi=HI, n_bins=NB, alpha=alpha
+        ).collect()
+    }
+
+
+def test_psi_matches_pure_python(spark):
+    rng = random.Random(17)
+    rows = []
+    for d in range(6):
+        for _ in range(rng.randint(50, 120)):
+            rows.append(
+                (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+                 min(HI - 1e-9, max(LO, rng.gauss(3 + d * 0.8, 2.0)))),
+            )
+    assert _run_psi(spark, rows) == psi_py(rows)
+
+
+def test_psi_identical_windows_near_zero(spark):
+    # identical distributions: every num = 0 -> psi = chi2 = 0 exactly
+    rows = [(T0 + dt.timedelta(seconds=i), float(i % 7)) for i in range(70)]
+    rows += [(T0 + dt.timedelta(days=1, seconds=i), float(i % 7))
+             for i in range(70)]
+    got = _run_psi(spark, rows)
+    psi, chi2, v_, b = got[T0 + dt.timedelta(days=1)]
+    assert psi == 0.0 and chi2 == 0.0 and v_ == 0.0 and b == 7
+
+
+def test_psi_disjoint_support_defined_and_large(spark):
+    # disjoint bins would be +inf unsmoothed; alpha=1 keeps it finite,
+    # large, and symmetric-positive
+    rows = [(T0 + dt.timedelta(seconds=i), 0.0) for i in range(50)]
+    rows += [(T0 + dt.timedelta(days=1, seconds=i), 9.0) for i in range(50)]
+    got = _run_psi(spark, rows)
+    psi, chi2, v_, b = got[T0 + dt.timedelta(days=1)]
+    assert b == 2 and psi > 5.0 and chi2 > 50.0 and 0.0 < v_ <= 1.0
+    assert got == psi_py(rows)
+
+
+def test_psi_nan_null_and_partition_invariance(spark):
+    rng = random.Random(5)
+    rows = [
+        (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+         min(HI - 1e-9, max(LO, rng.gauss(4 + d, 2.5))))
+        for d in range(4) for _ in range(80)
+    ]
+    rows += [(T0 + dt.timedelta(days=1, seconds=86399), None),
+             (T0 + dt.timedelta(days=2, seconds=86399), float("nan"))]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    a = sorted(map(tuple, numeric_window_psi(
+        df.repartition(1), lo=LO, hi=HI, n_bins=NB).collect()))
+    b = sorted(map(tuple, numeric_window_psi(
+        df.repartition(16), lo=LO, hi=HI, n_bins=NB).collect()))
+    assert a == b == sorted(
+        (k, *v) for k, v in psi_py(rows).items()
+    )
+
+
+def test_psi_alpha_zero_shared_support(spark):
+    # alpha=0 is exact unsmoothed PSI when both windows share support
+    rows = [(T0 + dt.timedelta(seconds=i), float(i % 4)) for i in range(40)]
+    rows += [(T0 + dt.timedelta(days=1, seconds=i), float((i % 4) if i < 30 else 0))
+             for i in range(40)]
+    assert _run_psi(spark, rows, alpha=0) == psi_py(rows, alpha=0)

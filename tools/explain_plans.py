@@ -1167,6 +1167,28 @@ def main() -> None:
         and "EvalPython" not in ks_plan,
     )
 
+    from anomalydetector_spark.operators.divergence import numeric_window_psi
+
+    psi_plan = plan_of(
+        numeric_window_psi(
+            spark.range(20000).select(
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+                (F.col("id") % 97).cast("double").alias("value"),
+            ),
+            lo=0.0, hi=100.0, n_bins=20,
+        )
+    )
+    ok &= check(
+        "PSI/chi-square drift: map-side-combined bin counts, window-pair "
+        "alignment is an EQUI-join of the bounded counts frame, "
+        "transcendentals quantized in-plan (no theta/nested-loop, zero "
+        "Python)",
+        "partial_count" in psi_plan
+        and "CartesianProduct" not in psi_plan
+        and "BroadcastNestedLoopJoin" not in psi_plan
+        and "EvalPython" not in psi_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
