@@ -2411,6 +2411,26 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.weighted_sample_k): the 100 documents with the
+    smallest ``−ln((md5+1)/2^60)/n_chars`` — inclusion probability
+    rises with doc length, yet the selected SET is a pure function of
+    (keys, weights, k, seed): retry-stable, nested in k, and replayed
+    exactly by the DuckDB twin (same md5 uniform, same pinned double
+    order, same (score, doc_id) total order). Zero-``n_chars`` docs are
+    excluded by the E-S rule (sampling probability 0). Executes as one
+    codegen score projection + distributed TakeOrderedAndProject."""
+    from anomalydetector_spark.operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_k(
+        docs, 100, weight_col="n_chars", key_col="doc_id", seed=0
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI + two-sample chi-square homogeneity + Cramér's V drift
     (operators/divergence.numeric_window_psi) of events.value between
@@ -2676,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift": q_numeric_drift,
         "ks_drift": q_ks_drift,
         "psi_drift": q_psi_drift,
+        "weighted_sample": q_weighted_sample,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
@@ -5535,6 +5556,22 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "weighted_sample": r"""
+            WITH scored AS (
+              SELECT doc_id, lang, n_chars,
+                     -ln(CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)
+                         )::BIGINT + 1 AS DOUBLE)
+                         / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS s
+              FROM documents
+              WHERE n_chars IS NOT NULL
+                AND CAST(n_chars AS DOUBLE) > 0)
+            SELECT doc_id, lang, n_chars
+            FROM scored
+            ORDER BY s, doc_id
+            LIMIT 100
         """,
         "psi_drift": r"""
             WITH e AS (

@@ -283,3 +283,61 @@ def token_budget_cap(
         .filter(F.col("_keep"))
         .drop("_keep")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    strata_col: str | None = None,
+    with_score: bool = False,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    (2006, "Weighted random sampling with a reservoir"): keep the ``k``
+    rows with the smallest ``score = −ln(U(key, seed)) / w`` (the
+    exponential-race formulation of the paper's ``U^{1/w}`` max-key
+    rule; at any instant the smallest-score set is a weighted sample
+    without replacement). Heavier rows draw stochastically smaller
+    scores, so inclusion probability rises with weight while every
+    positive-weight row stays reachable — the standard quality-weighted
+    / temperature-style corpus subselection primitive.
+
+    Determinism contract: ``U`` comes from :func:`hash_uniform` shifted
+    into (0, 1] (``(md5+1)/2^60`` — ``−ln(0)`` must be unreachable), so
+    the selected SET is a pure function of (keys, weights, k, seed) —
+    retry-stable, cluster-size-independent, NESTED IN k (the top-10 is
+    a strict subset of the top-20: one total order, two prefixes), and
+    ANSI-SQL-reproducible; ``key_col`` breaks exact score ties for a
+    total order. Rows with NULL or non-positive weight are excluded (a
+    zero-weight row has sampling probability 0 in the E-S scheme; a
+    negative weight is undefined).
+
+    Scale shape: the score is one codegen expression over the scan;
+    global top-k executes as a distributed ``TakeOrderedAndProject``
+    (per-partition heads of size k, never a full sort). With
+    ``strata_col``, the rule runs per stratum via one window — k rows
+    PER STRATUM (weighted stratified selection).
+    """
+    u = (md5_long(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+         + F.lit(1)) / F.lit(_HASH_SPACE)
+    w = F.col(weight_col).cast("double")
+    score = -F.log(u) / w
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (w > 0)
+    ).withColumn("_es_score", score)
+    if strata_col is None:
+        out = scored.orderBy(
+            F.col("_es_score").asc(), F.col(key_col).asc()
+        ).limit(int(k))
+    else:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.col("_es_score").asc(), F.col(key_col).asc()
+        )
+        out = (
+            scored.withColumn("_es_rn", F.row_number().over(win))
+            .filter(F.col("_es_rn") <= int(k))
+            .drop("_es_rn")
+        )
+    return out if with_score else out.drop("_es_score")

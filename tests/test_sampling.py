@@ -301,3 +301,100 @@ def test_token_budget_respected_modulo_one_doc(spark):
     total = out.agg(F.sum("n_tokens")).first()[0]
     # greedy prefix: >= budget is reached, overshoot < one max doc
     assert 1_000 <= total < 1_000 + 100 + 1
+
+
+# ---- Efraimidis–Spirakis weighted sampling (weighted_sample_k) ----
+
+import hashlib
+import math
+
+from anomalydetector_spark.operators.sampling import weighted_sample_k
+
+
+def _es_score_py(key, weight, seed):
+    h = int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16)
+    u = float(h + 1) / float(1 << 60)
+    return -math.log(u) / float(weight)
+
+
+def _es_py(rows, k, seed=0):
+    """rows: (key, weight). Pure-python mirror of the selection set."""
+    scored = sorted(
+        ((_es_score_py(key, w, seed), key) for key, w in rows
+         if w is not None and w > 0),
+    )
+    return [key for _, key in scored[:k]]
+
+
+@pytest.fixture(scope="module")
+def wdocs(spark):
+    rows = [
+        {"doc_id": i,
+         "w": float((i * 7919) % 97 + 1),
+         "lang": ("en", "de", "fr")[i % 3]}
+        for i in range(2000)
+    ]
+    # poisoned rows that must never be selected
+    rows += [{"doc_id": 9001, "w": 0.0, "lang": "en"},
+             {"doc_id": 9002, "w": -3.0, "lang": "de"},
+             {"doc_id": 9003, "w": None, "lang": "fr"}]
+    return spark.createDataFrame(pd.DataFrame(rows)).persist()
+
+
+def test_weighted_sample_matches_pure_python(wdocs):
+    exp = _es_py([(r.doc_id, r.w) for r in wdocs.collect()], 50, seed=3)
+    got = [r.doc_id for r in
+           weighted_sample_k(wdocs, 50, "w", seed=3, with_score=True)
+           .orderBy("_es_score", "doc_id").collect()]
+    assert got == exp
+
+
+def test_weighted_sample_nested_in_k_and_retry_stable(wdocs):
+    s10 = set(r.doc_id for r in weighted_sample_k(wdocs, 10, "w").collect())
+    s40 = set(r.doc_id for r in weighted_sample_k(wdocs, 40, "w").collect())
+    s40b = set(
+        r.doc_id
+        for r in weighted_sample_k(wdocs.repartition(16), 40, "w").collect()
+    )
+    assert s10 < s40 and s40 == s40b and len(s10) == 10 and len(s40) == 40
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(wdocs):
+    all_ids = set(
+        r.doc_id for r in weighted_sample_k(wdocs, 10_000, "w").collect()
+    )
+    assert {9001, 9002, 9003}.isdisjoint(all_ids)
+    assert len(all_ids) == 2000
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    # 6 items, weights 1..32 doubling; over 300 seeds the inclusion
+    # counts for k=2 must be monotone in weight (statistical, but
+    # deterministic given the fixed seed list)
+    items = [(f"item{i}", float(2 ** i)) for i in range(6)]
+    counts = {key: 0 for key, _ in items}
+    for seed in range(300):
+        for key in _es_py(items, 2, seed=seed):
+            counts[key] += 1
+    freq = [counts[f"item{i}"] for i in range(6)]
+    assert freq == sorted(freq) and freq[-1] > freq[0] * 3
+
+
+def test_weighted_sample_stratified(wdocs):
+    got = weighted_sample_k(wdocs, 5, "w", strata_col="lang").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert set(by_lang) == {"en", "de", "fr"}
+    assert all(len(v) == 5 for v in by_lang.values())
+    # per-stratum selection equals the mirror restricted to the stratum
+    rows = [(r.doc_id, r.w, r.lang) for r in wdocs.collect()]
+    for lang in ("en", "de", "fr"):
+        exp = _es_py([(d, w) for d, w, l in rows if l == lang], 5)
+        assert sorted(by_lang[lang]) == sorted(exp)
+
+
+def test_weighted_sample_topk_plan_is_distributed(wdocs):
+    plan = _plan(weighted_sample_k(wdocs, 25, "w"))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan

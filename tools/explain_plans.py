@@ -1189,6 +1189,27 @@ def main() -> None:
         and "EvalPython" not in psi_plan,
     )
 
+    from anomalydetector_spark.operators.sampling import weighted_sample_k
+
+    ws_plan = plan_of(
+        weighted_sample_k(
+            spark.range(10000).select(
+                F.col("id").alias("doc_id"),
+                ((F.col("id") % 50) + 1).cast("double").alias("w"),
+            ),
+            25,
+            "w",
+        )
+    )
+    ok &= check(
+        "Efraimidis-Spirakis weighted top-k: one codegen score projection "
+        "+ distributed TakeOrderedAndProject (never a global sort or "
+        "single-partition window), zero Python",
+        "TakeOrderedAndProject" in ws_plan
+        and "EvalPython" not in ws_plan
+        and "Exchange hashpartitioning" not in ws_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
