@@ -2411,6 +2411,26 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_token_shards(spark, sf_dir):
+    """Token-balanced corpus sharding (operators/sharding.
+    assign_shards_by_tokens): every document's shard under the global
+    greedy 100k-char budget over the deterministic hash order —
+    computed as a two-level distributed prefix-sum (within-bucket
+    windows + an n_buckets-row offset frame broadcast back), never a
+    global single-partition window over data. The assignment is a pure
+    function of (ids, counts, budget, seed) — bucket-count- and
+    partitioning-independent (test-pinned) — so the DuckDB twin's plain
+    one-window cumulative sum reproduces it exactly."""
+    from anomalydetector_spark.operators.sharding import (
+        assign_shards_by_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_shards_by_tokens(
+        docs, 100_000, tokens_col="n_chars", id_col="doc_id", seed=0
+    ).select("doc_id", "shard")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sampling without replacement
     (operators/sampling.weighted_sample_k): the 100 documents with the
@@ -2697,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "psi_drift": q_psi_drift,
         "weighted_sample": q_weighted_sample,
+        "token_shards": q_token_shards,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
@@ -5556,6 +5577,26 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "token_shards": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     coalesce(n_chars, 0)::BIGINT AS toks,
+                     ('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)
+                     )::BIGINT AS u
+              FROM documents
+              WHERE doc_id IS NOT NULL),
+            cum AS (
+              SELECT doc_id,
+                     coalesce(sum(toks) OVER (
+                       ORDER BY u, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS tokens_before
+              FROM base)
+            SELECT doc_id,
+                   CAST(tokens_before // 100000 AS BIGINT) AS shard
+            FROM cum
         """,
         "weighted_sample": r"""
             WITH scored AS (

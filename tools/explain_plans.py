@@ -1210,6 +1210,31 @@ def main() -> None:
         and "Exchange hashpartitioning" not in ws_plan,
     )
 
+    from anomalydetector_spark.operators.sharding import (
+        assign_shards_by_tokens,
+    )
+
+    sh_plan = plan_of(
+        assign_shards_by_tokens(
+            spark.range(20000).select(
+                F.col("id").alias("doc_id"),
+                ((F.col("id") % 300) + 5).alias("toks"),
+            ),
+            10_000,
+            "toks",
+        )
+    )
+    ok &= check(
+        "token sharding: distributed prefix-sum — data window partitioned "
+        "by bucket, offsets broadcast back (BroadcastHashJoin), zero "
+        "Python, no cartesian",
+        "Window" in sh_plan
+        and "BroadcastHashJoin" in sh_plan
+        and "partial_sum" in sh_plan  # bucket totals combine map-side
+        and "EvalPython" not in sh_plan
+        and "CartesianProduct" not in sh_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
