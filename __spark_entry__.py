@@ -2411,6 +2411,31 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_column_entropy(spark, sf_dir):
+    """Shannon entropy analyzer (operators/entropy.column_entropy —
+    Deequ's ``Entropy``) over documents.lang and documents.source:
+    exact integer value counts, the per-value ``ln`` micro-nat-
+    quantized BEFORE the integer sum (the PMI contract), one final
+    double division chain — partitioning-independent and replayed
+    exactly by the DuckDB HUGEINT twin."""
+    from anomalydetector_spark.operators.entropy import column_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return column_entropy(docs, ["lang", "source"])
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information analyzer (operators/entropy.
+    mutual_information — Deequ's ``MutualInformation``) between
+    documents.lang and documents.source, with both marginal entropies
+    on the both-non-null subset and min-entropy-normalized NMI. Same
+    micro-nat determinism contract as q_column_entropy."""
+    from anomalydetector_spark.operators.entropy import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
 def q_token_shards(spark, sf_dir):
     """Token-balanced corpus sharding (operators/sharding.
     assign_shards_by_tokens): every document's shard under the global
@@ -2718,6 +2743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "weighted_sample": q_weighted_sample,
         "token_shards": q_token_shards,
+        "column_entropy": q_column_entropy,
+        "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
         "gopher_filter": q_gopher_filter,
@@ -5577,6 +5604,85 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "column_entropy": r"""
+            WITH cl AS (
+              SELECT lang AS v, count(*)::HUGEINT AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+            tl AS (
+              SELECT sum(n)::HUGEINT AS N,
+                     sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                                  AS HUGEINT))::HUGEINT AS S,
+                     count(*)::BIGINT AS nd
+              FROM cl),
+            cs AS (
+              SELECT source AS v, count(*)::HUGEINT AS n
+              FROM documents WHERE source IS NOT NULL GROUP BY 1),
+            ts AS (
+              SELECT sum(n)::HUGEINT AS N,
+                     sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                                  AS HUGEINT))::HUGEINT AS S,
+                     count(*)::BIGINT AS nd
+              FROM cs)
+            SELECT 'lang' AS "column",
+                   CAST(N * CAST(round(ln(CAST(N AS DOUBLE)) * 1e6)
+                                 AS HUGEINT) - S AS DOUBLE)
+                     / CAST(N AS DOUBLE) / 1e6 AS entropy,
+                   nd AS n_distinct, CAST(N AS BIGINT) AS n_values
+            FROM tl
+            UNION ALL
+            SELECT 'source' AS "column",
+                   CAST(N * CAST(round(ln(CAST(N AS DOUBLE)) * 1e6)
+                                 AS HUGEINT) - S AS DOUBLE)
+                     / CAST(N AS DOUBLE) / 1e6 AS entropy,
+                   nd AS n_distinct, CAST(N AS BIGINT) AS n_values
+            FROM ts
+        """,
+        "mutual_info": r"""
+            WITH p AS (
+              SELECT lang AS x, source AS y, count(*)::HUGEINT AS nxy
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+            mx AS (SELECT x, sum(nxy)::HUGEINT AS nx FROM p GROUP BY 1),
+            my AS (SELECT y, sum(nxy)::HUGEINT AS ny FROM p GROUP BY 1),
+            t AS (SELECT sum(nxy)::HUGEINT AS N,
+                         count(*)::BIGINT AS np FROM p),
+            s AS (
+              SELECT sum(nxy * CAST(round(ln(
+                       (CAST(nxy AS DOUBLE) * CAST(t.N AS DOUBLE))
+                       / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                       * 1e6) AS HUGEINT))::HUGEINT AS MI
+              FROM p JOIN mx USING (x) JOIN my USING (y), t),
+            tx AS (
+              SELECT sum(nx)::HUGEINT AS N,
+                     sum(nx * CAST(round(ln(CAST(nx AS DOUBLE)) * 1e6)
+                                   AS HUGEINT))::HUGEINT AS S
+              FROM mx),
+            ex AS (
+              SELECT CAST(N * CAST(round(ln(CAST(N AS DOUBLE)) * 1e6)
+                                   AS HUGEINT) - S AS DOUBLE)
+                       / CAST(N AS DOUBLE) / 1e6 AS h
+              FROM tx),
+            ty AS (
+              SELECT sum(ny)::HUGEINT AS N,
+                     sum(ny * CAST(round(ln(CAST(ny AS DOUBLE)) * 1e6)
+                                   AS HUGEINT))::HUGEINT AS S
+              FROM my),
+            ey AS (
+              SELECT CAST(N * CAST(round(ln(CAST(N AS DOUBLE)) * 1e6)
+                                   AS HUGEINT) - S AS DOUBLE)
+                       / CAST(N AS DOUBLE) / 1e6 AS h
+              FROM ty)
+            SELECT 'lang' AS col_x, 'source' AS col_y,
+                   CAST(s.MI AS DOUBLE) / CAST(t.N AS DOUBLE) / 1e6 AS mi,
+                   ex.h AS entropy_x, ey.h AS entropy_y,
+                   CASE WHEN least(ex.h, ey.h) > 0
+                        THEN (CAST(s.MI AS DOUBLE) / CAST(t.N AS DOUBLE)
+                              / 1e6) / least(ex.h, ey.h)
+                        ELSE 0.0 END AS nmi,
+                   t.np AS n_pairs, CAST(t.N AS BIGINT) AS n_rows
+            FROM s, t, ex, ey
         """,
         "token_shards": r"""
             WITH base AS (

@@ -1235,6 +1235,28 @@ def main() -> None:
         and "CartesianProduct" not in sh_plan,
     )
 
+    from anomalydetector_spark.operators.entropy import (
+        column_entropy,
+        mutual_information,
+    )
+
+    ent_src = spark.range(30000).select(
+        (F.col("id") % 17).cast("string").alias("a"),
+        (F.col("id") % 5).cast("string").alias("b"),
+    )
+    ent_plan = plan_of(column_entropy(ent_src, ["a", "b"]))
+    mi_plan = plan_of(mutual_information(ent_src, "a", "b"))
+    ok &= check(
+        "entropy/MI analyzers: value-counts shuffles move map-side-"
+        "combined cardinality-sized partials; the only nested-loop joins "
+        "are 1-row broadcast totals; zero Python",
+        "partial_count" in ent_plan
+        and "EvalPython" not in ent_plan
+        and "EvalPython" not in mi_plan
+        and "CartesianProduct" not in mi_plan
+        and "partial_count" in mi_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
