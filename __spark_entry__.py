@@ -2411,6 +2411,24 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_ranking_metrics(spark, sf_dir):
+    """Exact ROC-AUC + average precision (operators/evaluate.
+    ranking_metrics) over a deterministic labeled scoring built
+    in-query from events: score = floor(value·10) (integer — forces
+    ties, keeps the counts cube bounded), label = (event_id % 11 == 0).
+    The AUC numerator is an exact decimal(38,0) Mann-Whitney integer
+    (ties carry the ½ via the doubled form); AP terms micro-quantize
+    before the integer sum — the DuckDB twin replays both windows and
+    hashes identically."""
+    from anomalydetector_spark.operators.evaluate import ranking_metrics
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 10).cast("long").alias("score"),
+        (F.col("event_id") % 11 == 0).cast("int").alias("label"),
+    )
+    return ranking_metrics(ev, score_col="score", label_col="label")
+
+
 def q_column_entropy(spark, sf_dir):
     """Shannon entropy analyzer (operators/entropy.column_entropy —
     Deequ's ``Entropy``) over documents.lang and documents.source:
@@ -2744,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "token_shards": q_token_shards,
         "column_entropy": q_column_entropy,
+        "ranking_metrics": q_ranking_metrics,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5604,6 +5623,56 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "ranking_metrics": r"""
+            WITH scored AS (
+              SELECT CAST(floor(value * 10) AS BIGINT) AS s,
+                     CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS y
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            cube AS (
+              SELECT s,
+                     sum(y)::HUGEINT AS pos,
+                     (count(*) - sum(y))::HUGEINT AS neg
+              FROM scored GROUP BY 1),
+            w AS (
+              SELECT s, pos, neg,
+                     coalesce(sum(neg) OVER (
+                       ORDER BY s ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::HUGEINT
+                       AS neg_below,
+                     sum(pos) OVER (
+                       ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::HUGEINT AS tp,
+                     sum(neg) OVER (
+                       ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::HUGEINT AS fp
+              FROM cube),
+            terms AS (
+              SELECT pos, neg,
+                     pos * (2 * neg_below + neg) AS num2,
+                     CASE WHEN pos > 0 THEN
+                       CAST(round(
+                         (CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE))
+                         / CAST(tp + fp AS DOUBLE) * 1e6) AS HUGEINT)
+                     ELSE 0::HUGEINT END AS apm
+              FROM w)
+            SELECT
+              CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+                CAST(sum(num2) AS DOUBLE)
+                  / CAST(2 * sum(pos) * sum(neg) AS DOUBLE)
+              ELSE NULL END AS auc,
+              CASE WHEN sum(pos) > 0 THEN
+                CAST(sum(apm) AS DOUBLE) / 1e6
+                  / CAST(sum(pos) AS DOUBLE)
+              ELSE NULL END AS average_precision,
+              CAST(sum(pos) AS BIGINT) AS n_pos,
+              CAST(sum(neg) AS BIGINT) AS n_neg,
+              count(*)::BIGINT AS n_scores
+            FROM terms
         """,
         "column_entropy": r"""
             WITH cl AS (

@@ -588,3 +588,120 @@ def dense_label_grid(
     return spine.join(obs, on, "left").select(
         *part, "grid_ts", F.coalesce(F.col("_obs"), F.lit(0)).alias(label_col)
     )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    part_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Threshold-free ranking quality: exact ROC-AUC and average
+    precision (PR-AUC, step definition) in ONE pass over the score
+    counts cube — the sweep-free summary the W18 threshold-sweep family
+    reports alongside.
+
+    ``AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)`` — the
+    Mann-Whitney U form. On the (score → pos, neg) counts cube it is
+    ``Σ_v pos_v·(2·neg_below_v + neg_v) / (2·P·N)`` where ``neg_below``
+    is the EXCLUSIVE running negative count in ascending-score order:
+    the numerator is an exact decimal(38,0) integer (ties contribute the
+    half via the doubled form — no 0.5 float anywhere), so AUC is ONE
+    final double division — partitioning-independent, SQL-reproducible.
+    All-tied scores give exactly 0.5; P=0 or N=0 gives NULL.
+
+    ``average_precision = (1/P)·Σ_v pos_v · tp_v/(tp_v+fp_v)`` over
+    DESCENDING distinct scores with INCLUSIVE cumulative tp/fp —
+    sklearn's step-interpolation AP evaluated at tie-group granularity.
+    Per-group precision is rational with a varying denominator, so each
+    term is micro-quantized before the exact integer sum (the repo's
+    cross-engine float contract — same as the chi-square path).
+
+    Rows with NULL label, or NULL/NaN score, are excluded (profile
+    completeness separately). ``label_col`` must be 0/1 (boolean casts).
+
+    Scale shape: everything after the first aggregation is
+    O(#partitions × distinct scores); the windows partition by
+    ``part_cols`` (continuous scores at 10^12 rows: quantize scores
+    first — same caveat as the KS drift path).
+
+    Output: (*part_cols, auc, average_precision, n_pos, n_neg,
+    n_scores).
+    """
+    part = list(part_cols)
+    dec = "decimal(38,0)"
+    lab = F.col(label_col).cast("int")
+    cube = (
+        df.filter(
+            F.col(label_col).isNotNull()
+            & F.col(score_col).isNotNull()
+            & ~F.isnan(F.col(score_col).cast("double"))
+        )
+        .groupBy(*part, F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(lab).cast(dec).alias("_pos"),
+            (F.count(F.lit(1)) - F.sum(lab)).cast(dec).alias("_neg"),
+        )
+    )
+    asc = Window.partitionBy(*part).orderBy(F.col("_s").asc())
+    desc = Window.partitionBy(*part).orderBy(F.col("_s").desc())
+    cube = (
+        cube.withColumn(
+            "_neg_below",
+            F.coalesce(
+                F.sum("_neg").over(
+                    asc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast(dec),
+            ),
+        )
+        .withColumn(
+            "_tp",
+            F.sum("_pos").over(
+                desc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "_fp",
+            F.sum("_neg").over(
+                desc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    # AP term: pos_v * tp_v / (tp_v + fp_v), micro-quantized (pinned
+    # double order; tp+fp >= pos >= 0, and the term is 0 when pos is 0)
+    ap_micro = F.when(F.col("_pos") > 0, F.round(
+        (F.col("_pos").cast("double") * F.col("_tp").cast("double"))
+        / (F.col("_tp") + F.col("_fp")).cast("double")
+        * F.lit(1e6),
+        0,
+    ).cast(dec)).otherwise(F.lit(0).cast(dec))
+    agg = cube.groupBy(*part).agg(
+        F.sum(
+            F.col("_pos")
+            * (F.lit(2).cast(dec) * F.col("_neg_below") + F.col("_neg"))
+        ).cast(dec).alias("_num2"),
+        F.sum(ap_micro).cast(dec).alias("_ap_sum"),
+        F.sum("_pos").cast(dec).alias("_P"),
+        F.sum("_neg").cast(dec).alias("_N"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+    pn2 = (F.lit(2).cast(dec) * F.col("_P") * F.col("_N")).cast("double")
+    defined = (F.col("_P") > 0) & (F.col("_N") > 0)
+    return agg.select(
+        *part,
+        F.when(defined, F.col("_num2").cast("double") / pn2)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("auc"),
+        F.when(
+            F.col("_P") > 0,
+            F.col("_ap_sum").cast("double")
+            / F.lit(1e6)
+            / F.col("_P").cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("average_precision"),
+        F.col("_P").cast("long").alias("n_pos"),
+        F.col("_N").cast("long").alias("n_neg"),
+        "n_scores",
+    )

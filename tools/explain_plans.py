@@ -1257,6 +1257,25 @@ def main() -> None:
         and "partial_count" in mi_plan,
     )
 
+    from anomalydetector_spark.operators.evaluate import ranking_metrics
+
+    rm_plan = plan_of(
+        ranking_metrics(
+            spark.range(30000).select(
+                (F.col("id") % 500).cast("double").alias("score"),
+                (F.col("id") % 7 == 0).cast("int").alias("label"),
+            )
+        )
+    )
+    ok &= check(
+        "ROC-AUC/AP: score counts cube partial-aggregates before the "
+        "shuffle; windows run over the bounded cube, zero Python, no "
+        "joins at all",
+        "partial_sum" in rm_plan
+        and "Join" not in rm_plan
+        and "EvalPython" not in rm_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
