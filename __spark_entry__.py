@@ -2411,6 +2411,27 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_freshness(spark, sf_dir):
+    """Freshness/staleness verdicts (operators/checks.check_freshness —
+    dbt source-freshness shape) over events bucketed by user_id % 50:
+    per-partition max(ts) must lag the EXPLICIT reference instant
+    2024-01-31 00:00:00 by ≤ 3600s. Exact integer-microsecond lag
+    floored to seconds; the explicit reference (never wall-clock now())
+    is what makes verdicts retry-stable and SQL-twinnable."""
+    from anomalydetector_spark.operators.checks import check_freshness
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 50).cast("string")
+    )
+    return check_freshness(
+        ev,
+        "ts",
+        max_lag_seconds=3600,
+        reference_ts="2024-01-31 00:00:00",
+        partition_by="bucket",
+    ).verdicts
+
+
 def q_ranking_metrics(spark, sf_dir):
     """Exact ROC-AUC + average precision (operators/evaluate.
     ranking_metrics) over a deterministic labeled scoring built
@@ -2763,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "column_entropy": q_column_entropy,
         "ranking_metrics": q_ranking_metrics,
+        "freshness_verdicts": q_freshness,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5623,6 +5645,35 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "freshness_verdicts": r"""
+            WITH a AS (
+              SELECT CAST(user_id % 50 AS VARCHAR) AS partition_key,
+                     max(ts) AS mt,
+                     count(*)::BIGINT AS rows_scanned
+              FROM events GROUP BY 1),
+            l AS (
+              SELECT partition_key, mt, rows_scanned,
+                     CAST(floor(
+                       (epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                        - epoch_us(mt)) / 1000000.0) AS BIGINT) AS lag_s
+              FROM a)
+            SELECT 'freshness_ts' AS check_name,
+                   partition_key,
+                   (mt IS NOT NULL AND lag_s <= 3600) AS passed,
+                   CASE
+                     WHEN mt IS NULL THEN
+                       'Column "ts" has no non-null timestamps to '
+                       || 'assess freshness.'
+                     WHEN lag_s > 3600 THEN
+                       printf('Column "ts" is stale: newest timestamp '
+                              || 'lags the reference by %ds '
+                              || '(max allowed 3600s).', lag_s)
+                   END AS error_message,
+                   CASE WHEN mt IS NOT NULL AND lag_s <= 3600
+                        THEN 0 ELSE 1 END::BIGINT AS violation_count,
+                   rows_scanned
+            FROM l
         """,
         "ranking_metrics": r"""
             WITH scored AS (

@@ -523,3 +523,80 @@ def check_robust_outliers(
         verdicts,
         _violation_rows(flagged, bad, name, keep or [column]),
     )
+
+
+def check_freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_lag_seconds: int,
+    reference_ts=None,
+    partition_by: Column | str | None = None,
+    check_name: str | None = None,
+) -> CheckResult:
+    """Freshness / staleness gate (dbt source-freshness, Deequ
+    ``Maximum(ts)`` compliance): per partition, the NEWEST ``ts_col``
+    value must lag ``reference_ts`` by at most ``max_lag_seconds`` — the
+    "did yesterday's crawl actually land in every partition" check that
+    row-shape constraints cannot see.
+
+    ``reference_ts`` is an explicit timestamp (string/datetime literal).
+    Pass one for deterministic runs (retry-stable verdicts, SQL-twin
+    oracles, resumable manifests diff cleanly); ``None`` falls back to
+    ``current_timestamp()`` for interactive use and is then
+    deliberately NOT deterministic.
+
+    Lag arithmetic is exact integer MICROseconds (``unix_micros`` both
+    sides), floored to whole seconds for the verdict message — a future
+    ``max(ts)`` (clock skew) gives a negative lag and always passes. A
+    partition with zero non-null timestamps FAILS with
+    ``NO_TIMESTAMPS`` — an absent feed must not read as fresh.
+
+    Verdict-only (staleness is not row-addressable); one aggregation
+    pass over (partition, ts).
+    """
+    name = check_name or f"freshness_{ts_col}"
+    ref = (
+        F.current_timestamp()
+        if reference_ts is None
+        else F.lit(reference_ts).cast("timestamp")
+    )
+    p = _part(df, partition_by)
+    agg = p.groupBy("partition_key").agg(
+        F.max(F.col(ts_col)).alias("_max_ts"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    # unix_micros rejects TIMESTAMP_NTZ — cast both sides through
+    # TIMESTAMP; with the session pinned to UTC (session.py) the cast is
+    # a reinterpretation and the DIFFERENCE is exact either way
+    lag_s = F.floor(
+        (
+            F.unix_micros(ref.cast("timestamp"))
+            - F.unix_micros(F.col("_max_ts").cast("timestamp"))
+        )
+        / F.lit(1_000_000.0)
+    ).cast("long")
+    has_ts = F.col("_max_ts").isNotNull()
+    fresh = has_ts & (lag_s <= F.lit(int(max_lag_seconds)))
+    verdicts = agg.select(
+        F.lit(name).alias("check_name"),
+        "partition_key",
+        fresh.alias("passed"),
+        F.when(
+            ~has_ts, F.lit(errors.NO_TIMESTAMPS.format(ts_col))
+        )
+        .when(
+            ~fresh,
+            F.format_string(
+                errors.STALE_PARTITION.replace("{0}", ts_col)
+                .replace("{1}", "%d")
+                .replace("{2}", str(int(max_lag_seconds))),
+                lag_s,
+            ),
+        )
+        .alias("error_message"),
+        F.when(fresh, F.lit(0)).otherwise(F.lit(1)).cast("long").alias(
+            "violation_count"
+        ),
+        "rows_scanned",
+    )
+    return CheckResult(verdicts)

@@ -32,3 +32,8 @@ ROBUST_OUTLIERS = (
     'Column "{0}" has values farther than {1}x the MAD from the '
     "partition median."
 )
+STALE_PARTITION = (
+    'Column "{0}" is stale: newest timestamp lags the reference by '
+    '{1}s (max allowed {2}s).'
+)
+NO_TIMESTAMPS = 'Column "{0}" has no non-null timestamps to assess freshness.'

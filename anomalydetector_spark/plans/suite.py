@@ -38,7 +38,7 @@ CUBE_KINDS = {"min_rows", "not_null_ts", "referential"}
 class CheckSpec:
     """One declarative check. ``kind`` ∈ {min_rows, not_null_ts,
     not_null, unique, referential, finite, bounds, float_castable,
-    ascending, column_presence, robust_outliers}."""
+    ascending, column_presence, robust_outliers, freshness}."""
 
     kind: str
     column: str | None = None
@@ -52,6 +52,10 @@ class CheckSpec:
     # robust_outliers only
     k: float = 5.0
     max_outlier_frac: float = 0.0
+    # freshness only: explicit reference instant (ISO string — explicit
+    # for determinism) + max allowed lag of max(ts) behind it
+    max_lag_seconds: int = 0
+    reference_ts: str | None = None
     # referential only: dimension-join ladder rung + salt count
     # (operators/referential.dim_join)
     strategy: str = "broadcast"
@@ -116,6 +120,17 @@ def robust_outliers(
     (checks.check_robust_outliers — exact counts-cube estimators)."""
     return CheckSpec("robust_outliers", column=column, k=k,
                      max_outlier_frac=max_outlier_frac)
+
+
+def freshness(
+    ts_col: str, max_lag_seconds: int, reference_ts: str | None = None
+) -> CheckSpec:
+    """Staleness gate: per-partition max(ts) must lag ``reference_ts``
+    by ≤ ``max_lag_seconds`` (checks.check_freshness; pass an explicit
+    reference for deterministic verdicts)."""
+    return CheckSpec("freshness", column=ts_col,
+                     max_lag_seconds=max_lag_seconds,
+                     reference_ts=reference_ts)
 
 
 @dataclass
@@ -299,6 +314,11 @@ def run_suite(
             r = C.check_float_castable(df, s.column, partition_by)
         elif s.kind == "ascending":
             r = C.check_ascending_by(df, s.column, s.order_col, partition_by)
+        elif s.kind == "freshness":
+            r = C.check_freshness(
+                df, s.column, s.max_lag_seconds,
+                reference_ts=s.reference_ts, partition_by=partition_by,
+            )
         elif s.kind == "robust_outliers":
             r = C.check_robust_outliers(
                 df, s.column, partition_by,

@@ -409,3 +409,93 @@ def test_text_extraction_malformed_utf8(spark):
     v = tx.verdicts.first()
     assert v.passed is False and v.violation_count == 1
     assert [r.url for r in tx.violations.collect()] == ["https://bad.example.org/2"]
+
+
+# ---- freshness / staleness (check_freshness) ----
+
+
+def test_freshness_pass_and_stale_partitions(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-10 23:00:00"),
+            ("a", "2024-01-09 03:00:00"),
+            ("b", "2024-01-05 00:00:00"),
+        ],
+        "src string, ts string",
+    ).select("src", F.col("ts").cast("timestamp").alias("ts"))
+    res = C.check_freshness(
+        df, "ts", max_lag_seconds=2 * 86400,
+        reference_ts="2024-01-11 00:00:00", partition_by="src",
+    )
+    got = {r.partition_key: r for r in res.verdicts.collect()}
+    assert got["a"].passed and got["a"].error_message is None
+    assert got["a"].violation_count == 0 and got["a"].rows_scanned == 2
+    assert not got["b"].passed and got["b"].violation_count == 1
+    # lag = 6 days exactly = 518400s, max 172800s
+    assert got["b"].error_message == errors.STALE_PARTITION.format(
+        "ts", 518400, 172800
+    )
+    assert res.violations is None
+
+
+def test_freshness_no_timestamps_fails(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", None)], "src string, ts timestamp"
+    )
+    r = _one(
+        C.check_freshness(
+            df, "ts", 3600, reference_ts="2024-01-01 00:00:00",
+            partition_by="src",
+        ).verdicts
+    )
+    assert not r.passed
+    assert r.error_message == errors.NO_TIMESTAMPS.format("ts")
+    assert r.rows_scanned == 2
+
+
+def test_freshness_future_timestamp_passes(spark):
+    # clock skew: max(ts) after the reference -> negative lag, fresh
+    df = spark.createDataFrame(
+        [("2024-01-02 00:00:30",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    r = _one(
+        C.check_freshness(
+            df, "ts", 0, reference_ts="2024-01-02 00:00:00"
+        ).verdicts
+    )
+    assert r.passed
+
+
+def test_freshness_boundary_exact_lag(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    ok = _one(
+        C.check_freshness(
+            df, "ts", 3600, reference_ts="2024-01-01 01:00:00"
+        ).verdicts
+    )
+    assert ok.passed  # lag == max_lag is fresh (<=)
+    bad = _one(
+        C.check_freshness(
+            df, "ts", 3599, reference_ts="2024-01-01 01:00:00"
+        ).verdicts
+    )
+    assert not bad.passed
+
+
+def test_freshness_via_suite(spark):
+    from anomalydetector_spark.plans import suite as S
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-10 00:00:00"), ("b", "2024-01-01 00:00:00")],
+        "src string, ts string",
+    ).select("src", F.col("ts").cast("timestamp").alias("ts"))
+    res = S.run_suite(
+        df,
+        [S.freshness("ts", 86400, "2024-01-10 12:00:00")],
+        partition_by="src",
+        persist_scans=False,
+    )
+    got = {r.partition_key: r.passed for r in res.verdicts.collect()}
+    assert got == {"a": True, "b": False}
