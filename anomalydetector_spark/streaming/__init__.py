@@ -34,7 +34,9 @@ from anomalydetector_spark.streaming.ingest import (  # noqa: F401
 from anomalydetector_spark.streaming.numeric_stream import (  # noqa: F401
     HIST_SCHEMA,
     NUMERIC_DRIFT_SCHEMA,
+    PSI_DRIFT_SCHEMA,
     numeric_drift_stream,
+    psi_drift_stream,
     streaming_window_histogram,
 )
 from anomalydetector_spark.streaming.shape_stream import (  # noqa: F401

@@ -206,3 +206,137 @@ def numeric_drift_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PSI_DRIFT_SCHEMA = (
+    "partition_key string, window_start timestamp, "
+    "psi double, chi2 double, cramers_v double, n_bins_union bigint"
+)
+
+
+def _half_up_micro(x: float) -> int:
+    """Spark ``round(double, 0)`` semantics: shortest decimal repr →
+    BigDecimal HALF_UP — required for bit-parity with the batch
+    ``psi_chi2_from_bin_counts`` (Python's ``round`` is banker's and
+    disagrees on exact .5 reprs)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(0, rounding=ROUND_HALF_UP))
+
+
+def _make_psi_fn(n_bins: int, dur_us: int, buffer_windows: int, alpha: int):
+    import math
+
+    import numpy as np
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if not pdf.empty:
+            pdf = pdf.sort_values("window_start")
+            vecs = np.stack(
+                [
+                    np.asarray(b, dtype="float64")
+                    for b in pdf["bin_counts"]
+                ]
+            )
+            if vecs.shape[1] != n_bins:
+                raise ValueError(
+                    f"bin_counts width {vecs.shape[1]} != n_bins {n_bins}"
+                )
+            ts_us = (
+                pdf["window_start"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy()
+            )
+            for t, prev, cur in window_pairs(
+                state, ts_us, vecs, n_bins, dur_us, buffer_windows
+            ):
+                # batch-mirror arithmetic (psi_chi2_from_bin_counts):
+                # add-alpha smoothing over the pair's UNION support,
+                # micro-quantized transcendentals, exact integer sums
+                c0 = [int(x) for x in cur]
+                d0 = [int(x) for x in prev]
+                union = [
+                    i for i in range(n_bins) if c0[i] > 0 or d0[i] > 0
+                ]
+                b = len(union)
+                tc = sum(c0) + alpha * b
+                td = sum(d0) + alpha * b
+                psi_num, chi_sum = 0, 0
+                for i in union:
+                    c, d = c0[i] + alpha, d0[i] + alpha
+                    num = c * td - d * tc
+                    lnm = _half_up_micro(
+                        math.log(
+                            (float(c) * float(td))
+                            / (float(d) * float(tc))
+                        )
+                        * 1e6
+                    )
+                    chim = _half_up_micro(
+                        float(num) * float(num)
+                        / float(tc * td * (c + d))
+                        * 1e6
+                    )
+                    psi_num += num * lnm
+                    chi_sum += chim
+                out.append(
+                    (
+                        key[0],
+                        pd.Timestamp(t, unit="us"),
+                        float(psi_num) / float(tc * td) / 1e6,
+                        float(chi_sum) / 1e6,
+                        math.sqrt(
+                            float(chi_sum) / 1e6 / float(tc + td)
+                        ),
+                        b,
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "partition_key",
+                "window_start",
+                "psi",
+                "chi2",
+                "cramers_v",
+                "n_bins_union",
+            ],
+        )
+
+    return fn
+
+
+def psi_drift_stream(
+    hist_stream: DataFrame,
+    window_duration: str = "1 day",
+    n_bins: int = 20,
+    buffer_windows: int = 64,
+    alpha: int = 1,
+) -> DataFrame:
+    """PSI + chi-square + Cramér's V from a stream of finalized window
+    histograms — the streaming twin of
+    :func:`~anomalydetector_spark.operators.divergence.psi_chi2_from_bin_counts`,
+    sharing :func:`streaming_window_histogram` (stage 1) and the
+    exactly-once pairing machine with :func:`numeric_drift_stream`.
+    Values equal the batch operator BIT-FOR-BIT on the same rows
+    (pinned by test): same union-support add-α smoothing, same
+    HALF_UP micro-quantization of the per-bin transcendentals, same
+    exact integer sums with one final double division chain."""
+    if alpha < 0:
+        raise ValueError("alpha must be a non-negative integer")
+    return hist_stream.groupBy("partition_key").applyInPandasWithState(
+        _make_psi_fn(
+            n_bins, _duration_us(window_duration), buffer_windows, alpha
+        ),
+        outputStructType=PSI_DRIFT_SCHEMA,
+        stateStructType=PAIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
