@@ -2411,6 +2411,33 @@ def q_ks_drift(spark, sf_dir):
     return numeric_window_ks(ev, window="1 day")
 
 
+def q_json_schema(spark, sf_dir):
+    """JSON payload validation (operators/checks.check_json_schema)
+    over events.props with deterministic in-query corruption (the
+    testdata payloads are all valid): event_id % 17 truncates the
+    closing brace (malformed), % 23 swaps in a payload missing the
+    required key, % 29 makes the key a non-numeric string (type
+    violation). Verdicts per event_type; JVM-side try_parse_json /
+    get_json_object / try_cast — zero Python. The DuckDB twin guards
+    json_extract behind json_valid (DuckDB's extract THROWS on
+    malformed JSON where Spark returns null)."""
+    from anomalydetector_spark.operators.checks import check_json_schema
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props2",
+        F.when(
+            F.col("event_id") % 17 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        )
+        .when(F.col("event_id") % 23 == 0, F.lit('{"j": 1}'))
+        .when(F.col("event_id") % 29 == 0, F.lit('{"k": "x"}'))
+        .otherwise(F.col("props")),
+    )
+    return check_json_schema(
+        ev, "props2", {"k": "bigint"}, partition_by="event_type"
+    ).verdicts
+
+
 def q_freshness(spark, sf_dir):
     """Freshness/staleness verdicts (operators/checks.check_freshness —
     dbt source-freshness shape) over events bucketed by user_id % 50:
@@ -2785,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "ranking_metrics": q_ranking_metrics,
         "freshness_verdicts": q_freshness,
+        "json_schema_verdicts": q_json_schema,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5645,6 +5673,37 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "json_schema_verdicts": r"""
+            WITH m AS (
+              SELECT event_type AS partition_key,
+                     CASE
+                       WHEN event_id % 17 = 0
+                         THEN substr(props, 1, length(props) - 1)
+                       WHEN event_id % 23 = 0 THEN '{"j": 1}'
+                       WHEN event_id % 29 = 0 THEN '{"k": "x"}'
+                       ELSE props END AS p
+              FROM events),
+            f AS (
+              SELECT partition_key,
+                     CASE
+                       WHEN p IS NULL THEN 0
+                       WHEN NOT json_valid(p) THEN 1
+                       WHEN json_extract_string(p, '$.k') IS NULL THEN 1
+                       WHEN TRY_CAST(json_extract_string(p, '$.k')
+                                     AS BIGINT) IS NULL THEN 1
+                       ELSE 0 END AS bad
+              FROM m)
+            SELECT 'json_schema_props2' AS check_name,
+                   partition_key,
+                   (sum(bad) = 0) AS passed,
+                   CASE WHEN sum(bad) > 0 THEN
+                     'Column "props2" has rows violating the declared '
+                     || 'JSON payload schema.'
+                   END AS error_message,
+                   sum(bad)::BIGINT AS violation_count,
+                   count(*)::BIGINT AS rows_scanned
+            FROM f GROUP BY 2
         """,
         "freshness_verdicts": r"""
             WITH a AS (

@@ -600,3 +600,68 @@ def check_freshness(
         "rows_scanned",
     )
     return CheckResult(verdicts)
+
+
+def check_json_schema(
+    df: DataFrame,
+    column: str,
+    required: dict[str, str],
+    partition_by: Column | str | None = None,
+    check_name: str | None = None,
+    keep: list[str] | None = None,
+) -> CheckResult:
+    """Semi-structured payload validation: every non-null value of
+    ``column`` must be (a) parseable JSON, and (b) carry each key in
+    ``required`` (a ``{json_key: spark_type}`` mapping, e.g.
+    ``{"k": "bigint"}``) with a value castable to the declared type —
+    the events-pipeline staple that P3/P7 column checks cannot see
+    inside a JSON string column.
+
+    Entirely JVM-side codegen: ``try_parse_json`` probes validity (the
+    VARIANT parser — no Python, no UDF), ``get_json_object`` extracts,
+    ``try_cast`` type-checks. Pinned conventions:
+
+    * a NULL column value is NOT a violation (nullability is P4's job);
+    * a JSON ``null`` value for a required key counts as MISSING —
+      ``get_json_object`` surfaces JSON null and absent identically,
+      and a required key whose value is null fails either way;
+    * each violating row reports ONE reason — the first failure in
+      declaration order: ``malformed``, then ``missing:<key>`` /
+      ``type:<key>`` per key — so the violation frame is deterministic;
+    * keys are used verbatim in the JSONPath (``$.<key>``) — keys
+      containing ``.``/quotes/brackets are rejected loudly.
+
+    Violations are row-addressable: the frame carries ``json_reason``.
+    """
+    for k in required:
+        if any(ch in k for ch in ".[]'\""):
+            raise ValueError(f"unsupported character in JSON key: {k!r}")
+    name = check_name or f"json_schema_{column}"
+    col = F.col(column)
+    p = _part(df, partition_by)
+    nn = col.isNotNull()
+    malformed = nn & F.try_parse_json(col).isNull()
+    valid = nn & ~malformed
+    reason = F.when(malformed, F.lit("malformed"))
+    for k, typ in required.items():
+        raw = F.get_json_object(col, f"$.{k}")
+        reason = reason.when(
+            valid & raw.isNull(), F.lit(f"missing:{k}")
+        ).when(
+            valid & raw.isNotNull() & raw.try_cast(typ).isNull(),
+            F.lit(f"type:{k}"),
+        )
+    p = p.withColumn("json_reason", reason)
+    bad = F.col("json_reason").isNotNull()
+    counted = p.groupBy("partition_key").agg(
+        F.sum(bad.cast("long")).alias("violation_count"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return CheckResult(
+        _verdict_from_violation_count(
+            counted, name, errors.JSON_SCHEMA_VIOLATION.format(column)
+        ),
+        _violation_rows(
+            p, bad, name, ["json_reason", *(keep or [])]
+        ),
+    )

@@ -37,3 +37,6 @@ STALE_PARTITION = (
     '{1}s (max allowed {2}s).'
 )
 NO_TIMESTAMPS = 'Column "{0}" has no non-null timestamps to assess freshness.'
+JSON_SCHEMA_VIOLATION = (
+    'Column "{0}" has rows violating the declared JSON payload schema.'
+)

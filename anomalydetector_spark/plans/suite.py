@@ -38,7 +38,8 @@ CUBE_KINDS = {"min_rows", "not_null_ts", "referential"}
 class CheckSpec:
     """One declarative check. ``kind`` ∈ {min_rows, not_null_ts,
     not_null, unique, referential, finite, bounds, float_castable,
-    ascending, column_presence, robust_outliers, freshness}."""
+    ascending, column_presence, robust_outliers, freshness,
+    json_schema}."""
 
     kind: str
     column: str | None = None
@@ -56,6 +57,8 @@ class CheckSpec:
     # for determinism) + max allowed lag of max(ts) behind it
     max_lag_seconds: int = 0
     reference_ts: str | None = None
+    # json_schema only: ((json_key, spark_type), ...) requirement pairs
+    json_keys: tuple = ()
     # referential only: dimension-join ladder rung + salt count
     # (operators/referential.dim_join)
     strategy: str = "broadcast"
@@ -131,6 +134,14 @@ def freshness(
     return CheckSpec("freshness", column=ts_col,
                      max_lag_seconds=max_lag_seconds,
                      reference_ts=reference_ts)
+
+
+def json_schema(column: str, required: dict[str, str]) -> CheckSpec:
+    """JSON payload validation: every non-null value of ``column`` must
+    parse and carry each required key castable to its declared Spark
+    type (checks.check_json_schema)."""
+    return CheckSpec("json_schema", column=column,
+                     json_keys=tuple(required.items()))
 
 
 @dataclass
@@ -314,6 +325,10 @@ def run_suite(
             r = C.check_float_castable(df, s.column, partition_by)
         elif s.kind == "ascending":
             r = C.check_ascending_by(df, s.column, s.order_col, partition_by)
+        elif s.kind == "json_schema":
+            r = C.check_json_schema(
+                df, s.column, dict(s.json_keys), partition_by
+            )
         elif s.kind == "freshness":
             r = C.check_freshness(
                 df, s.column, s.max_lag_seconds,

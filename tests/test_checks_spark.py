@@ -499,3 +499,81 @@ def test_freshness_via_suite(spark):
     )
     got = {r.partition_key: r.passed for r in res.verdicts.collect()}
     assert got == {"a": True, "b": False}
+
+
+# ---- JSON payload schema (check_json_schema) ----
+
+
+def test_json_schema_reasons_and_verdicts(spark):
+    rows = [
+        ("a", '{"k": 87, "u": "x"}'),    # ok
+        ("a", '{"k": "oops", "u": "x"}'),  # type:k
+        ("a", '{"u": "x"}'),              # missing:k
+        ("a", '{"k": null, "u": "x"}'),   # json null == missing (pinned)
+        ("b", '{"k": 1'),                 # malformed
+        ("b", None),                      # NULL column: NOT a violation
+        ("b", '{"k": 3, "u": 7}'),        # u numeric still casts to string
+    ]
+    df = spark.createDataFrame(rows, "src string, props string")
+    res = C.check_json_schema(
+        df, "props", {"k": "bigint", "u": "string"}, partition_by="src"
+    )
+    got = {r.partition_key: r for r in res.verdicts.collect()}
+    assert not got["a"].passed and got["a"].violation_count == 3
+    assert got["a"].error_message == errors.JSON_SCHEMA_VIOLATION.format(
+        "props"
+    )
+    assert not got["b"].passed and got["b"].violation_count == 1
+    assert got["b"].rows_scanned == 3
+    reasons = sorted(
+        r.json_reason for r in res.violations.collect()
+    )
+    assert reasons == ["malformed", "missing:k", "missing:k", "type:k"]
+
+
+def test_json_schema_all_valid_passes(spark):
+    df = spark.createDataFrame(
+        [('{"k": %d}' % i,) for i in range(20)], "props string"
+    )
+    r = _one(C.check_json_schema(df, "props", {"k": "bigint"}).verdicts)
+    assert r.passed and r.violation_count == 0 and r.rows_scanned == 20
+
+
+def test_json_schema_first_reason_wins_in_declaration_order(spark):
+    # row missing BOTH keys: reason must be the first declared key
+    df = spark.createDataFrame([("{}",)], "props string")
+    res = C.check_json_schema(df, "props", {"a": "bigint", "b": "string"})
+    v, = res.violations.collect()
+    assert v.json_reason == "missing:a"
+
+
+def test_json_schema_rejects_pathy_keys(spark):
+    df = spark.createDataFrame([("{}",)], "props string")
+    with pytest.raises(ValueError):
+        C.check_json_schema(df, "props", {"a.b": "bigint"})
+
+
+def test_json_schema_plan_is_codegen(spark):
+    df = spark.createDataFrame([('{"k": 1}',)], "props string")
+    res = C.check_json_schema(df, "props", {"k": "bigint"})
+    plan = (
+        res.verdicts._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan  # JVM-side parse, no Python UDF
+
+
+def test_json_schema_via_suite(spark):
+    from anomalydetector_spark.plans import suite as S
+
+    df = spark.createDataFrame(
+        [("a", '{"k": 1}'), ("b", '{"k": "x"}')],
+        "src string, props string",
+    )
+    res = S.run_suite(
+        df,
+        [S.json_schema("props", {"k": "bigint"})],
+        partition_by="src",
+        persist_scans=False,
+    )
+    got = {r.partition_key: r.passed for r in res.verdicts.collect()}
+    assert got == {"a": True, "b": False}

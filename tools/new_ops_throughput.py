@@ -1,0 +1,144 @@
+"""Throughput measurement for the round-3 continuation operators
+(weighted sampling, token sharding, ranking metrics, KS/PSI drift,
+entropy/MI, freshness) on synthetic 1M-row inputs, local[32].
+
+Usage: python tools/new_ops_throughput.py [rows]
+Prints one `| op | input | wall | rate |` markdown row per operator
+(min of 3 reps, post-warmup), for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from anomalydetector_spark.session import get_spark  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+
+def bench(name, inp, build, reps=3):
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+    w = min(walls)
+    rate = N / w
+    unit = "rows/s" if rate < 1e6 else "rows/s"
+    print(
+        f"| `{name}` | {inp} | {w:.2f} s | "
+        f"{rate / 1000:.0f}k {unit} |"
+    )
+
+
+def main():
+    spark = get_spark("new-ops-bench", cores=32)
+
+    base = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 7919) % 400 + 10).alias("toks"),
+            ((F.col("id") * 131) % 97 + 1).cast("double").alias("w"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % (30 * 86400))
+            ).alias("ts"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+            (F.col("id") % 7 == 0).cast("int").alias("label"),
+            F.concat(F.lit("l"), (F.col("id") % 25).cast("string")).alias(
+                "lang"
+            ),
+            F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias(
+                "source"
+            ),
+        )
+        .persist()
+    )
+    base.count()  # warm cache
+
+    from anomalydetector_spark.operators.sampling import weighted_sample_k
+
+    bench(
+        "weighted_sample_k (k=10k, E-S top-k)",
+        f"{N//1000}k docs",
+        lambda: weighted_sample_k(base, 10_000, "w"),
+    )
+
+    from anomalydetector_spark.operators.sharding import (
+        assign_shards_by_tokens,
+    )
+
+    bench(
+        "assign_shards_by_tokens (distributed prefix-sum)",
+        f"{N//1000}k docs",
+        lambda: assign_shards_by_tokens(base, 1_000_000, "toks"),
+    )
+
+    from anomalydetector_spark.operators.evaluate import ranking_metrics
+
+    bench(
+        "ranking_metrics (AUC+AP, 1000 distinct scores)",
+        f"{N//1000}k scored rows",
+        lambda: ranking_metrics(base, "value", "label"),
+    )
+
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_ks,
+        numeric_window_psi,
+    )
+
+    bench(
+        "numeric_window_ks (30 windows, 1000-value support)",
+        f"{N//1000}k rows",
+        lambda: numeric_window_ks(
+            base.select("ts", F.floor("value").alias("value"))
+        ),
+    )
+    bench(
+        "numeric_window_psi (30 windows, 20 bins)",
+        f"{N//1000}k rows",
+        lambda: numeric_window_psi(
+            base, lo=0.0, hi=1000.0, n_bins=20
+        ),
+    )
+
+    from anomalydetector_spark.operators.entropy import (
+        column_entropy,
+        mutual_information,
+    )
+
+    bench(
+        "column_entropy (2 columns)",
+        f"{N//1000}k rows",
+        lambda: column_entropy(base, ["lang", "source"]),
+    )
+    bench(
+        "mutual_information (25x40 pair table)",
+        f"{N//1000}k rows",
+        lambda: mutual_information(base, "lang", "source"),
+    )
+
+    from anomalydetector_spark.operators.checks import check_freshness
+
+    bench(
+        "check_freshness (50 partitions)",
+        f"{N//1000}k rows",
+        lambda: check_freshness(
+            base.withColumn(
+                "bucket", (F.col("doc_id") % 50).cast("string")
+            ),
+            "ts",
+            3600,
+            reference_ts="2024-02-01 00:00:00",
+            partition_by="bucket",
+        ).verdicts,
+    )
+
+
+if __name__ == "__main__":
+    main()
