@@ -88,6 +88,17 @@ class ValidationConfig:
     # so FD violations surface as full rows in row_status/violations
     # like every other row-addressable check.
     functional_deps: tuple = ()  # tuple[tuple[str, str], ...]
+    # freshness gate on warc_ts: (max_lag_seconds, reference_ts). The
+    # reference instant is EXPLICIT (ISO string) so verdicts stay
+    # retry-stable and oracle-able; None = check off. One extra
+    # (partition, max(ts)) aggregation pass over pruned columns.
+    freshness: tuple | None = None  # (int, str)
+    # JSON payload schema over a string column:
+    # {"column": <name>, "keys": {<json_key>: <spark_type>, ...}}.
+    # The per-row reason predicate is pure codegen, so violations ride
+    # the SHARED one-scan extraction (and the quarantine split) like
+    # row asserts; the verdict costs one extra pruned aggregation.
+    json_schema: dict | None = None
 
 
 @dataclass
@@ -281,6 +292,23 @@ def run_validation(
         verdict_frames.append(
             C.check_schema_types(pages, cfg.expected_schema).verdicts
         )
+    if cfg.freshness:
+        max_lag, ref_ts = cfg.freshness
+        verdict_frames.append(
+            C.check_freshness(
+                pages, "warc_ts", int(max_lag), reference_ts=ref_ts,
+                partition_by=cfg.partition_by,
+            ).verdicts
+        )
+    if cfg.json_schema:
+        verdict_frames.append(
+            C.check_json_schema(
+                pages,
+                cfg.json_schema["column"],
+                dict(cfg.json_schema["keys"]),
+                partition_by=cfg.partition_by,
+            ).verdicts
+        )
     if agg_asserts:
         # all agg-assert metrics share ONE extra aggregation pass
         verdict_frames.append(
@@ -307,6 +335,16 @@ def run_validation(
         F.when(F.col("_is_dup"), F.lit(uniq_name)),
         *A.row_assert_tags(row_asserts),
     ]
+    if cfg.json_schema:
+        # pure-codegen per-row predicate — rides the shared scan free
+        tags.append(
+            F.when(
+                C.json_schema_reason(
+                    cfg.json_schema["column"], dict(cfg.json_schema["keys"])
+                ).isNotNull(),
+                F.lit(f"json_schema_{cfg.json_schema['column']}"),
+            )
+        )
     for i, (det, dep) in enumerate(cfg.functional_deps):
         # reuse the persisted violating-key frame from the verdict pass;
         # the join is per (partition_key, determinant tuple) because a

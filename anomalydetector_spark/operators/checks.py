@@ -602,6 +602,30 @@ def check_freshness(
     return CheckResult(verdicts)
 
 
+def json_schema_reason(column: str, required: dict[str, str]) -> Column:
+    """The per-row violation reason expression behind
+    :func:`check_json_schema` (NULL = compliant) — exposed so the engine
+    can ride it on the shared one-scan violation extraction as a tag
+    (pure codegen, like row asserts)."""
+    for k in required:
+        if any(ch in k for ch in ".[]'\""):
+            raise ValueError(f"unsupported character in JSON key: {k!r}")
+    col = F.col(column)
+    nn = col.isNotNull()
+    malformed = nn & F.try_parse_json(col).isNull()
+    valid = nn & ~malformed
+    reason = F.when(malformed, F.lit("malformed"))
+    for k, typ in required.items():
+        raw = F.get_json_object(col, f"$.{k}")
+        reason = reason.when(
+            valid & raw.isNull(), F.lit(f"missing:{k}")
+        ).when(
+            valid & raw.isNotNull() & raw.try_cast(typ).isNull(),
+            F.lit(f"type:{k}"),
+        )
+    return reason
+
+
 def check_json_schema(
     df: DataFrame,
     column: str,
@@ -633,25 +657,10 @@ def check_json_schema(
 
     Violations are row-addressable: the frame carries ``json_reason``.
     """
-    for k in required:
-        if any(ch in k for ch in ".[]'\""):
-            raise ValueError(f"unsupported character in JSON key: {k!r}")
     name = check_name or f"json_schema_{column}"
-    col = F.col(column)
-    p = _part(df, partition_by)
-    nn = col.isNotNull()
-    malformed = nn & F.try_parse_json(col).isNull()
-    valid = nn & ~malformed
-    reason = F.when(malformed, F.lit("malformed"))
-    for k, typ in required.items():
-        raw = F.get_json_object(col, f"$.{k}")
-        reason = reason.when(
-            valid & raw.isNull(), F.lit(f"missing:{k}")
-        ).when(
-            valid & raw.isNotNull() & raw.try_cast(typ).isNull(),
-            F.lit(f"type:{k}"),
-        )
-    p = p.withColumn("json_reason", reason)
+    p = _part(df, partition_by).withColumn(
+        "json_reason", json_schema_reason(column, required)
+    )
     bad = F.col("json_reason").isNotNull()
     counted = p.groupBy("partition_key").agg(
         F.sum(bad.cast("long")).alias("violation_count"),

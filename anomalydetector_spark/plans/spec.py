@@ -98,6 +98,28 @@ def config_from_dict(spec: dict) -> ValidationConfig:
         elif field in cfg_fields:
             if field == "langs":
                 value = tuple(value)
+            elif field == "freshness" and value is not None:
+                if (
+                    not isinstance(value, (list, tuple))
+                    or len(value) != 2
+                    or not isinstance(value[0], int)
+                    or not isinstance(value[1], str)
+                ):
+                    raise ValueError(
+                        '"freshness" must be a [max_lag_seconds, '
+                        'reference_ts] pair (int, ISO timestamp string)'
+                    )
+                value = tuple(value)
+            elif field == "json_schema" and value is not None:
+                if (
+                    not isinstance(value, dict)
+                    or set(value) != {"column", "keys"}
+                    or not isinstance(value.get("keys"), dict)
+                ):
+                    raise ValueError(
+                        '"json_schema" must be {"column": <name>, '
+                        '"keys": {<json_key>: <spark_type>, ...}}'
+                    )
             elif field == "functional_deps":
                 if not isinstance(value, list):
                     raise ValueError(
@@ -157,4 +179,6 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
     ]
     d["asserts"] = [dict(a) for a in d["asserts"]]
     d["agg_asserts"] = [dict(a) for a in d["agg_asserts"]]
+    if d["freshness"] is not None:
+        d["freshness"] = list(d["freshness"])
     return d

@@ -227,3 +227,65 @@ def test_schema_in_suite_and_engine(spark, tmp_path):
     assert "lang: expected bigint, got string" in v["schema_types"]["error_message"]
     assert v["min_row_count"]["passed"] is True  # run proceeded
     res.unpersist()
+
+
+def test_freshness_and_json_schema_spec_validation():
+    cfg = config_from_dict(
+        {
+            "freshness": [86400, "2025-03-01 00:00:00"],
+            "json_schema": {"column": "text", "keys": {"k": "bigint"}},
+        }
+    )
+    assert cfg.freshness == (86400, "2025-03-01 00:00:00")
+    assert cfg.json_schema == {"column": "text", "keys": {"k": "bigint"}}
+    # round-trip
+    assert config_from_dict(suite_to_dict(cfg)) == cfg
+    with pytest.raises(ValueError, match="freshness"):
+        config_from_dict({"freshness": [86400]})
+    with pytest.raises(ValueError, match="json_schema"):
+        config_from_dict({"json_schema": {"column": "text"}})
+
+
+def test_freshness_and_json_schema_in_engine(spark):
+    """Both new checks reach the engine; json_schema violations ride the
+    shared one-scan extraction and the quarantine split."""
+    import pyspark.sql.functions as F
+
+    from anomalydetector_spark import datagen
+    from anomalydetector_spark.engine import run_validation
+
+    pages = datagen.generate_pages(spark, 2000).withColumn(
+        "props",
+        F.when(
+            F.col("url").endswith("0"), F.lit('{"k": "bad"}')
+        ).otherwise(F.lit('{"k": 7}')),
+    )
+    cfg = config_from_dict(
+        {
+            "min_points": 2,
+            # generate_pages spans 48 windows from 2025-01-01 — a
+            # reference far in the future makes every partition stale
+            "freshness": [3600, "2025-06-01 00:00:00"],
+            "json_schema": {"column": "props", "keys": {"k": "bigint"}},
+        }
+    )
+    res = run_validation(pages, None, cfg)
+    v = {r["check_name"]: r for r in res.verdicts.collect()}
+    assert v["freshness_warc_ts"]["passed"] is False
+    assert "stale" in v["freshness_warc_ts"]["error_message"]
+    assert v["json_schema_props"]["passed"] is False
+    assert v["json_schema_props"]["violation_count"] > 0
+    # violations rode the shared scan
+    tagged = (
+        res.violations.filter(F.col("check_name") == "json_schema_props")
+        .select("url")
+        .collect()
+    )
+    assert len(tagged) == v["json_schema_props"]["violation_count"]
+    assert all(r.url.endswith("0") for r in tagged)
+    # quarantine split sees the same rows
+    q = res.row_status.filter(
+        F.array_contains("violated_checks", "json_schema_props")
+    ).count()
+    assert q == len(tagged)
+    res.unpersist()
