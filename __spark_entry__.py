@@ -2438,6 +2438,32 @@ def q_json_schema(spark, sf_dir):
     ).verdicts
 
 
+def q_json_profile(spark, sf_dir):
+    """JSON key discovery + schema suggestion (operators/profile.
+    profile_json_keys — the profiler half of the json_schema check)
+    over a payload built in-query from events arithmetic: key "k" is
+    always a number, "u" always a string, "x" a double present in ~1/3
+    of rows — so the profile must discover all three keys, infer
+    bigint/string/double, and mark only k,u as required at 95%
+    presence. The DuckDB twin replays via json_keys + json_extract."""
+    from anomalydetector_spark.operators.profile import profile_json_keys
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props2",
+        F.concat(
+            F.lit('{"k": '),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit(', "u": "'),
+            F.col("event_type"),
+            F.lit('"'),
+            F.when(F.col("event_id") % 3 == 0, F.lit(', "x": 1.5'))
+            .otherwise(F.lit("")),
+            F.lit("}"),
+        ),
+    )
+    return profile_json_keys(ev, "props2", min_presence=0.95)
+
+
 def q_freshness(spark, sf_dir):
     """Freshness/staleness verdicts (operators/checks.check_freshness —
     dbt source-freshness shape) over events bucketed by user_id % 50:
@@ -2813,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": q_ranking_metrics,
         "freshness_verdicts": q_freshness,
         "json_schema_verdicts": q_json_schema,
+        "json_key_profile": q_json_profile,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5673,6 +5700,50 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "json_key_profile": r"""
+            WITH p AS (
+              SELECT '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+                     || ', "u": "' || event_type || '"'
+                     || CASE WHEN event_id % 3 = 0
+                             THEN ', "x": 1.5' ELSE '' END
+                     || '}' AS pp
+              FROM events),
+            v AS (
+              SELECT pp FROM p
+              WHERE pp IS NOT NULL AND json_valid(pp)
+                AND json_type(pp) = 'OBJECT'),
+            t AS (SELECT count(*)::BIGINT AS n_objects FROM v),
+            kv AS (
+              SELECT unnest(json_keys(pp)) AS key, pp FROM v),
+            ext AS (
+              SELECT key,
+                     json_extract_string(pp, '$.' || key) AS val
+              FROM kv),
+            c AS (
+              SELECT key,
+                     sum((val IS NOT NULL)::INT)::BIGINT AS n_present,
+                     -- Spark's string->bigint grammar is digits-only
+                     -- (DuckDB's TRY_CAST rounds '1.5' and parses
+                     -- '1e3'); the regex pins Spark semantics
+                     sum((TRY_CAST(val AS BIGINT) IS NOT NULL
+                          AND regexp_matches(trim(val),
+                                             '^[+-]?[0-9]+$'))::INT)
+                       ::BIGINT AS nb,
+                     sum((TRY_CAST(val AS DOUBLE) IS NOT NULL)::INT)
+                       ::BIGINT AS nd,
+                     sum((TRY_CAST(val AS BOOLEAN) IS NOT NULL)::INT)
+                       ::BIGINT AS nbo
+              FROM ext GROUP BY 1)
+            SELECT key, n_present, t.n_objects,
+                   CASE WHEN n_present = 0 THEN 'string'
+                        WHEN nb = n_present THEN 'bigint'
+                        WHEN nd = n_present THEN 'double'
+                        WHEN nbo = n_present THEN 'boolean'
+                        ELSE 'string' END AS inferred_type,
+                   (CAST(n_present AS DOUBLE)
+                    / CAST(t.n_objects AS DOUBLE)) >= 0.95 AS required
+            FROM c, t
         """,
         "json_schema_verdicts": r"""
             WITH m AS (

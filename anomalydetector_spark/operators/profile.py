@@ -283,3 +283,73 @@ def suggest_row_asserts(
                 )
             )
     return out
+
+
+def profile_json_keys(
+    df: DataFrame, column: str, min_presence: float = 0.95
+) -> DataFrame:
+    """Schema discovery for a semi-structured JSON string column — the
+    profiler half of the ``json_schema`` check (the suggestion loop:
+    profile → human review → ``checks.check_json_schema`` enforces).
+
+    One pass: valid JSON OBJECTS parse to ``map<string,string>`` in the
+    JVM (``from_json`` — non-objects and malformed payloads drop out,
+    exactly the rows the check's ``malformed`` reason owns), the map
+    explodes, and per discovered key ONE aggregation computes presence
+    and the narrowest type every present value casts to, under the
+    ladder ``bigint → double → boolean → string`` (bigint wins before
+    boolean so ``"1"`` reads as a number; JSON ``null`` values count as
+    ABSENT — the same convention the check enforces).
+
+    Output (bounded by distinct keys): ``(key, n_present, n_objects,
+    inferred_type, required)`` where ``required`` marks keys present in
+    ≥ ``min_presence`` of object rows — the rows to feed
+    ``ValidationConfig.json_schema`` / the ``json_schema`` suite kind.
+    """
+    col = F.col(column)
+    objs = df.select(
+        F.from_json(col, "map<string,string>").alias("_m")
+    ).filter(col.isNotNull() & F.col("_m").isNotNull())
+    tot = objs.agg(F.count(F.lit(1)).alias("n_objects"))
+
+    kv = objs.select(F.explode("_m").alias("key", "val"))
+    v = F.col("val")
+    counts = kv.groupBy("key").agg(
+        F.sum(v.isNotNull().cast("long")).alias("n_present"),
+        F.sum(v.try_cast("bigint").isNotNull().cast("long")).alias("_n_big"),
+        F.sum(v.try_cast("double").isNotNull().cast("long")).alias("_n_dbl"),
+        F.sum(v.try_cast("boolean").isNotNull().cast("long")).alias(
+            "_n_bool"
+        ),
+    )
+    inferred = (
+        F.when(F.col("n_present") == 0, F.lit("string"))
+        .when(F.col("_n_big") == F.col("n_present"), F.lit("bigint"))
+        .when(F.col("_n_dbl") == F.col("n_present"), F.lit("double"))
+        .when(F.col("_n_bool") == F.col("n_present"), F.lit("boolean"))
+        .otherwise(F.lit("string"))
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_present",
+        "n_objects",
+        inferred.alias("inferred_type"),
+        (
+            F.col("n_present").cast("double")
+            / F.col("n_objects").cast("double")
+            >= F.lit(float(min_presence))
+        ).alias("required"),
+    )
+
+
+def suggest_json_schema(
+    profile_rows, min_presence: float = 0.95
+) -> dict[str, str]:
+    """Collapse a (collected) :func:`profile_json_keys` frame into the
+    ``{key: type}`` mapping ``check_json_schema`` takes — only the
+    ``required`` keys, in key order (deterministic)."""
+    return {
+        r.key: r.inferred_type
+        for r in sorted(profile_rows, key=lambda r: r.key)
+        if r.required
+    }

@@ -207,3 +207,69 @@ def test_suggestions_hold_on_source_data(frame):
     assert "k_not_null" not in names  # k has a null -> not suggested
     res = check_row_asserts(frame, suggested)
     assert all(r.passed for r in res.verdicts.collect())
+
+
+# ---- JSON key profiling + schema suggestion (profile_json_keys) ----
+
+
+def test_profile_json_keys_discovery_and_types(spark):
+    import pandas as pd
+
+    from anomalydetector_spark.operators.checks import check_json_schema
+    from anomalydetector_spark.operators.profile import (
+        profile_json_keys,
+        suggest_json_schema,
+    )
+
+    rows = (
+        [{"p": '{"a": %d, "b": "s%d", "c": 1.5}' % (i, i)} for i in range(90)]
+        + [{"p": '{"a": 7, "b": "x"}'}] * 8  # c absent in 8 rows
+        + [{"p": '{"a": null, "b": "y"}'}]   # json null == absent for a
+        + [{"p": "not json"}]                # malformed: not an object row
+        + [{"p": "[1,2]"}]                   # valid json, not an object
+        + [{"p": None}]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    prof = {r.key: r for r in profile_json_keys(df, "p").collect()}
+    assert set(prof) == {"a", "b", "c"}
+    assert all(r.n_objects == 99 for r in prof.values())
+    assert (prof["a"].n_present, prof["a"].inferred_type) == (98, "bigint")
+    assert (prof["b"].n_present, prof["b"].inferred_type) == (99, "string")
+    assert (prof["c"].n_present, prof["c"].inferred_type) == (90, "double")
+    assert prof["a"].required and prof["b"].required
+    assert not prof["c"].required  # 90/99 < 0.95
+    # suggestion loop closes: the suggested schema passes on the clean rows
+    schema = suggest_json_schema(prof.values())
+    assert schema == {"a": "bigint", "b": "string"}
+    clean = df.filter(df.p.isNotNull() & df.p.startswith("{"))
+    res = check_json_schema(clean, "p", schema)
+    v, = res.verdicts.collect()
+    # the json-null 'a' row is the single violation the profiler predicted
+    assert v.violation_count == 1
+
+
+def test_profile_json_keys_type_ladder(spark):
+    import pandas as pd
+
+    from anomalydetector_spark.operators.profile import profile_json_keys
+
+    rows = [
+        {"p": '{"i": "007", "f": "1e3", "t": "true", "s": "1x"}'},
+        {"p": '{"i": 3, "f": 2.5, "t": "false", "s": "zz"}'},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r.key: r.inferred_type for r in
+           profile_json_keys(df, "p").collect()}
+    assert got == {"i": "bigint", "f": "double", "t": "boolean",
+                   "s": "string"}
+
+
+def test_profile_json_keys_empty_input(spark):
+    import pandas as pd
+
+    from anomalydetector_spark.operators.profile import profile_json_keys
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"p": ["nope", None]}), "p string"
+    )
+    assert profile_json_keys(df, "p").collect() == []
