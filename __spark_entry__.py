@@ -2438,6 +2438,25 @@ def q_json_schema(spark, sf_dir):
     ).verdicts
 
 
+def q_equidepth_drift(spark, sf_dir):
+    """Equi-depth drift battery (operators/divergence.
+    numeric_window_drift_equidepth): exact type-1 decile boundaries of
+    events.value (exact_bounds=True — the oracle-able mode; production
+    uses the approx_percentile sketch with frozen literals), then the
+    exact L∞/TVD/EMD machinery on the 10 adaptive bins. The DuckDB
+    twin recomputes the boundaries by row_number rank (provably the
+    same type-1 quantile), re-bins with the same >=-boundary rule, and
+    replays the dense-grid drift arithmetic — hash-exact."""
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_drift_equidepth,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    return numeric_window_drift_equidepth(
+        ev, n_bins=10, window="1 day", exact_bounds=True
+    )
+
+
 def q_json_profile(spark, sf_dir):
     """JSON key discovery + schema suggestion (operators/profile.
     profile_json_keys — the profiler half of the json_schema check)
@@ -2840,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_verdicts": q_freshness,
         "json_schema_verdicts": q_json_schema,
         "json_key_profile": q_json_profile,
+        "equidepth_drift": q_equidepth_drift,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5699,6 +5719,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(cum)) AS DOUBLE)
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
+            FROM cumx GROUP BY 1
+        """,
+        "equidepth_drift": r"""
+            WITH e AS (
+              SELECT ts, value FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            ord AS (
+              SELECT value,
+                     row_number() OVER (ORDER BY value) AS rn
+              FROM e),
+            tt AS (SELECT count(*)::BIGINT AS n FROM e),
+            ranks AS (
+              SELECT r.q, (r.q * tt.n + 9) // 10 AS rank
+              FROM range(1, 10) r(q), tt),
+            bounds AS (
+              SELECT q, min(value) AS b
+              FROM ord JOIN ranks ON ord.rn = ranks.rank
+              GROUP BY q),
+            binned AS (
+              SELECT date_trunc('day', ts) AS w,
+                     (SELECT coalesce(sum((e.value >= b.b)::INT), 0)
+                      FROM bounds b) AS bin
+              FROM e),
+            c AS (
+              SELECT w, bin, count(*)::HUGEINT AS n
+              FROM binned GROUP BY 1, 2),
+            t AS (SELECT w, sum(n)::HUGEINT AS tw FROM c GROUP BY 1),
+            days AS (SELECT DISTINCT w FROM c),
+            pairs AS (
+              SELECT d.w FROM days d
+              JOIN days p ON p.w = d.w - INTERVAL 1 DAY),
+            grid AS (
+              SELECT pr.w, gs.bin
+              FROM pairs pr CROSS JOIN range(0, 10) gs(bin)),
+            dense AS (
+              SELECT g.w, g.bin,
+                     coalesce(cc.n, 0)::HUGEINT AS c,
+                     coalesce(pc.n, 0)::HUGEINT AS d
+              FROM grid g
+              LEFT JOIN c cc ON cc.w = g.w AND cc.bin = g.bin
+              LEFT JOIN c pc ON pc.w = g.w - INTERVAL 1 DAY
+                            AND pc.bin = g.bin),
+            x AS (
+              SELECT de.w, de.bin,
+                     de.c * tprev.tw - de.d * tcur.tw AS x,
+                     (de.c > 0 OR de.d > 0) AS hit,
+                     tcur.tw * tprev.tw AS den
+              FROM dense de
+              JOIN t tcur ON tcur.w = de.w
+              JOIN t tprev ON tprev.w = de.w - INTERVAL 1 DAY),
+            cumx AS (
+              SELECT w, bin, x, hit, den,
+                     sum(x) OVER (PARTITION BY w ORDER BY bin) AS cum
+              FROM x)
+            SELECT w::TIMESTAMP AS window_start,
+                   CAST(max(abs(x)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) AS linf,
+                   CAST(sum(abs(x)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) / 2.0 AS tvd,
+                   CAST(sum(abs(cum)) AS DOUBLE)
+                     / CAST(max(den) AS DOUBLE) AS emd,
+                   (count(*) FILTER (WHERE hit))::BIGINT AS n_bins_hit
             FROM cumx GROUP BY 1
         """,
         "json_key_profile": r"""

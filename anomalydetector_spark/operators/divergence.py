@@ -525,3 +525,136 @@ def categorical_window_divergence(
         )
     )
     return divergence_from_window_counts(counts)
+
+
+def equi_depth_bounds(
+    df: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> list[float]:
+    """Equi-depth histogram boundaries for ``value_col`` — the binning
+    that makes the drift battery work on UNBOUNDED-cardinality doubles
+    (fixed-width bins need known [lo, hi]; raw-value KS needs a bounded
+    support; equi-depth bins adapt to the distribution and give every
+    bin comparable mass, which maximizes the drift statistics' power).
+
+    Returns ``n_bins − 1`` interior boundaries, the type-1 quantiles at
+    ``q/n_bins``. Two paths:
+
+    * default: ONE ``approx_percentile`` aggregation (Spark's built-in
+      mergeable sketch — distributed, bounded error via ``accuracy``) —
+      the 10^12-row path; boundaries are then FROZEN as literals, so
+      downstream binning is pure codegen and retry-stable even though
+      the sketch itself is approximate;
+    * ``exact=True``: type-1 quantiles off the (value, count) cube —
+      rank ``ceil(q·N/n_bins)`` in exact integer arithmetic, boundary =
+      least value whose cumulative count reaches the rank. The cube
+      window is a single global ordering of DISTINCT values: for
+      tests/oracles and discrete columns, not the unbounded-cardinality
+      path (same opt-in contract as ``profile_columns(exact=True)``).
+
+    NULL/NaN excluded (as everywhere in the drift family). The returned
+    list may contain REPEATED boundaries under heavy skew (one value
+    owning > 1/n_bins of the mass) — ``bin_by_bounds`` handles that
+    deterministically (the duplicated bins stay empty).
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    if not exact:
+        row = clean.agg(
+            F.percentile_approx(
+                v.cast("double"), qs, F.lit(accuracy)
+            ).alias("b")
+        ).first()
+        return [float(x) for x in (row.b or [])]
+    cube = clean.groupBy(v.cast("double").alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.orderBy("_v")
+    cum = cube.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_prev", F.coalesce(F.col("_cum") - F.col("_n"), F.lit(0))
+    )
+    tot = cube.agg(F.sum("_n").alias("_total"))
+    # a cube row is the q-th boundary iff prev < rank_q <= cum, with
+    # rank_q = ceil(q*N/n_bins) in exact integers
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
+        "_v",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_bins - 1)),
+                    lambda q: F.struct(
+                        q.alias("q"),
+                        # ceil(q*N/B) in EXACT integer arithmetic: strip
+                        # the remainder before dividing, so the double
+                        # division is of an exact multiple (a bare
+                        # a/b could round across an integer at 10^12 N)
+                        (
+                            (
+                                (q * F.col("_total") + F.lit(n_bins - 1))
+                                - (q * F.col("_total") + F.lit(n_bins - 1))
+                                % F.lit(n_bins)
+                            )
+                            / F.lit(n_bins)
+                        ).cast("long").alias("rank"),
+                    ),
+                ),
+                lambda s: (F.col("_prev") < s["rank"])
+                & (s["rank"] <= F.col("_cum")),
+            )
+        ).alias("_q"),
+    )
+    rows = ranked.select(F.col("_q.q").alias("q"), "_v").collect()
+    return [float(v) for _, v in sorted((r.q, r._v) for r in rows)]
+
+
+def bin_by_bounds(value, bounds: list[float]):
+    """Histogram bin id under explicit interior ``bounds`` (codegen —
+    the boundaries ride as literals): ``bin = Σ_b (value >= b)``, i.e.
+    values equal to a boundary go UP, repeated boundaries leave their
+    bins empty. Output in [0, len(bounds)]."""
+    out = F.lit(0)
+    for b in bounds:
+        out = out + (value >= F.lit(float(b))).cast("int")
+    return out
+
+
+def numeric_window_drift_equidepth(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 10,
+    window: str = "1 day",
+    bounds: list[float] | None = None,
+    exact_bounds: bool = False,
+) -> DataFrame:
+    """The drift battery for unbounded doubles: equi-depth boundaries
+    (computed over the WHOLE input unless frozen ``bounds`` are passed —
+    freeze them from a reference period in production so the binning
+    itself cannot drift), then the exact L∞/TVD/EMD machinery on the
+    resulting counts. EMD here is in BIN units — equi-depth bins make
+    that a probability-mass distance (each bin step ≈ 1/n_bins of the
+    reference distribution)."""
+    if bounds is None:
+        bounds = equi_depth_bounds(
+            df, value_col, n_bins, exact=exact_bounds
+        )
+    v = F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            bin_by_bounds(v.cast("double"), bounds).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "bin",
+            "n",
+        )
+    )
+    return numeric_drift_from_bin_counts(counts)

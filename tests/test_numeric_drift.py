@@ -386,3 +386,104 @@ def test_psi_alpha_zero_shared_support(spark):
     rows += [(T0 + dt.timedelta(days=1, seconds=i), float((i % 4) if i < 30 else 0))
              for i in range(40)]
     assert _run_psi(spark, rows, alpha=0) == psi_py(rows, alpha=0)
+
+
+# ---- equi-depth binning (equi_depth_bounds / bin_by_bounds) ----
+
+from anomalydetector_spark.operators.divergence import (  # noqa: E402
+    bin_by_bounds,
+    equi_depth_bounds,
+    numeric_window_drift_equidepth,
+)
+
+
+def bounds_py(values, nb):
+    vals = sorted(v for v in values
+                  if v is not None and not math.isnan(v))
+    n = len(vals)
+    return [vals[-(-q * n // nb) - 1] for q in range(1, nb)]
+
+
+def test_exact_bounds_match_type1_quantiles(spark):
+    rng = random.Random(23)
+    vals = [round(rng.gauss(50.0, 20.0), 2) for _ in range(999)]
+    vals += [None, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = equi_depth_bounds(df, "value", 10, exact=True)
+    assert got == bounds_py(vals, 10)
+
+
+def test_exact_bounds_skewed_repeats(spark):
+    # one value owns 70% of the mass -> repeated boundaries
+    vals = [5.0] * 700 + [float(i) for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = equi_depth_bounds(df, "value", 4, exact=True)
+    assert got == bounds_py(vals, 4)
+    assert got[0] == got[1] == 5.0  # q25 and q50 collapse onto the mode
+
+
+def test_approx_bounds_close_to_exact(spark):
+    rng = random.Random(9)
+    vals = [rng.uniform(0, 1000) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    exact = bounds_py(vals, 5)
+    approx = equi_depth_bounds(df, "value", 5, exact=False)
+    assert len(approx) == 4
+    for a, x in zip(approx, exact):
+        assert abs(a - x) < 25  # loose: sketch error on 20k uniform rows
+
+
+def test_bin_by_bounds_semantics(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 1.0, 1.5, 2.0, 99.0]], "value double"
+    )
+    got = [
+        r.b for r in df.select(
+            bin_by_bounds(F.col("value"), [1.0, 2.0]).alias("b")
+        ).collect()
+    ]
+    # boundary values go UP: 1.0 -> bin 1, 2.0 -> bin 2
+    assert got == [0, 1, 1, 2, 2]
+    # repeated boundary leaves the middle bin empty
+    got2 = [
+        r.b for r in df.select(
+            bin_by_bounds(F.col("value"), [2.0, 2.0]).alias("b")
+        ).collect()
+    ]
+    assert got2 == [0, 0, 0, 2, 2]
+
+
+def test_equidepth_drift_equals_manual_binning(spark):
+    rng = random.Random(41)
+    rows = []
+    for d in range(5):
+        for _ in range(150):
+            rows.append(
+                (T0 + dt.timedelta(days=d, seconds=rng.randint(0, 86000)),
+                 rng.gauss(40 + 10 * d, 15.0)),
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    bounds = equi_depth_bounds(df, "value", 8, exact=True)
+    auto = sorted(map(tuple, numeric_window_drift_equidepth(
+        df, n_bins=8, exact_bounds=True).collect()))
+    manual_counts = (
+        df.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            bin_by_bounds(F.col("value"), bounds).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"), "bin", "n")
+    )
+    from anomalydetector_spark.operators.divergence import (
+        numeric_drift_from_bin_counts,
+    )
+
+    manual = sorted(map(tuple,
+                        numeric_drift_from_bin_counts(manual_counts)
+                        .collect()))
+    assert auto == manual and len(auto) == 4
+    # frozen-bounds path: passing the same bounds is identical
+    frozen = sorted(map(tuple, numeric_window_drift_equidepth(
+        df, n_bins=8, bounds=bounds).collect()))
+    assert frozen == auto

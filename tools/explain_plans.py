@@ -1276,6 +1276,24 @@ def main() -> None:
         and "EvalPython" not in rm_plan,
     )
 
+    from anomalydetector_spark.operators.divergence import bin_by_bounds
+
+    eq_plan = plan_of(
+        spark.range(10000).select(
+            bin_by_bounds(
+                (F.col("id") % 100).cast("double"),
+                [10.0, 25.0, 50.0, 75.0, 90.0],
+            ).alias("bin")
+        )
+    )
+    ok &= check(
+        "equi-depth binning with frozen boundary literals is a "
+        "zero-shuffle pure-codegen projection",
+        "Exchange" not in eq_plan
+        and "EvalPython" not in eq_plan
+        and "codegen id" in eq_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
