@@ -715,6 +715,41 @@ def cmd_prep_corpus(args, spark: SparkSession) -> None:
             f"tokens (mean fill {fill}, "
             f"{st.n_oversize} oversize) → {packs_path}"
         )
+    if args.shard_tokens:
+        from anomalydetector_spark.operators.sharding import (
+            assign_shards_by_tokens,
+            shard_summary,
+            write_token_shards,
+        )
+
+        # token-balanced training shards of the final corpus units
+        # (chunks when chunking is on, else whole docs): deterministic
+        # hash order, one parquet file per shard=<k>/ directory — the
+        # layout a training loader consumes as one sequential read per
+        # shard
+        shards_path = args.output_path.rstrip("/") + "_shards"
+        sharded = assign_shards_by_tokens(
+            pack_input,
+            args.shard_tokens,
+            tokens_col="n_tokens",
+            id_col=pack_id,
+            seed=args.seed,
+        )
+        write_token_shards(sharded, shards_path)
+        summ = (
+            shard_summary(spark.read.parquet(shards_path), "n_tokens")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("n_tokens").alias("lo"),
+                F.max("n_tokens").alias("hi"),
+            )
+            .first()
+        )
+        print(
+            f"sharded into {summ.n} token-balanced shards of "
+            f"~{args.shard_tokens} tokens (range {summ.lo}-{summ.hi}) "
+            f"→ {shards_path}"
+        )
 
 
 def cmd_ingest_warc(args, spark: SparkSession) -> None:
@@ -1497,6 +1532,11 @@ def main(argv=None):
     p.add_argument("--pack-budget", type=int, default=None,
                    help="also pack surviving docs into sequences of this "
                         "many tokens → <output-path>_packs")
+    p.add_argument("--shard-tokens", type=int, default=None,
+                   help="also write token-balanced training shards of "
+                        "~this many tokens each (one parquet file per "
+                        "shard=<k>/ dir) → <output-path>_shards; shards "
+                        "the CHUNKS when --chunk-tokens is on")
     p.add_argument("--seed", type=int, default=0)
 
     pr = sub.add_parser(

@@ -137,3 +137,43 @@ def test_plan_no_global_window_over_data(corpus):
     # which sits downstream of a full aggregation
     assert plan.count("Window") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_prep_corpus_cli_shard_tokens(spark, tmp_path):
+    """prep-corpus --shard-tokens: the corpus pipeline ends in
+    token-balanced shard directories, one file each, covering every
+    surviving doc exactly once."""
+    import glob
+    import os
+    import sys
+    from unittest import mock
+
+    from anomalydetector_spark import cli
+
+    out = str(tmp_path / "corpus")
+    argv = [
+        "prog", "prep-corpus",
+        "--input-path", "/root/testdata/sf0.001/documents.parquet",
+        "--output-path", out,
+        "--min-quality", "0.0",
+        "--shard-tokens", "20000",
+    ]
+    with mock.patch.object(sys, "argv", argv):
+        cli.main()
+    corpus = spark.read.parquet(out)
+    shards = spark.read.parquet(out + "_shards")
+    assert shards.count() == corpus.count()
+    dirs = glob.glob(os.path.join(out + "_shards", "shard=*"))
+    assert len(dirs) >= 2
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # every shard except possibly the last lands within one doc of budget
+    from pyspark.sql import functions as F
+
+    summ = sorted(
+        (r.shard, r.tok) for r in shards.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tok")).collect()
+    )
+    max_doc = corpus.agg(F.max("n_tokens")).first()[0]
+    for s, tok in summ[:-1]:
+        assert 20000 - max_doc <= tok <= 20000 + max_doc
