@@ -2438,6 +2438,34 @@ def q_json_schema(spark, sf_dir):
     ).verdicts
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy key matching (operators/fuzzy.fuzzy_key_pairs — FastSS
+    deletion-neighborhood blocking + levenshtein verify) over keys
+    built in-query from documents arithmetic: ~200 distinct base keys
+    plus single-character-deletion typo variants on doc_id % 7 rows.
+    The DuckDB twin is the BRUTE-FORCE all-distinct-pairs levenshtein
+    sweep — hash equality certifies the equi-join blocking has ZERO
+    false negatives and the verify zero false positives."""
+    from anomalydetector_spark.operators.fuzzy import fuzzy_key_pairs
+
+    base = F.concat(
+        F.lit("w"),
+        F.lpad((F.col("doc_id") % 211).cast("string"), 4, "0"),
+        F.substring(F.col("lang"), 1, 2),
+    )
+    p = (F.col("doc_id") % 5 + 2).cast("int")
+    typo = F.concat(
+        F.substring(base, F.lit(1), p - F.lit(1)),
+        F.substr(base, p + F.lit(1)),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 7 == 0, typo).otherwise(base).alias(
+            "fkey"
+        )
+    )
+    return fuzzy_key_pairs(docs, "fkey", max_dist=1)
+
+
 def q_equidepth_drift(spark, sf_dir):
     """Equi-depth drift battery (operators/divergence.
     numeric_window_drift_equidepth): exact type-1 decile boundaries of
@@ -2860,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_verdicts": q_json_schema,
         "json_key_profile": q_json_profile,
         "equidepth_drift": q_equidepth_drift,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5720,6 +5749,29 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "fuzzy_pairs": r"""
+            WITH keyed AS (
+              SELECT CASE WHEN doc_id % 7 = 0 THEN
+                       substr('w' || lpad(CAST(doc_id % 211 AS VARCHAR),
+                                          4, '0')
+                                  || substr(lang, 1, 2),
+                              1, CAST(doc_id % 5 + 2 AS INTEGER) - 1)
+                       || substr('w' || lpad(CAST(doc_id % 211 AS VARCHAR),
+                                             4, '0')
+                                     || substr(lang, 1, 2),
+                                 CAST(doc_id % 5 + 2 AS INTEGER) + 1)
+                     ELSE 'w' || lpad(CAST(doc_id % 211 AS VARCHAR),
+                                      4, '0')
+                              || substr(lang, 1, 2)
+                     END AS fkey
+              FROM documents),
+            k AS (SELECT DISTINCT fkey AS key FROM keyed
+                  WHERE fkey IS NOT NULL AND length(fkey) <= 64)
+            SELECT a.key AS key_a, b.key AS key_b,
+                   CAST(levenshtein(a.key, b.key) AS INTEGER) AS distance
+            FROM k a JOIN k b ON a.key < b.key
+            WHERE levenshtein(a.key, b.key) <= 1
         """,
         "equidepth_drift": r"""
             WITH e AS (

@@ -1294,6 +1294,27 @@ def main() -> None:
         and "codegen id" in eq_plan,
     )
 
+    from anomalydetector_spark.operators.fuzzy import fuzzy_key_pairs
+
+    fz_plan = plan_of(
+        fuzzy_key_pairs(
+            spark.range(5000).select(
+                F.concat(
+                    F.lit("k"), (F.col("id") % 400).cast("string")
+                ).alias("k")
+            ),
+            "k",
+        )
+    )
+    ok &= check(
+        "fuzzy key pairs: deletion-neighborhood candidates by EQUI-join "
+        "only (no cartesian/theta), codegen variant generation, zero "
+        "Python",
+        "CartesianProduct" not in fz_plan
+        and "BroadcastNestedLoopJoin" not in fz_plan
+        and "EvalPython" not in fz_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
