@@ -2438,6 +2438,21 @@ def q_json_schema(spark, sf_dir):
     ).verdicts
 
 
+def q_growth_accounting(spark, sf_dir):
+    """Growth accounting (operators/funnels.growth_accounting): weekly
+    new/retained/resurrected/churned decomposition of events.user_id
+    activity — exact integers, the accounting identity
+    actives(w) = actives(w−1) + new + resurrected − churned pinned by
+    test. Weeks are Spark's epoch-aligned tumbling windows; the DuckDB
+    twin reproduces them by integer epoch division."""
+    from anomalydetector_spark.operators.funnels import growth_accounting
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return growth_accounting(
+        ev, user_col="user_id", ts_col="ts", window="1 week"
+    )
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Fuzzy key matching (operators/fuzzy.fuzzy_key_pairs — FastSS
     deletion-neighborhood blocking + levenshtein verify) over keys
@@ -2889,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_profile": q_json_profile,
         "equidepth_drift": q_equidepth_drift,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "growth_accounting": q_growth_accounting,
         "mutual_info": q_mutual_info,
         "partition_churn": q_partition_churn,
         "incremental_rows": q_incremental_rows,
@@ -5749,6 +5765,43 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(max(den) AS DOUBLE) AS ks,
                    count(*)::BIGINT AS n_support
             FROM cumx GROUP BY 1
+        """,
+        "growth_accounting": r"""
+            WITH kw AS (
+              SELECT DISTINCT user_id AS key,
+                     CAST(to_timestamp(
+                       (epoch(ts)::BIGINT // 604800) * 604800
+                     ) AS TIMESTAMP) AS w
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            l AS (
+              SELECT key, w,
+                     lag(w) OVER (PARTITION BY key ORDER BY w) AS pw,
+                     lead(w) OVER (PARTITION BY key ORDER BY w) AS nw
+              FROM kw),
+            act AS (
+              SELECT w AS window_start,
+                     count(*)::BIGINT AS n_active,
+                     sum((pw IS NULL)::INT)::BIGINT AS n_new,
+                     sum((pw = w - INTERVAL 7 DAY)::INT)::BIGINT
+                       AS n_retained,
+                     sum((pw IS NOT NULL
+                          AND pw != w - INTERVAL 7 DAY)::INT)::BIGINT
+                       AS n_resurrected
+              FROM l GROUP BY 1),
+            ch AS (
+              SELECT w + INTERVAL 7 DAY AS window_start,
+                     count(*)::BIGINT AS n_churned
+              FROM l
+              WHERE nw IS NULL OR nw != w + INTERVAL 7 DAY
+              GROUP BY 1)
+            SELECT window_start,
+                   coalesce(n_active, 0) AS n_active,
+                   coalesce(n_new, 0) AS n_new,
+                   coalesce(n_retained, 0) AS n_retained,
+                   coalesce(n_resurrected, 0) AS n_resurrected,
+                   coalesce(n_churned, 0) AS n_churned
+            FROM act FULL OUTER JOIN ch USING (window_start)
         """,
         "fuzzy_pairs": r"""
             WITH keyed AS (

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from anomalydetector_spark.operators.sessions import sessionize
@@ -197,3 +197,90 @@ def cohort_retention(
             6,
         ).alias("retention"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 week",
+) -> DataFrame:
+    """Growth accounting — the standard per-window decomposition of the
+    active-key set (users, domains, crawl hosts) that a bare
+    distinct-count series cannot show (flat actives can hide equal and
+    opposite churn + acquisition):
+
+    * ``n_new`` — keys active this window, never seen before;
+    * ``n_retained`` — active this window AND the immediately previous
+      window;
+    * ``n_resurrected`` — active this window, seen before, but NOT in
+      the previous window;
+    * ``n_churned`` — active in the PREVIOUS window but not this one
+      (attributed to the current window, the convention that makes
+      ``actives(w) = actives(w−1) + new + resurrected − churned`` hold
+      exactly — pinned by test);
+    * ``n_active`` — the distinct-key count this window.
+
+    Exact integers end to end. Scale shape: the input collapses to the
+    DISTINCT (key, window) frame first (one map-side-combined
+    aggregation — the only pass over raw rows); classification is a lag
+    over each key's OWN window sequence (partitioned by key, bounded by
+    windows-per-key), and the final counts are one groupBy of that
+    bounded frame. Churn needs no extra pass: a churned-at-w key is one
+    whose successor slot after w−1 is empty — counted from the same lag
+    frame via the NEXT-window view. NULL keys/timestamps are excluded.
+
+    Output: (window_start, n_active, n_new, n_retained, n_resurrected,
+    n_churned) — every window any key was active in, plus the window
+    after the last active one if churn lands there.
+    """
+    dur = F.expr(f"INTERVAL {window}")
+    kw = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(user_col).alias("key"),
+            F.window(ts_col, window)["start"].alias("w"),
+        )
+        .agg(F.lit(1))
+        .select("key", "w")
+    )
+    per_key = Window.partitionBy("key").orderBy("w")
+    lagged = kw.withColumn("prev_w", F.lag("w").over(per_key)).withColumn(
+        "next_w", F.lead("w").over(per_key)
+    )
+    active = lagged.groupBy(F.col("w").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.col("prev_w").isNull().cast("long")).alias("n_new"),
+        F.sum(
+            (F.col("prev_w") == F.col("w") - dur).cast("long")
+        ).alias("n_retained"),
+        F.sum(
+            (
+                F.col("prev_w").isNotNull()
+                & (F.col("prev_w") != F.col("w") - dur)
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    # a key churns at w+1 when its next active window is not w+1 (or
+    # never comes) — counted from the same lag frame, no extra scan
+    churn = (
+        lagged.filter(
+            F.col("next_w").isNull() | (F.col("next_w") != F.col("w") + dur)
+        )
+        .groupBy((F.col("w") + dur).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    out = active.join(churn, "window_start", "full_outer").select(
+        "window_start",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in (
+                "n_active",
+                "n_new",
+                "n_retained",
+                "n_resurrected",
+                "n_churned",
+            )
+        ],
+    )
+    return out

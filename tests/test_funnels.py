@@ -152,3 +152,94 @@ def test_funnel_counts_empty_input(spark):
     assert len(rows) == 3
     assert all(r["n_sessions"] == 0 and r["total_sessions"] == 0 for r in rows.values())
     assert all(r["conversion"] == 0.0 for r in rows.values())
+
+
+# ---- growth accounting (growth_accounting) ----
+
+
+def test_growth_accounting_hand_case(spark):
+    """Weekly pattern: u1 active w0,w1,w2; u2 w0 then gone; u3 w0,w2
+    (resurrects); u4 joins w2. Base: 2023-12-28 — Spark's week windows
+    align to the unix epoch, a Thursday."""
+    import datetime as dt
+
+    from anomalydetector_spark.operators.funnels import growth_accounting
+
+    W = dt.datetime(2023, 12, 28)
+
+    def at(week, day=0):
+        return W + dt.timedelta(weeks=week, days=day)
+
+    rows = [
+        ("u1", at(0)), ("u1", at(1)), ("u1", at(2)),
+        ("u2", at(0, 2)),
+        ("u3", at(0)), ("u3", at(2, 3)),
+        ("u4", at(2)),
+        ("u1", at(1, 4)),  # second event same window: still one active
+        (None, at(0)), ("u5", None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r.window_start: (
+            r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned
+        )
+        for r in growth_accounting(df, window="1 week").collect()
+    }
+    wk = dt.timedelta(weeks=1)
+    assert got[W] == (3, 3, 0, 0, 0)
+    assert got[W + wk] == (1, 0, 1, 0, 2)      # u2,u3 churn at w1
+    assert got[W + 2 * wk] == (3, 1, 1, 1, 0)  # u4 new, u1 ret, u3 res
+    assert got[W + 3 * wk] == (0, 0, 0, 0, 3)  # everyone churns after w2
+    # the accounting identity holds exactly at every window
+    for w in (W + wk, W + 2 * wk, W + 3 * wk):
+        prev = got[w - wk]
+        cur = got[w]
+        assert cur[0] == prev[0] + cur[1] + cur[3] - cur[4]
+
+
+def test_growth_accounting_partition_invariance_and_mirror(spark):
+    import datetime as dt
+    import random
+
+    from anomalydetector_spark.operators.funnels import growth_accounting
+
+    rng = random.Random(19)
+    W = dt.datetime(2023, 12, 28)  # epoch-aligned week start
+    rows = [
+        (f"u{rng.randint(0, 40)}",
+         W + dt.timedelta(weeks=rng.randint(0, 7),
+                          seconds=rng.randint(0, 600000)))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    a = sorted(map(tuple,
+                   growth_accounting(df.repartition(1)).collect()))
+    b = sorted(map(tuple,
+                   growth_accounting(df.repartition(16)).collect()))
+    assert a == b
+    # pure-python mirror
+    from collections import defaultdict
+
+    wk = dt.timedelta(weeks=1)
+    active = defaultdict(set)
+    for u, ts in rows:
+        active[W + wk * ((ts - W) // wk)].add(u)
+    weeks = sorted(active)
+    exp = {}
+    seen = set()
+    for i, w in enumerate(weeks + [weeks[-1] + wk]):
+        cur = active.get(w, set())
+        prev = active.get(w - wk, set())
+        exp[w] = (
+            len(cur),
+            len({u for u in cur if u not in seen}),
+            len(cur & prev),
+            len({u for u in cur if u in seen and u not in prev}),
+            len(prev - cur),
+        )
+        seen |= cur
+    exp = {w: v for w, v in exp.items() if any(v)}
+    got = {r.window_start: (r.n_active, r.n_new, r.n_retained,
+                            r.n_resurrected, r.n_churned)
+           for r in growth_accounting(df).collect()}
+    assert got == exp
