@@ -63,7 +63,10 @@ class ValidationConfig:
     #   * lang_js_divergence — Jensen-Shannon of the lang distribution,
     #   * len_hist_emd — binned earth-mover's distance of the text
     #     LENGTH histogram (log2 bins, exact integer arithmetic via
-    #     operators/divergence.numeric_drift_from_bin_counts).
+    #     operators/divergence.numeric_drift_from_bin_counts),
+    #   * len_hist_psi — PSI of the same histogram (complementary lens:
+    #     EMD sees mass TRAVEL distance, PSI sees log-ratio
+    #     reweighting; operators/divergence.psi_chi2_from_bin_counts).
     shape_drift: bool = True
     # user-defined constraints (operators/asserts.py). Row asserts ride
     # the fused cube scan and the shared violation-extraction scan; all
@@ -511,6 +514,25 @@ def run_validation(
             F.col("emd").alias("value"),
         )
         stat_series = stat_series.unionByName(len_series)
+
+        # PSI of the same length histogram — the model-monitoring
+        # default, complementary to EMD (EMD sees mass TRAVEL distance,
+        # PSI sees log-ratio reweighting; a swap between adjacent bins
+        # moves PSI more than EMD, a long-haul shift the reverse).
+        # Same tiny len_counts frame: zero extra input scans.
+        from anomalydetector_spark.operators.divergence import (
+            psi_chi2_from_bin_counts,
+        )
+
+        psi_series = psi_chi2_from_bin_counts(
+            len_counts, part_cols=["partition_key"]
+        ).select(
+            "partition_key",
+            F.lit("len_hist_psi").alias("stat_name"),
+            "window_start",
+            F.col("psi").alias("value"),
+        )
+        stat_series = stat_series.unionByName(psi_series)
     stat_series = stat_series.persist()
     scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)

@@ -341,3 +341,63 @@ def test_length_histogram_drift_series_and_verdict(spark, pages):
         _win_start(truth["len_window"] + 1),
     )
     res.unpersist()
+
+
+def test_length_histogram_psi_series_and_verdict(spark, pages):
+    """The cube-derived len_hist_psi series equals an independent
+    raw-row psi computation with the same log2 binning, and SR flags
+    the injected length-shift window (or its revert) through the PSI
+    lens too."""
+    from anomalydetector_spark.operators.divergence import (
+        psi_chi2_from_bin_counts,
+    )
+
+    res = run_validation(pages, None, ValidationConfig())
+    got = {
+        r.window_start: r.value
+        for r in res.stat_series.filter(
+            "stat_name = 'len_hist_psi'"
+        ).collect()
+    }
+    assert got, "length-psi series missing"
+
+    raw_counts = (
+        pages.filter(F.col("warc_ts").isNotNull())
+        .groupBy(
+            F.window("warc_ts", "1 day").alias("w"),
+            F.least(
+                F.floor(
+                    F.log2(
+                        F.coalesce(F.length("text"), F.lit(0)) + 1
+                    )
+                ),
+                F.lit(31),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "bin",
+            "n",
+        )
+    )
+    exp = {
+        r.window_start: r.psi
+        for r in psi_chi2_from_bin_counts(raw_counts).collect()
+    }
+    assert set(got) == set(exp)
+    for w, v in exp.items():
+        assert got[w] == v, (w, got[w], v)
+
+    truth = datagen.truth()
+    dv = {r.stat_name: r for r in res.drift_verdicts.collect()}
+    lh = dv["len_hist_psi"]
+    assert lh.verdict == "fail"
+    assert lh.last_anomalous_window in (
+        _win_start(truth["len_window"]),
+        _win_start(truth["len_window"] + 1),
+    )
+    res.unpersist()
