@@ -123,6 +123,58 @@ def main():
         lambda: mutual_information(base, "lang", "source"),
     )
 
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_drift_equidepth,
+    )
+
+    bench(
+        "numeric_window_drift_equidepth (sketch bounds + drift)",
+        f"{N//1000}k rows",
+        lambda: numeric_window_drift_equidepth(base, n_bins=10),
+    )
+
+    from anomalydetector_spark.operators.funnels import growth_accounting
+
+    bench(
+        "growth_accounting (weekly, ~30k keys)",
+        f"{N//1000}k events",
+        lambda: growth_accounting(
+            base.select(
+                (F.col("doc_id") % 30000).alias("user_id"), "ts"
+            )
+        ),
+    )
+
+    from anomalydetector_spark.operators.fuzzy import fuzzy_key_pairs
+
+    fuzzy_src = base.select(
+        F.concat(
+            F.lit("key"), (F.col("doc_id") % 50000).cast("string")
+        ).alias("k")
+    )
+    bench(
+        "fuzzy_key_pairs (d=1, 50k distinct keys)",
+        f"{N//1000}k rows",
+        lambda: fuzzy_key_pairs(fuzzy_src, "k"),
+    )
+
+    from anomalydetector_spark.operators.profile import profile_json_keys
+
+    json_src = base.select(
+        F.concat(
+            F.lit('{"k": '),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(', "u": "'),
+            F.col("lang"),
+            F.lit('"}'),
+        ).alias("p")
+    )
+    bench(
+        "profile_json_keys (2 keys discovered + typed)",
+        f"{N//1000}k payloads",
+        lambda: profile_json_keys(json_src, "p"),
+    )
+
     from anomalydetector_spark.operators.checks import check_freshness
 
     bench(
