@@ -477,14 +477,10 @@ def run_validation(
         )
         stat_series = stat_series.unionByName(shape_series)
 
-        # length-histogram EMD rides the same cube (the cube is keyed by
-        # exact _len, so log2 binning is a reaggregation of the tiny
-        # frame, not a scan). log2 bins: heavy-tailed lengths get stable
-        # resolution at every magnitude and need no (lo, hi) tuning.
-        from anomalydetector_spark.operators.divergence import (
-            numeric_drift_from_bin_counts,
-        )
-
+        # the length-histogram stats ride the same cube (the cube is
+        # keyed by exact _len, so log2 binning is a reaggregation of
+        # the tiny frame, not a scan). log2 bins: heavy-tailed lengths
+        # get stable resolution at every magnitude, no (lo, hi) tuning.
         len_counts = (
             cube.filter(F.col("window_start").isNotNull())
             .groupBy(
@@ -505,34 +501,28 @@ def run_validation(
                 F.col("w_start") + F.expr(f"INTERVAL {cfg.window_duration}"),
             )
         )
-        len_series = numeric_drift_from_bin_counts(
-            len_counts, part_cols=["partition_key"]
-        ).select(
-            "partition_key",
-            F.lit("len_hist_emd").alias("stat_name"),
-            "window_start",
-            F.col("emd").alias("value"),
-        )
-        stat_series = stat_series.unionByName(len_series)
-
-        # PSI of the same length histogram — the model-monitoring
-        # default, complementary to EMD (EMD sees mass TRAVEL distance,
-        # PSI sees log-ratio reweighting; a swap between adjacent bins
-        # moves PSI more than EMD, a long-haul shift the reverse).
-        # Same tiny len_counts frame: zero extra input scans.
+        # EMD + PSI of the same length histogram in ONE fused alignment
+        # pass (full_histogram_drift — value-identical to the separate
+        # operators, test-pinned; fusing matters because each tiny
+        # series otherwise costs ~1s of pure stage overhead on the 1M
+        # flagship). PSI is the complementary lens to EMD: EMD sees
+        # mass TRAVEL distance, PSI sees log-ratio reweighting — a swap
+        # between adjacent bins moves PSI more than EMD, a long-haul
+        # shift the reverse. Same tiny len_counts frame either way:
+        # zero extra input scans.
         from anomalydetector_spark.operators.divergence import (
-            psi_chi2_from_bin_counts,
+            full_histogram_drift,
         )
 
-        psi_series = psi_chi2_from_bin_counts(
+        len_series = full_histogram_drift(
             len_counts, part_cols=["partition_key"]
-        ).select(
+        ).selectExpr(
             "partition_key",
-            F.lit("len_hist_psi").alias("stat_name"),
             "window_start",
-            F.col("psi").alias("value"),
-        )
-        stat_series = stat_series.unionByName(psi_series)
+            "stack(2, 'len_hist_emd', emd, 'len_hist_psi', psi) "
+            "AS (stat_name, value)",
+        ).select("partition_key", "stat_name", "window_start", "value")
+        stat_series = stat_series.unionByName(len_series)
     stat_series = stat_series.persist()
     scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)
