@@ -2791,6 +2791,67 @@ def q_srcnn_features_events(spark, sf_dir):
     )
 
 
+def _daily_count_series(spark, sf_dir):
+    """Shared input for the trend-analyzer queries: the per-(event_type,
+    day) exact count series — integers, so the series values carry no
+    float history at all."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.groupBy(
+        F.col("event_type"), F.window("ts", "1 day").alias("w")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+        "event_type", F.col("w.start").alias("window_start"), "value"
+    )
+
+
+def q_cusum_daily(spark, sf_dir):
+    """Two-sided Page CUSUM changepoint scan (operators/trend.
+    series_cusum) over the per-event_type daily count series — the
+    sustained-level-shift lens complementing the SR saliency detector
+    on the same stat-series shape. The walk runs wholly in exact
+    integer micro-z units via the running-min closed form
+    ``S⁺_t = C_t − min(0, min_j C_j)``, so every value (including the
+    argmin-decoded changepoint timestamps) is partitioning-independent
+    and the DuckDB window-function twin hashes identically."""
+    from anomalydetector_spark.operators.trend import series_cusum
+
+    series = _daily_count_series(spark, sf_dir)
+    return series_cusum(
+        series, ["event_type"], "window_start", "value", k=0.25, h=2.0
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Robust per-series trend (operators/trend.theil_sen_trend —
+    Sen 1968 median-of-pairwise-slopes) of the daily count series,
+    x = epoch-day index. Slopes are single pinned-order double
+    divisions; medians are type-1 over the deterministic (slope, i, j)
+    order, so the DuckDB twin reproduces the selection exactly."""
+    from anomalydetector_spark.operators.trend import theil_sen_trend
+
+    series = _daily_count_series(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.col("window_start"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("x"),
+        "value",
+    )
+    return theil_sen_trend(series, ["event_type"], "x", "value")
+
+
+def q_series_acf(spark, sf_dir):
+    """Exact sample autocorrelation at lags 1..7 (operators/trend.
+    series_autocorr) of the daily count series — the seasonality lens:
+    the whole statistic is an integer polynomial in the per-series
+    micro sums (``(n²P − nS(A+B) + (n−ℓ)S²) / (n²S2 − nS²)``) with one
+    final double division, hash-oracled via a DuckDB HUGEINT twin."""
+    from anomalydetector_spark.operators.trend import series_autocorr
+
+    series = _daily_count_series(spark, sf_dir)
+    return series_autocorr(
+        series, ["event_type"], "window_start", "value", max_lag=7
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2933,6 +2994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
+        "cusum_daily": q_cusum_daily,
+        "theil_sen_daily": q_theil_sen,
+        "series_acf_daily": q_series_acf,
     }
 
 
@@ -6741,5 +6805,155 @@ def oracle_sql() -> dict[str, str]:
                          t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007 + 1000000007) % 1000000007)),
                      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
             FROM documents
+        """,
+        # ---- trend analyzers (operators/trend.py) --------------------
+        # shared head: the exact per-(event_type, day) count series
+        "cusum_daily": r"""
+            WITH s AS (
+              SELECT event_type,
+                     date_trunc('day', ts)::TIMESTAMP AS w,
+                     count(*)::HUGEINT AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            q AS (
+              SELECT event_type, w, CAST(cnt AS DOUBLE) AS v,
+                     CAST(round(CAST(cnt AS DOUBLE) * 1e6) AS HUGEINT)
+                       AS vq
+              FROM s),
+            st AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(vq)::HUGEINT AS s1, sum(vq * vq)::HUGEINT AS s2
+              FROM q GROUP BY 1),
+            z AS (
+              SELECT q.event_type, q.w, q.v, q.vq,
+                     CASE WHEN st.n * st.s2 - st.s1 * st.s1 > 0 THEN
+                       CAST(st.n * q.vq - st.s1 AS DOUBLE)
+                         / sqrt(CAST(st.n * st.s2 - st.s1 * st.s1
+                                     AS DOUBLE)) END AS z
+              FROM q JOIN st USING (event_type)),
+            zz AS (
+              SELECT *, CASE WHEN z IS NOT NULL THEN
+                       CAST(round(z * 1e6) AS HUGEINT) END AS zq
+              FROM z),
+            walk AS (
+              SELECT *, row_number() OVER win0 AS rn,
+                     sum(zq - 250000) OVER win AS cp,
+                     sum(-zq - 250000) OVER win AS cn
+              FROM zz
+              WINDOW win0 AS (PARTITION BY event_type ORDER BY w),
+                     win AS (PARTITION BY event_type ORDER BY w
+                             ROWS UNBOUNDED PRECEDING)),
+            mins AS (
+              SELECT *, min(cp) OVER win AS mp, min(cn) OVER win AS mn,
+                     min(cp * 1048576 + rn) OVER win AS ep,
+                     min(cn * 1048576 + rn) OVER win AS en
+              FROM walk
+              WINDOW win AS (PARTITION BY event_type ORDER BY w
+                             ROWS UNBOUNDED PRECEDING)),
+            dec AS (
+              SELECT *,
+                CASE WHEN zq IS NOT NULL THEN
+                  CAST(cp - least(0, mp) AS DOUBLE) / 1e6 END AS s_pos,
+                CASE WHEN zq IS NOT NULL THEN
+                  CAST(cn - least(0, mn) AS DOUBLE) / 1e6 END AS s_neg,
+                CASE WHEN mp < 0 THEN
+                  CAST(ep - mp * 1048576 AS BIGINT) END AS cp_rn,
+                CASE WHEN mn < 0 THEN
+                  CAST(en - mn * 1048576 AS BIGINT) END AS cn_rn
+              FROM mins)
+            SELECT d.event_type, d.w AS window_start, d.v AS value,
+                   d.z, d.s_pos, d.s_neg,
+                   coalesce(d.s_pos > 2.0, false) AS alarm_pos,
+                   coalesce(d.s_neg > 2.0, false) AS alarm_neg,
+                   coalesce(d.s_pos > 2.0, false)
+                     OR coalesce(d.s_neg > 2.0, false) AS alarm,
+                   p.w AS cp_pos, n.w AS cp_neg
+            FROM dec d
+            LEFT JOIN walk p ON p.event_type = d.event_type
+                            AND p.rn = d.cp_rn
+            LEFT JOIN walk n ON n.event_type = d.event_type
+                            AND n.rn = d.cn_rn
+        """,
+        "theil_sen_daily": r"""
+            WITH s AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    date_trunc('day', ts)) AS DOUBLE)
+                       AS x,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY event_type, date_trunc('day', ts)),
+            r AS (
+              SELECT *, row_number() OVER
+                     (PARTITION BY event_type ORDER BY x) AS rn
+              FROM s),
+            pairs AS (
+              SELECT a.event_type, a.rn AS i, b.rn AS j,
+                     (b.v - a.v) / (b.x - a.x) AS slope
+              FROM r a JOIN r b ON a.event_type = b.event_type
+                               AND a.rn < b.rn AND a.x <> b.x),
+            ranked AS (
+              SELECT *, row_number() OVER
+                       (PARTITION BY event_type
+                        ORDER BY slope, i, j) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM pairs),
+            med AS (
+              SELECT event_type, slope FROM ranked
+              WHERE rk = floor((m + 1) / 2)),
+            resid AS (
+              SELECT r.event_type, r.rn, med.slope,
+                     r.v - med.slope * r.x AS b
+              FROM r JOIN med USING (event_type)),
+            ranked_b AS (
+              SELECT *, row_number() OVER
+                       (PARTITION BY event_type ORDER BY b, rn) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM resid),
+            inter AS (
+              SELECT event_type, slope, b AS intercept FROM ranked_b
+              WHERE rk = floor((m + 1) / 2)),
+            cnt AS (
+              SELECT event_type, count(*)::BIGINT AS n FROM r
+              GROUP BY 1)
+            SELECT i.event_type, i.slope, i.intercept, c.n,
+                   CAST(c.n * (c.n - 1) / 2 AS BIGINT) AS n_pairs_upper
+            FROM inter i JOIN cnt c USING (event_type)
+        """,
+        "series_acf_daily": r"""
+            WITH s AS (
+              SELECT event_type, date_trunc('day', ts) AS w,
+                     count(*)::HUGEINT AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            q AS (
+              SELECT event_type, w,
+                     CAST(round(CAST(cnt AS DOUBLE) * 1e6) AS HUGEINT)
+                       AS vq,
+                     row_number() OVER
+                       (PARTITION BY event_type ORDER BY w) AS rn
+              FROM s),
+            st AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(vq)::HUGEINT AS s, sum(vq * vq)::HUGEINT AS s2
+              FROM q GROUP BY 1),
+            lags AS (SELECT unnest(range(1, 8))::INT AS lag),
+            prods AS (
+              SELECT a.event_type, l.lag,
+                     sum(a.vq * b.vq)::HUGEINT AS p,
+                     sum(a.vq)::HUGEINT AS aa,
+                     sum(b.vq)::HUGEINT AS bb
+              FROM q a CROSS JOIN lags l
+              JOIN q b ON b.event_type = a.event_type
+                      AND b.rn = a.rn + l.lag
+              GROUP BY 1, 2)
+            SELECT p.event_type, p.lag,
+                   CASE WHEN st.n * st.n * st.s2 - st.n * st.s * st.s
+                             > 0 THEN
+                     CAST(st.n * st.n * p.p
+                          - st.n * st.s * (p.aa + p.bb)
+                          + (st.n - p.lag) * st.s * st.s AS DOUBLE)
+                     / CAST(st.n * st.n * st.s2
+                            - st.n * st.s * st.s AS DOUBLE) END AS acf,
+                   CAST(st.n AS BIGINT) AS n
+            FROM prods p JOIN st USING (event_type)
         """,
     }

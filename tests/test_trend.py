@@ -1,0 +1,224 @@
+"""Trend / changepoint / seasonality analyzers (operators/trend.py):
+pure-Python mirrors, detection behavior on injected shifts/trends/
+periods, degenerate series, and partition invariance."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.trend import (
+    cusum_verdicts,
+    dominant_lag,
+    series_autocorr,
+    series_cusum,
+    theil_sen_trend,
+)
+
+
+def _cusum_mirror(vals, k=0.5, h=5.0):
+    """Sequential Page CUSUM in integer micro-z units — the recursion
+    the closed form must equal."""
+    vq = [round(v * 1e6) for v in vals]
+    n = len(vq)
+    s1 = sum(vq)
+    s2 = sum(x * x for x in vq)
+    varnum = n * s2 - s1 * s1
+    if varnum <= 0:
+        return [(None, None, False)] * n
+    zq = [round((n * x - s1) / math.sqrt(varnum) * 1e6) for x in vq]
+    kq = round(k * 1e6)
+    sp = sn = 0
+    out = []
+    for q in zq:
+        sp = max(0, sp + q - kq)
+        sn = max(0, sn - q - kq)
+        out.append((sp / 1e6, sn / 1e6, sp / 1e6 > h or sn / 1e6 > h))
+    return out
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    rnd = random.Random(11)
+    rows = []
+    series = {}
+    for key, shift_at in [("a", 40), ("b", None)]:
+        vals = []
+        for t in range(80):
+            v = 20.0 + (4.0 if shift_at and t >= shift_at else 0.0)
+            v += rnd.uniform(-1, 1)
+            vals.append(v)
+            rows.append((key, t, v))
+        series[key] = vals
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = (
+        series_cusum(df, ["k"], "t", "v", k=0.5, h=4.0)
+        .orderBy("k", "t")
+        .collect()
+    )
+    for key, vals in series.items():
+        mirror = _cusum_mirror(vals, k=0.5, h=4.0)
+        rows_k = [r for r in got if r.k == key]
+        for r, (sp, sn, alarm) in zip(rows_k, mirror):
+            assert r.s_pos == pytest.approx(sp, abs=1e-9)
+            assert r.s_neg == pytest.approx(sn, abs=1e-9)
+            assert r.alarm == alarm
+
+
+def test_cusum_detects_level_shift_with_changepoint(spark):
+    rnd = random.Random(3)
+    rows = [
+        ("s", t, 10.0 + (3.0 if t >= 50 else 0.0) + rnd.uniform(-0.3, 0.3))
+        for t in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    scored = series_cusum(df, ["k"], "t", "v", k=0.5, h=3.0)
+    v = cusum_verdicts(scored, ["k"], "t").collect()[0]
+    assert v.n_alarms > 0
+    # the positive walk alarms shortly after the shift and its
+    # changepoint estimate (last in-control instant) sits near t=50
+    first_pos = (
+        scored.filter(F.col("alarm_pos")).agg(F.min("t")).collect()[0][0]
+    )
+    assert 50 <= first_pos <= 60
+    cp = (
+        scored.filter(F.col("alarm_pos") & (F.col("t") == first_pos))
+        .select("cp_pos")
+        .collect()[0][0]
+    )
+    assert 40 <= cp <= 52
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    df = spark.createDataFrame(
+        [("c", t, 7.0) for t in range(30)], "k string, t int, v double"
+    )
+    got = series_cusum(df, ["k"], "t", "v").collect()
+    assert all(not r.alarm for r in got)
+    assert all(r.z is None and r.s_pos is None for r in got)
+
+
+def test_cusum_null_and_nan_values_excluded(spark):
+    rows = [("k", 0, 1.0), ("k", 1, None), ("k", 2, float("nan")),
+            ("k", 3, 2.0), ("k", 4, 3.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = series_cusum(df, ["k"], "t", "v").collect()
+    assert sorted(r.t for r in got) == [0, 3, 4]
+
+
+def test_cusum_partition_invariance(spark):
+    rnd = random.Random(5)
+    rows = [("p", t, rnd.uniform(0, 100)) for t in range(60)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    a = series_cusum(df.coalesce(1), ["k"], "t", "v").orderBy("t").collect()
+    b = series_cusum(df.repartition(7), ["k"], "t", "v").orderBy("t").collect()
+    assert [(r.s_pos, r.s_neg, r.cp_pos, r.cp_neg) for r in a] == [
+        (r.s_pos, r.s_neg, r.cp_pos, r.cp_neg) for r in b
+    ]
+
+
+def _type1_median(xs):
+    s = sorted(xs)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def test_theil_sen_mirror_and_robustness(spark):
+    rnd = random.Random(9)
+    xs = list(range(30))
+    vals = [3.0 * x + 5.0 + rnd.uniform(-0.2, 0.2) for x in xs]
+    # inject 4 gross outliers — the median slope must not move far
+    for i in (3, 11, 19, 27):
+        vals[i] += 500.0
+    df = spark.createDataFrame(
+        [("s", float(x), v) for x, v in zip(xs, vals)],
+        "k string, x double, v double",
+    )
+    got = theil_sen_trend(df, ["k"], "x", "v").collect()[0]
+    slopes = [
+        (vals[j] - vals[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    assert got.slope == _type1_median(slopes)
+    assert got.slope == pytest.approx(3.0, abs=0.3)
+    inters = [v - got.slope * x for x, v in zip(xs, vals)]
+    assert got.intercept == _type1_median(inters)
+    assert got.n == 30 and got.n_pairs_upper == 435
+
+
+def test_theil_sen_duplicate_x_excluded(spark):
+    df = spark.createDataFrame(
+        [("k", 1.0, 1.0), ("k", 1.0, 9.0), ("k", 2.0, 2.0)],
+        "k string, x double, v double",
+    )
+    got = theil_sen_trend(df, ["k"], "x", "v").collect()[0]
+    # slopes: (2-1)/1=1, (2-9)/1=-7 — type-1 median = -7
+    assert got.slope == -7.0
+
+
+def test_autocorr_exact_mirror(spark):
+    rnd = random.Random(13)
+    vals = [rnd.uniform(-5, 5) for _ in range(50)]
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)],
+        "k string, t int, v double",
+    )
+    got = {
+        r.lag: r.acf
+        for r in series_autocorr(df, ["k"], "t", "v", max_lag=6).collect()
+    }
+    vq = [round(v * 1e6) for v in vals]
+    n, S = len(vq), sum(vq)
+    S2 = sum(x * x for x in vq)
+    den = n * n * S2 - n * S * S
+    for lag in range(1, 7):
+        P = sum(vq[t] * vq[t + lag] for t in range(n - lag))
+        A = sum(vq[: n - lag])
+        B = sum(vq[lag:])
+        num = n * n * P - n * S * (A + B) + (n - lag) * S * S
+        # cast-each-side-then-divide, matching the engine (and the
+        # DuckDB twin): exact-rational big-int division differs in the
+        # last ulp
+        assert got[lag] == float(num) / float(den)
+
+
+def test_autocorr_period_discovery(spark):
+    pattern = [2.0, 8.0, 3.0, -1.0, 0.0]
+    df = spark.createDataFrame(
+        [("p", t, pattern[t % 5] + 0.001 * t) for t in range(60)],
+        "k string, t int, v double",
+    )
+    acf = series_autocorr(df, ["k"], "t", "v", max_lag=9)
+    best = dominant_lag(acf, ["k"]).collect()[0]
+    assert best.lag == 5
+    assert best.acf > 0.9
+
+
+def test_autocorr_constant_series_null(spark):
+    df = spark.createDataFrame(
+        [("c", t, 4.0) for t in range(20)], "k string, t int, v double"
+    )
+    got = series_autocorr(df, ["k"], "t", "v", max_lag=3).collect()
+    assert all(r.acf is None for r in got)
+    assert dominant_lag(
+        series_autocorr(df, ["k"], "t", "v", max_lag=3), ["k"]
+    ).count() == 0
+
+
+def test_autocorr_partition_invariance(spark):
+    rnd = random.Random(17)
+    rows = [("a", t, rnd.uniform(0, 9)) for t in range(40)] + [
+        ("b", t, rnd.uniform(0, 9)) for t in range(35)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    a = sorted(
+        series_autocorr(df.coalesce(1), ["k"], "t", "v", 5).collect(),
+        key=lambda r: (r.k, r.lag),
+    )
+    b = sorted(
+        series_autocorr(df.repartition(8), ["k"], "t", "v", 5).collect(),
+        key=lambda r: (r.k, r.lag),
+    )
+    assert [(r.k, r.lag, r.acf) for r in a] == [
+        (r.k, r.lag, r.acf) for r in b
+    ]
