@@ -2852,6 +2852,86 @@ def q_series_acf(spark, sf_dir):
     )
 
 
+def q_spearman(spark, sf_dir):
+    """Exact Spearman rank correlation (operators/profile.
+    spearman_correlations) — the monotone-dependence twin of the
+    Pearson profiler. Half-rank INTEGER units (2·rank_min + cnt − 1, no
+    .5 float anywhere), five decimal(38,0) sums, one pinned final
+    double chain; hash-exact vs the DuckDB rank-window twin."""
+    from anomalydetector_spark.operators.profile import (
+        spearman_correlations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_correlations(
+        li,
+        [("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_tax")],
+    )
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformity verdict (operators/conformity.
+    benford_check) over o_totalprice, partitioned by o_orderpriority —
+    χ² + Nigrini MAD + published-band verdict. The digit extraction
+    corrects a log10 GUESS against literal exact powers of ten, so it
+    is engine-independent by construction; both statistics reduce to
+    exact integers with one final double division each."""
+    from anomalydetector_spark.operators.conformity import benford_check
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_check(o, "o_totalprice", ["o_orderpriority"])
+
+
+def q_benford_digits(spark, sf_dir):
+    """Observed vs expected first-digit distribution (operators/
+    conformity.benford_digit_counts) — the 9-digit dense frame behind
+    q_benford (zero-count digits present via the literal grid)."""
+    from anomalydetector_spark.operators.conformity import (
+        benford_digit_counts,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digit_counts(o, "o_totalprice")
+
+
+def _event_type_day_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.groupBy(
+        F.window("ts", "1 day").alias("w"),
+        F.col("event_type").alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "cat",
+        "n",
+    )
+
+
+def q_topk_churn(spark, sf_dir):
+    """Heavy-hitter set stability (operators/divergence.topk_churn):
+    Jaccard + kept/new/dropped of the top-3 event types between
+    consecutive days — the membership lens JS/TVD miss. Deterministic
+    (n desc, cat asc) top-k; exact integers, one final division."""
+    from anomalydetector_spark.operators.divergence import topk_churn
+
+    return topk_churn(_event_type_day_counts(spark, sf_dir), k=3)
+
+
+def q_divergence_attribution(spark, sf_dir):
+    """Drift drill-down (operators/divergence.divergence_attribution):
+    per consecutive-day window, each event type's share of the total
+    variation distance with signed direction — the "WHICH category
+    moved" explanation behind a shape-drift alarm. Shares are exact
+    cross-multiplied integers over the window's integer sum."""
+    from anomalydetector_spark.operators.divergence import (
+        divergence_attribution,
+    )
+
+    return divergence_attribution(
+        _event_type_day_counts(spark, sf_dir), top_n=3
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2997,6 +3077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_daily": q_cusum_daily,
         "theil_sen_daily": q_theil_sen,
         "series_acf_daily": q_series_acf,
+        "spearman_corr": q_spearman,
+        "benford_verdicts": q_benford,
+        "benford_digits": q_benford_digits,
+        "topk_churn_events": q_topk_churn,
+        "divergence_attribution_events": q_divergence_attribution,
     }
 
 
@@ -3014,6 +3099,52 @@ _DUCK_SHINGLES = (
 # a claim the two regex engines agree on all byte streams.
 _DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 _DUCK_MD5L = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _benford_literals():
+    """The SAME power-of-ten and micro-probability literals the Spark
+    operator embeds (operators/conformity.py) — generated from the one
+    source so the two sides cannot drift."""
+    from anomalydetector_spark.operators.conformity import (
+        BENFORD_MICRO,
+        _POWERS,
+    )
+
+    pows = "[" + ", ".join(repr(x) for x in _POWERS) + "]"
+    pm_values = ", ".join(
+        f"({d}, {BENFORD_MICRO[d]})" for d in range(1, 10)
+    )
+    return pows, pm_values
+
+
+def _benford_digit_chain(value_expr: str, extra_cols: str = "") -> str:
+    """DuckDB CTE chain computing the corrected-exponent first digit of
+    ``value_expr`` — mirrors conformity.first_digit expression-for-
+    expression (literal power table, one-step log10 correction)."""
+    pows, _ = _benford_literals()
+    pre = f"{extra_cols}, " if extra_cols else ""
+    return f"""
+        vals AS (
+          SELECT {pre}abs(CAST({value_expr} AS DOUBLE)) AS v
+          FROM orders
+          WHERE {value_expr} IS NOT NULL
+            AND NOT isnan(CAST({value_expr} AS DOUBLE))
+            AND abs(CAST({value_expr} AS DOUBLE)) >= 1e-30
+            AND abs(CAST({value_expr} AS DOUBLE)) < 1e+30),
+        g AS (
+          SELECT *, CAST(floor(log10(v)) AS INT) AS pg FROM vals),
+        cd AS (
+          SELECT *, CASE
+              WHEN list_extract({pows}, pg + 32) <= v THEN pg + 1
+              WHEN list_extract({pows}, pg + 31) > v THEN pg - 1
+              ELSE pg END AS p1
+          FROM g),
+        dig AS (
+          SELECT {pre}least(greatest(
+                   CAST(floor(v / list_extract({pows}, p1 + 31)) AS INT),
+                   1), 9) AS digit
+          FROM cd)
+    """
 
 
 def _seg_chain() -> str:
@@ -6806,6 +6937,233 @@ def oracle_sql() -> dict[str, str]:
                      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
             FROM documents
         """,
+        # ---- conformity / correlation / churn analyzers ---------------
+        "spearman_corr": r"""
+            WITH ok1 AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS a,
+                     CAST(l_extendedprice AS DOUBLE) AS b
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                AND NOT isnan(CAST(l_quantity AS DOUBLE))
+                AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+            r1 AS (
+              SELECT (2 * rank() OVER (ORDER BY a)
+                      + count(*) OVER (PARTITION BY a) - 1)::HUGEINT AS ra,
+                     (2 * rank() OVER (ORDER BY b)
+                      + count(*) OVER (PARTITION BY b) - 1)::HUGEINT AS rb
+              FROM ok1),
+            s1 AS (
+              SELECT count(*)::HUGEINT AS n, sum(ra)::HUGEINT AS sa,
+                     sum(rb)::HUGEINT AS sb, sum(ra * ra)::HUGEINT AS sa2,
+                     sum(rb * rb)::HUGEINT AS sb2,
+                     sum(ra * rb)::HUGEINT AS sab
+              FROM r1),
+            ok2 AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) AS a,
+                     CAST(l_tax AS DOUBLE) AS b
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL
+                AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+                AND NOT isnan(CAST(l_tax AS DOUBLE))),
+            r2 AS (
+              SELECT (2 * rank() OVER (ORDER BY a)
+                      + count(*) OVER (PARTITION BY a) - 1)::HUGEINT AS ra,
+                     (2 * rank() OVER (ORDER BY b)
+                      + count(*) OVER (PARTITION BY b) - 1)::HUGEINT AS rb
+              FROM ok2),
+            s2 AS (
+              SELECT count(*)::HUGEINT AS n, sum(ra)::HUGEINT AS sa,
+                     sum(rb)::HUGEINT AS sb, sum(ra * ra)::HUGEINT AS sa2,
+                     sum(rb * rb)::HUGEINT AS sb2,
+                     sum(ra * rb)::HUGEINT AS sab
+              FROM r2)
+            SELECT 'global' AS partition_key,
+                   'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   CASE WHEN n * sa2 - sa * sa > 0
+                         AND n * sb2 - sb * sb > 0 THEN
+                     CAST(CAST(n * sab - sa * sb AS VARCHAR) AS DOUBLE)
+                       / (sqrt(CAST(CAST(n * sa2 - sa * sa AS VARCHAR)
+                                    AS DOUBLE))
+                          * sqrt(CAST(CAST(n * sb2 - sb * sb AS VARCHAR)
+                                      AS DOUBLE))) END
+                     AS spearman,
+                   CAST(n AS BIGINT) AS n
+            FROM s1
+            UNION ALL
+            SELECT 'global', 'l_extendedprice', 'l_tax',
+                   CASE WHEN n * sa2 - sa * sa > 0
+                         AND n * sb2 - sb * sb > 0 THEN
+                     CAST(CAST(n * sab - sa * sb AS VARCHAR) AS DOUBLE)
+                       / (sqrt(CAST(CAST(n * sa2 - sa * sa AS VARCHAR)
+                                    AS DOUBLE))
+                          * sqrt(CAST(CAST(n * sb2 - sb * sb AS VARCHAR)
+                                      AS DOUBLE))) END,
+                   CAST(n AS BIGINT)
+            FROM s2
+        """,
+        "benford_verdicts": "WITH " + _benford_digit_chain(
+            "o_totalprice", "o_orderpriority"
+        ) + f"""
+            , pm(digit, pm) AS (VALUES {_benford_literals()[1]}),
+            cnt AS (
+              SELECT o_orderpriority, digit, count(*)::HUGEINT AS observed
+              FROM dig GROUP BY 1, 2),
+            grid AS (
+              SELECT k.o_orderpriority, pm.digit, pm.pm,
+                     coalesce(c.observed, 0)::HUGEINT AS observed
+              FROM (SELECT DISTINCT o_orderpriority FROM cnt) k
+              CROSS JOIN pm
+              LEFT JOIN cnt c ON c.o_orderpriority = k.o_orderpriority
+                             AND c.digit = pm.digit),
+            tot AS (
+              SELECT *, sum(observed) OVER
+                       (PARTITION BY o_orderpriority)::HUGEINT AS n
+              FROM grid),
+            terms AS (
+              SELECT o_orderpriority, n,
+                     observed * 100000000::HUGEINT - n * pm::HUGEINT
+                       AS dev,
+                     CAST(round(
+                       CAST(observed * 100000000::HUGEINT
+                            - n * pm::HUGEINT AS DOUBLE)
+                       * CAST(observed * 100000000::HUGEINT
+                              - n * pm::HUGEINT AS DOUBLE)
+                       / CAST(n * pm::HUGEINT AS DOUBLE)
+                       / 1e8 * 1e6) AS HUGEINT) AS chi_term
+              FROM tot WHERE n > 0)
+            SELECT o_orderpriority,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(chi_term) AS DOUBLE) / 1e6 AS chi2,
+                   CAST(sum(abs(dev)) AS DOUBLE)
+                     / (9.0 * CAST(max(n) AS DOUBLE) * 1e8) AS mad,
+                   CASE
+                     WHEN CAST(sum(abs(dev)) AS DOUBLE)
+                          / (9.0 * CAST(max(n) AS DOUBLE) * 1e8) < 0.006
+                       THEN 'close'
+                     WHEN CAST(sum(abs(dev)) AS DOUBLE)
+                          / (9.0 * CAST(max(n) AS DOUBLE) * 1e8) < 0.012
+                       THEN 'acceptable'
+                     WHEN CAST(sum(abs(dev)) AS DOUBLE)
+                          / (9.0 * CAST(max(n) AS DOUBLE) * 1e8) < 0.015
+                       THEN 'marginal'
+                     ELSE 'nonconforming' END AS verdict
+            FROM terms GROUP BY 1
+        """,
+        "benford_digits": "WITH " + _benford_digit_chain(
+            "o_totalprice"
+        ) + f"""
+            , pm(digit, pm) AS (VALUES {_benford_literals()[1]}),
+            cnt AS (
+              SELECT digit, count(*)::HUGEINT AS observed
+              FROM dig GROUP BY 1),
+            grid AS (
+              SELECT pm.digit, pm.pm,
+                     coalesce(c.observed, 0)::HUGEINT AS observed
+              FROM pm LEFT JOIN cnt c ON c.digit = pm.digit),
+            tot AS (SELECT *, sum(observed) OVER ()::HUGEINT AS n
+                    FROM grid)
+            SELECT digit, CAST(observed AS BIGINT) AS observed,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(pm AS DOUBLE) / 1e8 AS expected_p,
+                   CAST(pm AS BIGINT) AS expected_micro
+            FROM tot
+        """,
+        "topk_churn_events": r"""
+            WITH c AS (
+              SELECT date_trunc('day', ts)::TIMESTAMP AS w_start,
+                     (date_trunc('day', ts)
+                      + INTERVAL 1 DAY)::TIMESTAMP AS w_end,
+                     event_type AS cat, count(*)::BIGINT AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+            t AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY w_start ORDER BY n DESC, cat ASC) AS rk
+                FROM c)
+              WHERE rk <= 3),
+            cur AS (SELECT w_start, cat FROM t),
+            prv AS (SELECT w_end AS w_start, cat FROM t),
+            wins AS (SELECT w_start FROM cur
+                     INTERSECT SELECT w_start FROM prv),
+            j AS (
+              SELECT coalesce(c2.w_start, p2.w_start) AS w_start,
+                     c2.cat IS NOT NULL AS in_cur,
+                     p2.cat IS NOT NULL AS in_prev
+              FROM cur c2 FULL OUTER JOIN prv p2
+                ON c2.w_start = p2.w_start AND c2.cat = p2.cat),
+            f AS (SELECT j.* FROM j JOIN wins USING (w_start)),
+            agg AS (
+              SELECT w_start,
+                     sum((in_cur AND in_prev)::BIGINT)::BIGINT AS n_kept,
+                     sum((in_cur AND NOT in_prev)::BIGINT)::BIGINT AS n_new,
+                     sum((NOT in_cur AND in_prev)::BIGINT)::BIGINT
+                       AS n_dropped
+              FROM f GROUP BY 1)
+            SELECT w_start AS window_start,
+                   CAST(n_kept AS DOUBLE)
+                     / CAST(n_kept + n_new + n_dropped AS DOUBLE)
+                     AS jaccard,
+                   n_kept, n_new, n_dropped,
+                   (n_kept + n_new)::BIGINT AS k_cur,
+                   (n_kept + n_dropped)::BIGINT AS k_prev
+            FROM agg
+        """,
+        "divergence_attribution_events": r"""
+            WITH c AS (
+              SELECT date_trunc('day', ts)::TIMESTAMP AS w_start,
+                     (date_trunc('day', ts)
+                      + INTERVAL 1 DAY)::TIMESTAMP AS w_end,
+                     event_type AS cat, count(*)::HUGEINT AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+            tt AS (SELECT w_start, sum(n)::HUGEINT AS t FROM c
+                   GROUP BY 1),
+            cur AS (
+              SELECT c.w_start, c.cat, c.n AS cc, t.t AS tc
+              FROM c JOIN tt t USING (w_start)),
+            prv AS (
+              SELECT c.w_end AS w_start, c.cat, c.n AS d, t.t AS td
+              FROM c JOIN tt t ON t.w_start = c.w_start),
+            pairs AS (
+              SELECT coalesce(cur.w_start, prv.w_start) AS w_start,
+                     coalesce(cur.cat, prv.cat) AS cat,
+                     coalesce(cur.cc, 0)::HUGEINT AS cc,
+                     coalesce(prv.d, 0)::HUGEINT AS d,
+                     cur.tc, prv.td
+              FROM cur FULL OUTER JOIN prv
+                ON cur.w_start = prv.w_start AND cur.cat = prv.cat),
+            w2 AS (
+              SELECT w_start, max(tc) AS tc, max(td) AS td FROM pairs
+              GROUP BY 1),
+            f AS (
+              SELECT p.w_start, p.cat, p.cc, p.d, w2.tc, w2.td
+              FROM pairs p JOIN w2 USING (w_start)
+              WHERE w2.tc IS NOT NULL AND w2.td IS NOT NULL),
+            devs AS (
+              SELECT *, cc * td - d * tc AS dev FROM f),
+            s AS (SELECT w_start, sum(abs(dev))::HUGEINT AS tvd
+                  FROM devs GROUP BY 1),
+            r AS (
+              SELECT d.*, s.tvd,
+                     row_number() OVER (PARTITION BY d.w_start
+                       ORDER BY abs(dev) DESC, cat ASC) AS rk
+              FROM devs d JOIN s USING (w_start)
+              WHERE s.tvd > 0)
+            SELECT w_start AS window_start, CAST(rk AS INT) AS rank, cat,
+                   CAST(abs(dev) AS DOUBLE) / CAST(tvd AS DOUBLE)
+                     AS share,
+                   CASE WHEN dev > 0 THEN 'up'
+                        WHEN dev < 0 THEN 'down'
+                        ELSE 'flat' END AS direction,
+                   CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE) AS p_cur,
+                   CAST(d AS DOUBLE) / CAST(td AS DOUBLE) AS p_prev
+            FROM r WHERE rk <= 3
+        """,
+        # NOTE (cross-engine cast rule for the analyzers below): DuckDB's
+        # HUGEINT->DOUBLE cast is NOT correctly rounded for values past
+        # 2^53 (it differs from Java/Python/Spark-decimal conversion in
+        # the last ulp — observed live at sf0.1 on the Spearman sums);
+        # every cast of a potentially-wide integer therefore round-trips
+        # through VARCHAR, whose strtod parse IS correctly rounded.
         # ---- trend analyzers (operators/trend.py) --------------------
         # shared head: the exact per-(event_type, day) count series
         "cusum_daily": r"""
@@ -6826,9 +7184,11 @@ def oracle_sql() -> dict[str, str]:
             z AS (
               SELECT q.event_type, q.w, q.v, q.vq,
                      CASE WHEN st.n * st.s2 - st.s1 * st.s1 > 0 THEN
-                       CAST(st.n * q.vq - st.s1 AS DOUBLE)
-                         / sqrt(CAST(st.n * st.s2 - st.s1 * st.s1
-                                     AS DOUBLE)) END AS z
+                       CAST(CAST(st.n * q.vq - st.s1 AS VARCHAR)
+                            AS DOUBLE)
+                         / sqrt(CAST(CAST(st.n * st.s2 - st.s1 * st.s1
+                                          AS VARCHAR) AS DOUBLE)) END
+                       AS z
               FROM q JOIN st USING (event_type)),
             zz AS (
               SELECT *, CASE WHEN z IS NOT NULL THEN
@@ -6948,11 +7308,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_type, p.lag,
                    CASE WHEN st.n * st.n * st.s2 - st.n * st.s * st.s
                              > 0 THEN
-                     CAST(st.n * st.n * p.p
+                     CAST(CAST(st.n * st.n * p.p
                           - st.n * st.s * (p.aa + p.bb)
-                          + (st.n - p.lag) * st.s * st.s AS DOUBLE)
-                     / CAST(st.n * st.n * st.s2
-                            - st.n * st.s * st.s AS DOUBLE) END AS acf,
+                          + (st.n - p.lag) * st.s * st.s AS VARCHAR)
+                          AS DOUBLE)
+                     / CAST(CAST(st.n * st.n * st.s2
+                            - st.n * st.s * st.s AS VARCHAR)
+                            AS DOUBLE) END AS acf,
                    CAST(st.n AS BIGINT) AS n
             FROM prods p JOIN st USING (event_type)
         """,

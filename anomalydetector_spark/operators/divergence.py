@@ -789,3 +789,194 @@ def full_histogram_drift(
         )
         .withColumnRenamed("w_start", "window_start")
     )
+
+
+def topk_churn(
+    counts: DataFrame,
+    k: int = 10,
+    part_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Heavy-hitter SET stability between consecutive windows — the
+    membership lens the probability-mass divergences miss (a new
+    category can enter the top-k while JS/TVD barely move, and the
+    top-k can be perfectly stable while mass shifts inside it).
+
+    Input: the same pre-aggregated counts frame as
+    :func:`divergence_from_window_counts` — ``(*part_cols, w_start,
+    w_end, cat, n)``. Per window the top-k categories are chosen by
+    ``(n desc, cat asc)`` row_number — a fully deterministic total
+    order, so the SET is a pure function of the counts. Consecutive
+    windows align on ``prev.w_end == cur.w_start`` (equi-join, the
+    house pairing rule), and the output per current window is::
+
+        (*part_cols, window_start, jaccard, n_kept, n_new, n_dropped,
+         k_cur, k_prev)
+
+    with ``jaccard = |cur ∩ prev| / |cur ∪ prev|`` — exact integers,
+    ONE final double division. First windows (no predecessor) are
+    omitted, like every drift operator here.
+
+    Scale shape: everything after the caller's counts aggregation is
+    O(windows × k): the top-k is a window row_number over the bounded
+    counts frame, the set comparison a bounded equi-join.
+    """
+    part = list(part_cols)
+    w = Window.partitionBy(*part, "w_start").orderBy(
+        F.col("n").desc(), F.col("cat").asc()
+    )
+    tops = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*part, "w_start", "w_end", "cat")
+    )
+    cur = tops.select(*part, "w_start", "cat").withColumn(
+        "_in_cur", F.lit(1)
+    )
+    prev = tops.select(
+        *part, F.col("w_end").alias("w_start"), "cat"
+    ).withColumn("_in_prev", F.lit(1))
+    both = cur.join(prev, [*part, "w_start", "cat"], "full_outer")
+    # restrict to windows that exist on BOTH sides (the full-outer join
+    # also manufactures rows for the first window of each series and
+    # for prev's successor slot past the last window)
+    has = Window.partitionBy(*part, "w_start")
+    both = (
+        both.withColumn(
+            "_w_cur", F.max(F.coalesce("_in_cur", F.lit(0))).over(has)
+        )
+        .withColumn(
+            "_w_prev", F.max(F.coalesce("_in_prev", F.lit(0))).over(has)
+        )
+        .filter((F.col("_w_cur") == 1) & (F.col("_w_prev") == 1))
+    )
+    inter = F.sum(
+        (
+            F.col("_in_cur").isNotNull() & F.col("_in_prev").isNotNull()
+        ).cast("long")
+    )
+    n_new = F.sum(
+        (
+            F.col("_in_cur").isNotNull() & F.col("_in_prev").isNull()
+        ).cast("long")
+    )
+    n_dropped = F.sum(
+        (
+            F.col("_in_cur").isNull() & F.col("_in_prev").isNotNull()
+        ).cast("long")
+    )
+    return (
+        both.groupBy(*part, "w_start")
+        .agg(
+            inter.alias("n_kept"),
+            n_new.alias("n_new"),
+            n_dropped.alias("n_dropped"),
+        )
+        .select(
+            *part,
+            F.col("w_start").alias("window_start"),
+            (
+                F.col("n_kept").cast("double")
+                / (
+                    F.col("n_kept") + F.col("n_new") + F.col("n_dropped")
+                ).cast("double")
+            ).alias("jaccard"),
+            "n_kept",
+            "n_new",
+            "n_dropped",
+            (F.col("n_kept") + F.col("n_new")).alias("k_cur"),
+            (F.col("n_kept") + F.col("n_dropped")).alias("k_prev"),
+        )
+    )
+
+
+def divergence_attribution(
+    counts: DataFrame,
+    part_cols: list[str] | tuple[str, ...] = (),
+    top_n: int = 5,
+) -> DataFrame:
+    """WHICH categories moved: per consecutive-window pair, each
+    category's share of the total variation distance — the drill-down a
+    drift alarm needs to be actionable (the engine can say "lang
+    distribution drifted at window w"; this says "because zh doubled
+    and en shrank").
+
+    Input: the counts frame ``(*part_cols, w_start, w_end, cat, n)``.
+    Per category the TVD contribution is ``|p_cur − p_prev| / 2``; its
+    SHARE is that over the window's TVD. Both reduce to the exact
+    cross-multiplied integer ``|c·T_p − d·T_c|`` (c, d the category
+    counts; T the window totals), so share = that integer over the
+    window's integer sum — ONE double division per row, hash-exact.
+    Emits the ``top_n`` contributors per window by ``(share desc, cat
+    asc)`` with their signed direction::
+
+        (*part_cols, window_start, rank, cat, share, direction,
+         p_cur, p_prev)
+
+    Scale shape: O(windows × categories) after the caller's counts
+    aggregation — the same bounded frame every divergence here walks.
+    """
+    part = list(part_cols)
+    dec = "decimal(38,0)"
+    tot = Window.partitionBy(*part, "w_start")
+    wc = counts.withColumn(
+        "t", F.sum("n").over(tot).cast(dec)
+    ).withColumn("n", F.col("n").cast(dec))
+
+    cur = wc.select(
+        *part, "w_start", "cat",
+        F.col("n").alias("c"), F.col("t").alias("tc"),
+    )
+    prev = wc.select(
+        *part,
+        F.col("w_end").alias("w_start"),
+        "cat",
+        F.col("n").alias("d"),
+        F.col("t").alias("td"),
+    )
+    pairs = cur.join(prev, [*part, "w_start", "cat"], "full_outer")
+    has = Window.partitionBy(*part, "w_start")
+    pairs = (
+        pairs.withColumn("_hc", F.max(F.col("tc").isNotNull().cast("int")).over(has))
+        .withColumn("_hp", F.max(F.col("td").isNotNull().cast("int")).over(has))
+        .filter((F.col("_hc") == 1) & (F.col("_hp") == 1))
+        .withColumn("tc", F.max("tc").over(has))
+        .withColumn("td", F.max("td").over(has))
+        .withColumn("c", F.coalesce("c", F.lit(0).cast(dec)))
+        .withColumn("d", F.coalesce("d", F.lit(0).cast(dec)))
+    )
+    dev = F.col("c") * F.col("td") - F.col("d") * F.col("tc")
+    pairs = (
+        pairs.withColumn("_dev", dev)
+        .withColumn("_tvd_sum", F.sum(F.abs(dev)).over(has))
+        # identical windows (TVD = 0) have nothing to attribute — and
+        # must drop BEFORE any share division exists in the plan (ANSI)
+        .filter(F.col("_tvd_sum") > 0)
+    )
+    # share ordering ≡ |dev| ordering within a window (the denominator
+    # is constant per window) — rank on the exact integer, divide later
+    w_rank = Window.partitionBy(*part, "w_start").orderBy(
+        F.abs(F.col("_dev")).desc(), F.col("cat").asc()
+    )
+    ranked = pairs.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= top_n
+    )
+    return ranked.select(
+        *part,
+        F.col("w_start").alias("window_start"),
+        "rank",
+        "cat",
+        (
+            F.abs(F.col("_dev")).cast("double")
+            / F.col("_tvd_sum").cast("double")
+        ).alias("share"),
+        F.when(F.col("_dev") > 0, F.lit("up"))
+        .when(F.col("_dev") < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+        (F.col("c").cast("double") / F.col("tc").cast("double")).alias(
+            "p_cur"
+        ),
+        (F.col("d").cast("double") / F.col("td").cast("double")).alias(
+            "p_prev"
+        ),
+    )

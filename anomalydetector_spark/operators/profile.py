@@ -174,6 +174,96 @@ def numeric_correlations(
     )
 
 
+def spearman_correlations(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    partition_by: Column | str | None = None,
+) -> DataFrame:
+    """EXACT Spearman rank correlation per column pair: ``(partition_key,
+    col_a, col_b, spearman, n)`` — the monotone-dependence twin of
+    :func:`numeric_correlations` (Pearson sees only LINEAR dependence;
+    a clean y = x³ or exp(x) relation scores Spearman 1.0 while Pearson
+    drifts with the value distribution).
+
+    Determinism contract: each pair filters to its pairwise-complete
+    rows (both non-null, non-NaN — the standard pairwise-deletion
+    convention), average ranks are carried in HALF-RANK integer units
+    (``2·rank_min + cnt − 1``, always an integer — no .5 float exists
+    anywhere), all five sums (Σa, Σb, Σa², Σb², Σab) run over exact
+    decimal(38,0), and Spearman is ONE final pinned double chain
+    ``(n·Σab − Σa·Σb) / (√(n·Σa²−(Σa)²) · √(n·Σb²−(Σb)²))`` — the two
+    variance factors square-root SEPARATELY so no intermediate integer
+    product can overflow 38 digits. Partitioning-independent and
+    SQL-reproducible. A constant column (zero rank variance) yields
+    NULL.
+
+    Scale shape: two rank windows per pair (one sort each, partitioned
+    by ``partition_by``) + one aggregation — rows never join, and the
+    output is bounded by partitions × pairs. Heavily-tied columns are
+    fine (ties share the exact average rank by construction).
+    """
+    from pyspark.sql import Window as W
+
+    from anomalydetector_spark.operators.checks import _part
+
+    outs = []
+    for col_a, col_b in pairs:
+        keyed = _part(df, partition_by).select(
+            "partition_key",
+            F.col(col_a).cast("double").alias("_a"),
+            F.col(col_b).cast("double").alias("_b"),
+        )
+        ok = keyed.filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & ~F.isnan("_a")
+            & ~F.isnan("_b")
+        )
+        dec = "decimal(38,0)"
+        ranked = ok
+        for c in ("_a", "_b"):
+            wo = W.partitionBy("partition_key").orderBy(c)
+            wt = W.partitionBy("partition_key", c)
+            ranked = ranked.withColumn(
+                f"_r{c}",
+                (
+                    2 * F.rank().over(wo)
+                    + F.count(F.lit(1)).over(wt)
+                    - 1
+                ).cast(dec),
+            )
+        agg = ranked.groupBy("partition_key").agg(
+            F.count(F.lit(1)).cast(dec).alias("_n"),
+            F.sum("_r_a").alias("_sa"),
+            F.sum("_r_b").alias("_sb"),
+            F.sum(F.col("_r_a") * F.col("_r_a")).alias("_sa2"),
+            F.sum(F.col("_r_b") * F.col("_r_b")).alias("_sb2"),
+            F.sum(F.col("_r_a") * F.col("_r_b")).alias("_sab"),
+        )
+        da = agg["_n"] * agg["_sa2"] - agg["_sa"] * agg["_sa"]
+        db = agg["_n"] * agg["_sb2"] - agg["_sb"] * agg["_sb"]
+        num = agg["_n"] * agg["_sab"] - agg["_sa"] * agg["_sb"]
+        outs.append(
+            agg.select(
+                "partition_key",
+                F.lit(col_a).alias("col_a"),
+                F.lit(col_b).alias("col_b"),
+                F.when(
+                    (da > 0) & (db > 0),
+                    num.cast("double")
+                    / (
+                        F.sqrt(da.cast("double"))
+                        * F.sqrt(db.cast("double"))
+                    ),
+                ).alias("spearman"),
+                F.col("_n").cast("long").alias("n"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, outs)
+
+
 def profile_diff(
     old: DataFrame,
     new: DataFrame,
