@@ -197,10 +197,19 @@ def spearman_correlations(
     SQL-reproducible. A constant column (zero rank variance) yields
     NULL.
 
-    Scale shape: two rank windows per pair (one sort each, partitioned
-    by ``partition_by``) + one aggregation — rows never join, and the
-    output is bounded by partitions × pairs. Heavily-tied columns are
-    fine (ties share the exact average rank by construction).
+    Scale shape (NO row-level rank window — the naive formulation sorts
+    every row into one partition per rank, a 10^12-row killer): the
+    half-rank is a pure function of the VALUE (``2·(# smaller) + cnt +
+    1``), so ranks come from the value-counts CUBE — per pair one
+    ``groupBy(value_a, value_b)`` pair cube (map-side combined; the only
+    row-touching shuffle), marginal counts by a further groupBy OF the
+    cube, a cumulative window over the cardinality-sized marginal
+    support, and two equi-joins of the pair cube against the two rank
+    tables. Σa/Σa² come straight off the marginals (``Σ cnt·rank``),
+    Σab off the joined pair cube (``Σ cnt·ra·rb``) — identical integers
+    to the per-row formulation at any partitioning. The support window
+    is cardinality-sized: for unbounded-cardinality doubles quantize
+    first (the KS/entropy family's documented caveat).
     """
     from pyspark.sql import Window as W
 
@@ -220,25 +229,55 @@ def spearman_correlations(
             & ~F.isnan("_b")
         )
         dec = "decimal(38,0)"
-        ranked = ok
-        for c in ("_a", "_b"):
-            wo = W.partitionBy("partition_key").orderBy(c)
-            wt = W.partitionBy("partition_key", c)
-            ranked = ranked.withColumn(
-                f"_r{c}",
+        pair_cube = ok.groupBy("partition_key", "_a", "_b").agg(
+            F.count(F.lit(1)).cast(dec).alias("_c")
+        )
+
+        def _rank_table(cube: DataFrame, vcol: str) -> DataFrame:
+            marg = cube.groupBy("partition_key", vcol).agg(
+                F.sum("_c").alias("_cnt")
+            )
+            wo = (
+                W.partitionBy("partition_key")
+                .orderBy(vcol)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            return marg.withColumn(
+                "_rank2",
                 (
-                    2 * F.rank().over(wo)
-                    + F.count(F.lit(1)).over(wt)
-                    - 1
+                    2 * (F.sum("_cnt").over(wo) - F.col("_cnt"))
+                    + F.col("_cnt")
+                    + 1
                 ).cast(dec),
             )
-        agg = ranked.groupBy("partition_key").agg(
-            F.count(F.lit(1)).cast(dec).alias("_n"),
-            F.sum("_r_a").alias("_sa"),
-            F.sum("_r_b").alias("_sb"),
-            F.sum(F.col("_r_a") * F.col("_r_a")).alias("_sa2"),
-            F.sum(F.col("_r_b") * F.col("_r_b")).alias("_sb2"),
-            F.sum(F.col("_r_a") * F.col("_r_b")).alias("_sab"),
+
+        ra = _rank_table(pair_cube, "_a").select(
+            "partition_key",
+            "_a",
+            F.col("_cnt").alias("_ca"),
+            F.col("_rank2").alias("_ra"),
+        )
+        rb = _rank_table(pair_cube, "_b").select(
+            "partition_key",
+            "_b",
+            F.col("_rank2").alias("_rb"),
+        )
+        joined = pair_cube.join(ra, ["partition_key", "_a"]).join(
+            rb, ["partition_key", "_b"]
+        )
+        agg = joined.groupBy("partition_key").agg(
+            F.sum("_c").cast(dec).alias("_n"),
+            F.sum(F.col("_c") * F.col("_ra")).alias("_sa"),
+            F.sum(F.col("_c") * F.col("_rb")).alias("_sb"),
+            F.sum(
+                F.col("_c") * F.col("_ra") * F.col("_ra")
+            ).alias("_sa2"),
+            F.sum(
+                F.col("_c") * F.col("_rb") * F.col("_rb")
+            ).alias("_sb2"),
+            F.sum(
+                F.col("_c") * F.col("_ra") * F.col("_rb")
+            ).alias("_sab"),
         )
         da = agg["_n"] * agg["_sa2"] - agg["_sa"] * agg["_sa"]
         db = agg["_n"] * agg["_sb2"] - agg["_sb"] * agg["_sb"]

@@ -18,7 +18,11 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from anomalydetector_spark.session import get_spark  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N = (
+    int(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1].isdigit()
+    else 1_000_000
+)
 
 
 def bench(name, inp, build, reps=3):
@@ -192,5 +196,131 @@ def main():
     )
 
 
+
+
+def batch3(rows: int = 1_000_000):
+    """Round-3 continuation batch 3: trend/changepoint/seasonality +
+    conformity/correlation/churn analyzers."""
+    global N
+    N = rows
+    spark = get_spark("new-ops-bench3", cores=32)
+    base = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % (30 * 86400))
+            ).alias("ts"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+            ((F.col("id") * 7919) % 87 + 13).cast("double").alias("v2"),
+            F.concat(F.lit("e"), (F.col("id") % 8).cast("string")).alias(
+                "event_type"
+            ),
+            F.concat(F.lit("p"), (F.col("id") % 5).cast("string")).alias(
+                "prio"
+            ),
+        )
+        .persist()
+    )
+    base.count()
+
+    from anomalydetector_spark.operators.conformity import benford_check
+    from anomalydetector_spark.operators.profile import (
+        spearman_correlations,
+    )
+
+    bench(
+        "spearman_correlations (1 pair, cube-ranked)",
+        f"{N//1000}k rows",
+        lambda: spearman_correlations(base, [("value", "v2")]),
+    )
+    bench(
+        "benford_check (5 partitions)",
+        f"{N//1000}k rows",
+        lambda: benford_check(base, "value", ["prio"]),
+    )
+
+    from anomalydetector_spark.operators.divergence import (
+        divergence_attribution,
+        topk_churn,
+    )
+    from anomalydetector_spark.operators.trend import (
+        series_autocorr,
+        series_cusum,
+        theil_sen_trend,
+    )
+
+    def counts():
+        return (
+            base.groupBy(
+                F.window("ts", "1 day").alias("w"),
+                F.col("event_type").alias("cat"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "cat",
+                "n",
+            )
+        )
+
+    bench(
+        "topk_churn (k=3, 30 windows x 8 cats)",
+        f"{N//1000}k rows",
+        lambda: topk_churn(counts(), k=3),
+    )
+    bench(
+        "divergence_attribution (top-3, 30 windows)",
+        f"{N//1000}k rows",
+        lambda: divergence_attribution(counts(), top_n=3),
+    )
+
+    def series():
+        return (
+            base.groupBy(
+                F.col("event_type"), F.window("ts", "1 day").alias("w")
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(
+                "event_type",
+                F.col("w.start").alias("window_start"),
+                "value",
+            )
+        )
+
+    bench(
+        "series_cusum (8 series x 30 windows, from raw)",
+        f"{N//1000}k rows",
+        lambda: series_cusum(
+            series(), ["event_type"], "window_start", "value"
+        ),
+    )
+    bench(
+        "theil_sen_trend (8 series, from raw)",
+        f"{N//1000}k rows",
+        lambda: theil_sen_trend(
+            series().select(
+                "event_type",
+                F.col("window_start").cast("double").alias("x"),
+                "value",
+            ),
+            ["event_type"],
+            "x",
+            "value",
+        ),
+    )
+    bench(
+        "series_autocorr (8 series, lags 1-7, from raw)",
+        f"{N//1000}k rows",
+        lambda: series_autocorr(
+            series(), ["event_type"], "window_start", "value", 7
+        ),
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "batch3":
+        batch3(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+    else:
+        main()
