@@ -1315,6 +1315,114 @@ def main() -> None:
         and "EvalPython" not in fz_plan,
     )
 
+    # round-3 continuation: trend/conformity/correlation analyzers
+    from anomalydetector_spark.operators.conformity import benford_check
+    from anomalydetector_spark.operators.divergence import (
+        divergence_attribution,
+        topk_churn,
+    )
+    from anomalydetector_spark.operators.profile import (
+        spearman_correlations,
+    )
+    from anomalydetector_spark.operators.trend import (
+        series_autocorr,
+        series_cusum,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    day_series = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("event_type"), F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "value"
+        )
+    )
+    cusum_plan = plan_of(
+        series_cusum(day_series, ["event_type"], "window_start", "value")
+    )
+    ok &= check(
+        "CUSUM: every window partitions by the series key (no global "
+        "single-partition sort), the only joins are bounded frames, "
+        "zero Python",
+        "PartitionBy: []" not in cusum_plan
+        and "CartesianProduct" not in cusum_plan
+        and "EvalPython" not in cusum_plan,
+    )
+    ok &= check(
+        "CUSUM: raw rows aggregate (map-side partial) before any window",
+        "partial_count" in cusum_plan or "partial" in cusum_plan.lower(),
+    )
+    acf_plan = plan_of(
+        series_autocorr(
+            day_series, ["event_type"], "window_start", "value", 7
+        )
+    )
+    import re as _re
+
+    _acf_bnlj_nodes = set(
+        _re.findall(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", acf_plan)
+    )
+    ok &= check(
+        "ACF: lag pairing is an equi-join of the bounded series frame; "
+        "the ONLY nested-loop node is the 7-row lag-literal broadcast",
+        "CartesianProduct" not in acf_plan
+        # AQE's formatted output can list the single lag-literal
+        # cross node under two ids (initial + adaptive plan)
+        and len(_acf_bnlj_nodes) <= 2
+        and "EvalPython" not in acf_plan,
+    )
+    sp_plan = plan_of(
+        spearman_correlations(
+            ev, [("value", "user_id")], partition_by=None
+        )
+    )
+    ok &= check(
+        "Spearman: NO row-level rank window — rows shuffle once into "
+        "the pair cube (partial count), rank joins are equi-joins over "
+        "the cardinality-sized support",
+        "partial_count" in sp_plan
+        and "CartesianProduct" not in sp_plan
+        and "BroadcastNestedLoopJoin" not in sp_plan
+        and "EvalPython" not in sp_plan,
+    )
+    bf_plan = plan_of(
+        benford_check(ev, "value", ["event_type"])
+    )
+    ok &= check(
+        "Benford: digit extraction is pure codegen (literal power "
+        "table, no Python), counts partial-aggregate map-side",
+        "EvalPython" not in bf_plan
+        and "partial_count" in bf_plan,
+    )
+    cnts = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type").alias("cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "cat",
+            "n",
+        )
+    )
+    churn_plan = plan_of(topk_churn(cnts, k=3))
+    attr_plan = plan_of(divergence_attribution(cnts, top_n=3))
+    ok &= check(
+        "top-k churn + attribution: window pairing is an EQUI-join of "
+        "the bounded counts frame (never a range join), raw rows "
+        "partial-aggregate first",
+        all(
+            "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p
+            and "partial_count" in p
+            for p in (churn_plan, attr_plan)
+        ),
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
