@@ -255,6 +255,12 @@ def cmd_validate(args, spark: SparkSession) -> None:
                 with_margin=args.drift_margin,
             ),
             verify_text_extraction=args.verify_text_extraction,
+            cusum=(
+                tuple(float(x) for x in args.cusum.split(","))
+                if getattr(args, "cusum", None)
+                else None
+            ),
+            attribution_top_n=getattr(args, "attribution_top_n", 0) or 0,
         )
     t0 = time.time()
     res = run_validation(pages, domains, cfg)
@@ -266,6 +272,15 @@ def cmd_validate(args, spark: SparkSession) -> None:
     _write_violations(res.violations, out, args)
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
+    if res.cusum_scored is not None:
+        res.cusum_scored.write.mode("overwrite").parquet(f"{out}/cusum_scores")
+        res.cusum_verdicts.write.mode("overwrite").parquet(
+            f"{out}/cusum_verdicts"
+        )
+    if res.drift_attribution is not None:
+        res.drift_attribution.write.mode("overwrite").parquet(
+            f"{out}/drift_attribution"
+        )
 
     if getattr(args, "quarantine", False):
         # dead-letter flow: ONE scan writes rows/validation_status=clean
@@ -411,6 +426,15 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     _write_violations(res.violations, out, args)
     res.drift_scored.write.mode("overwrite").parquet(f"{out}/drift_scores")
     res.drift_verdicts.write.mode("overwrite").parquet(f"{out}/drift_verdicts")
+    if res.cusum_scored is not None:
+        res.cusum_scored.write.mode("overwrite").parquet(f"{out}/cusum_scores")
+        res.cusum_verdicts.write.mode("overwrite").parquet(
+            f"{out}/cusum_verdicts"
+        )
+    if res.drift_attribution is not None:
+        res.drift_attribution.write.mode("overwrite").parquet(
+            f"{out}/drift_attribution"
+        )
     if getattr(args, "quarantine", False):
         from anomalydetector_spark.operators.quarantine import write_split
 
@@ -1327,6 +1351,15 @@ def main(argv=None):
     v.add_argument("--verify-text-extraction", action="store_true",
                    help="also run the byte-identity text checks "
                         "(reads the html binary column)")
+    v.add_argument("--cusum", default=None, metavar="K,H",
+                   help="CUSUM second opinion on every stat series: "
+                        "slack and alarm threshold in sigma units, "
+                        "e.g. 0.25,2.0 (writes <out>/cusum_scores "
+                        "and cusum_verdicts)")
+    v.add_argument("--attribution-top-n", type=int, default=0,
+                   help="emit per-language TVD attribution for each "
+                        "SR-flagged lang-shape window "
+                        "(<out>/drift_attribution)")
     v.add_argument("--drift-margin", action="store_true",
                    help="score drift in AnomalyAndMargin mode (expected "
                         "value + boundaries per window)")

@@ -102,6 +102,19 @@ class ValidationConfig:
     # the SHARED one-scan extraction (and the quarantine split) like
     # row asserts; the verdict costs one extra pruned aggregation.
     json_schema: dict | None = None
+    # CUSUM second opinion on every stat series: (k, h) in σ units
+    # (operators/trend.series_cusum). SR is a SALIENCY detector — a
+    # small sustained level shift that the spectral residual smooths
+    # away accumulates linearly in the CUSUM walk and alarms, with a
+    # changepoint estimate. Rides the same persisted bounded stat-series
+    # frame as the SR scorer (zero extra input scans); None = off.
+    cusum: tuple | None = None  # (float k, float h)
+    # drift drill-down: when shape_drift is on and this is > 0, emit
+    # per-category TVD attribution (operators/divergence.
+    # divergence_attribution) for every SR-FLAGGED lang_js_divergence
+    # window — the "WHICH language moved" explanation. Rides the same
+    # cube-derived lang counts frame; 0 = off.
+    attribution_top_n: int = 0
 
 
 @dataclass
@@ -118,6 +131,13 @@ class ValidationResult:
     # html byte-identity pair, which scans separately by design); sink
     # clean+quarantined in one pass with quarantine.write_split.
     row_status: DataFrame | None = None
+    # CUSUM second opinion (cfg.cusum): per-window walks + per-series
+    # summaries with changepoint estimates. None when off.
+    cusum_scored: DataFrame | None = None
+    cusum_verdicts: DataFrame | None = None
+    # per-category TVD shares for SR-flagged lang-shape windows
+    # (cfg.attribution_top_n). None when off.
+    drift_attribution: DataFrame | None = None
     cached: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
@@ -527,6 +547,44 @@ def run_validation(
     scored = score_drift(stat_series, cfg.sr).persist()
     dverdicts = drift_verdicts(scored)
 
+    cusum_scored = cusum_summary = None
+    if cfg.cusum is not None:
+        from anomalydetector_spark.operators.trend import (
+            cusum_verdicts as _cusum_verdicts,
+            series_cusum,
+        )
+
+        ck, ch = cfg.cusum
+        cusum_scored = series_cusum(
+            stat_series,
+            ["partition_key", "stat_name"],
+            "window_start",
+            "value",
+            k=ck,
+            h=ch,
+        )
+        cusum_summary = _cusum_verdicts(
+            cusum_scored, ["partition_key", "stat_name"], "window_start"
+        )
+
+    attribution = None
+    if cfg.shape_drift and cfg.attribution_top_n > 0:
+        from anomalydetector_spark.operators.divergence import (
+            divergence_attribution,
+        )
+
+        flagged = scored.filter(
+            (F.col("stat_name") == "lang_js_divergence")
+            & F.col("is_anomaly")
+        ).select("partition_key", "window_start")
+        attribution = divergence_attribution(
+            lang_counts,
+            part_cols=["partition_key"],
+            top_n=cfg.attribution_top_n,
+        ).join(
+            F.broadcast(flagged), ["partition_key", "window_start"], "left_semi"
+        )
+
     return ValidationResult(
         verdicts=_union(verdict_frames),
         violations=violations,
@@ -534,5 +592,8 @@ def run_validation(
         drift_scored=scored,
         drift_verdicts=dverdicts,
         row_status=row_status,
+        cusum_scored=cusum_scored,
+        cusum_verdicts=cusum_summary,
+        drift_attribution=attribution,
         cached=[cube, profile, stat_series, scored, *fd_bad],
     )

@@ -110,6 +110,22 @@ def config_from_dict(spec: dict) -> ValidationConfig:
                         'reference_ts] pair (int, ISO timestamp string)'
                     )
                 value = tuple(value)
+            elif field == "cusum" and value is not None:
+                if (
+                    not isinstance(value, (list, tuple))
+                    or len(value) != 2
+                    or not all(isinstance(x, (int, float)) for x in value)
+                ):
+                    raise ValueError(
+                        '"cusum" must be a [k, h] pair of numbers '
+                        "(slack and alarm threshold in sigma units)"
+                    )
+                value = (float(value[0]), float(value[1]))
+            elif field == "attribution_top_n" and value is not None:
+                if not isinstance(value, int) or value < 0:
+                    raise ValueError(
+                        '"attribution_top_n" must be a non-negative int'
+                    )
             elif field == "json_schema" and value is not None:
                 if (
                     not isinstance(value, dict)
@@ -181,4 +197,6 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
     d["agg_asserts"] = [dict(a) for a in d["agg_asserts"]]
     if d["freshness"] is not None:
         d["freshness"] = list(d["freshness"])
+    if d["cusum"] is not None:
+        d["cusum"] = list(d["cusum"])
     return d

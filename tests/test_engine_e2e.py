@@ -401,3 +401,73 @@ def test_length_histogram_psi_series_and_verdict(spark, pages):
         _win_start(truth["len_window"] + 1),
     )
     res.unpersist()
+
+
+def test_cusum_second_opinion_and_attribution(spark, pages):
+    """cfg.cusum rides the persisted stat series: the injected
+    null-rate burst alarms the positive CUSUM walk at its window, and
+    cfg.attribution_top_n explains the SR-flagged lang-shape window
+    with the exact injected movers (zh up, en down)."""
+    res = run_validation(
+        pages,
+        None,
+        ValidationConfig(cusum=(0.25, 2.0), attribution_top_n=2),
+    )
+    truth = datagen.truth()
+
+    assert res.cusum_scored is not None and res.cusum_verdicts is not None
+    cv = {
+        (r.partition_key, r.stat_name): r
+        for r in res.cusum_verdicts.collect()
+    }
+    nr = cv[("global", "null_rate")]
+    assert nr.n_alarms > 0
+    assert nr.first_alarm == _win_start(truth["null_window"])
+    # the walk itself: alarm_pos fires exactly at the burst window
+    burst = [
+        r
+        for r in res.cusum_scored.filter(
+            "stat_name = 'null_rate' AND alarm_pos"
+        ).collect()
+    ]
+    assert any(r.window_start == _win_start(truth["null_window"]) for r in burst)
+
+    att = res.drift_attribution
+    assert att is not None
+    rows = att.collect()
+    assert rows, "no attribution rows for the flagged lang window"
+    # every attributed window was SR-flagged for lang_js_divergence
+    flagged = {
+        r.window_start
+        for r in res.drift_scored.filter(
+            "stat_name = 'lang_js_divergence' AND is_anomaly"
+        ).collect()
+    }
+    assert {r.window_start for r in rows} <= flagged
+    # at the injected shift window the movers are zh (up) and en (down)
+    at_shift = {
+        r.cat: r
+        for r in rows
+        if r.window_start == _win_start(truth["lang_window"])
+    }
+    if at_shift:  # SR may flag shift and/or revert; check when present
+        assert set(at_shift) == {"zh", "en"}
+        assert at_shift["zh"].direction == "up"
+        assert at_shift["en"].direction == "down"
+    # ... and the revert window (if flagged) shows the same pair with
+    # mirrored directions
+    at_revert = {
+        r.cat: r
+        for r in rows
+        if r.window_start == _win_start(truth["lang_window"] + 1)
+    }
+    if at_revert:
+        assert set(at_revert) == {"zh", "en"}
+        assert at_revert["zh"].direction == "down"
+        assert at_revert["en"].direction == "up"
+    assert at_shift or at_revert
+
+    # default config: both off, result fields None
+    res_off = run_validation(pages, None, ValidationConfig())
+    assert res_off.cusum_scored is None
+    assert res_off.drift_attribution is None

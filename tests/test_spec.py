@@ -289,3 +289,22 @@ def test_freshness_and_json_schema_in_engine(spark):
     ).count()
     assert q == len(tagged)
     res.unpersist()
+
+
+def test_cusum_and_attribution_spec_round_trip():
+    import pytest
+
+    cfg = config_from_dict(
+        {"cusum": [0.25, 2.0], "attribution_top_n": 3}
+    )
+    assert cfg.cusum == (0.25, 2.0)
+    assert cfg.attribution_top_n == 3
+    d = suite_to_dict(cfg)
+    assert d["cusum"] == [0.25, 2.0]
+    assert config_from_dict(d) == cfg
+    with pytest.raises(ValueError, match="cusum"):
+        config_from_dict({"cusum": [1.0]})
+    with pytest.raises(ValueError, match="cusum"):
+        config_from_dict({"cusum": "0.25,2"})
+    with pytest.raises(ValueError, match="attribution_top_n"):
+        config_from_dict({"attribution_top_n": -1})
