@@ -66,6 +66,45 @@ def _micro(col: Column) -> Column:
     return F.round(col.cast("double") * F.lit(1e6), 0).cast(_DEC)
 
 
+def cusum_reference(
+    series: DataFrame,
+    part_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-series reference ``(*part_cols, mu, sigma)`` for
+    :func:`series_cusum`'s reference mode — the exact micro-sum mean and
+    population σ of the given (typically in-control / training-period)
+    series, as the pinned double chain ``S1/n/1e6`` and
+    ``sqrt(n·S2 − S1²)/n/1e6``."""
+    part = list(part_cols)
+    rows = series.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(*part, _micro(F.col(value_col)).alias("_vq"))
+    stats = rows.groupBy(*part).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_vq").cast(_DEC).alias("_s1"),
+        F.sum(F.col("_vq") * F.col("_vq")).cast(_DEC).alias("_s2"),
+    )
+    var_num = (
+        F.col("_n").cast(_DEC) * F.col("_s2")
+        - F.col("_s1") * F.col("_s1")
+    )
+    return stats.select(
+        *part,
+        (
+            F.col("_s1").cast("double")
+            / F.col("_n").cast("double")
+            / F.lit(1e6)
+        ).alias("mu"),
+        (
+            F.sqrt(var_num.cast("double"))
+            / F.col("_n").cast("double")
+            / F.lit(1e6)
+        ).alias("sigma"),
+    )
+
+
 def series_cusum(
     series: DataFrame,
     part_cols: Sequence[str],
@@ -73,15 +112,24 @@ def series_cusum(
     value_col: str,
     k: float = 0.5,
     h: float = 5.0,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sided Page CUSUM over each series keyed by ``part_cols`` and
     ordered by ``order_col`` (must be unique per series; NULL/NaN values
     are excluded before standardization).
 
-    ``z`` standardizes against the series' own exact mean/σ (population
-    σ from integer micro sums — the pinned double chain
-    ``(n·vq − S1) / (n...)`` below); ``k`` is the slack and ``h`` the
-    alarm threshold, both in σ units. Output per input row::
+    Standardization has two modes. Default (``reference=None``): ``z``
+    standardizes against the series' OWN exact mean/σ (population σ
+    from integer micro sums — the n's cancel, so
+    ``z = (n·vq − S1)/sqrt(n·S2 − S1²)``, one division on an exact
+    integer). Reference mode: ``reference`` is a bounded
+    ``(*part_cols, mu, sigma)`` frame (see :func:`cusum_reference` —
+    typically frozen from an in-control period) and
+    ``z = (v − mu)/sigma`` — the ONLINE form whose walk is a pure
+    left-to-right function of the prefix, which is what the streaming
+    twin (:mod:`~anomalydetector_spark.streaming.cusum_stream`)
+    replays bit-for-bit. ``k`` is the slack and ``h`` the alarm
+    threshold, both in σ units. Output per input row::
 
         (*part_cols, order_col, value, z, s_pos, s_neg,
          alarm_pos, alarm_neg, alarm, cp_pos, cp_neg)
@@ -90,43 +138,58 @@ def series_cusum(
     ``cp_pos``/``cp_neg`` are the changepoint estimates — the value of
     ``order_col`` at the last in-control instant BEFORE the shift (the
     running-min argmin), NULL while the walk has never left zero. A
-    constant series (σ = 0) yields NULL z/walks and ``alarm = false``.
+    constant series (σ = 0, or reference σ ≤ 0/NULL) yields NULL
+    z/walks and ``alarm = false``.
     """
     part = list(part_cols)
     rows = series.filter(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
     ).select(*part, order_col, F.col(value_col).cast("double").alias("_v"))
 
-    vq = _micro(F.col("_v"))
-    rows = rows.withColumn("_vq", vq)
+    if reference is not None:
+        joined = (
+            rows.join(F.broadcast(reference), part)
+            if part
+            else rows.crossJoin(F.broadcast(reference))
+        )
+        z = F.when(
+            F.col("sigma") > 0,
+            (F.col("_v") - F.col("mu")) / F.col("sigma"),
+        )
+        joined = joined.withColumn("_z", z).withColumn(
+            "_zq", F.round(F.col("_z") * F.lit(1e6), 0).cast(_DEC)
+        )
+    else:
+        vq = _micro(F.col("_v"))
+        rows = rows.withColumn("_vq", vq)
 
-    stats = rows.groupBy(*part).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_vq").cast(_DEC).alias("_s1"),
-        F.sum(F.col("_vq") * F.col("_vq")).cast(_DEC).alias("_s2"),
-    )
-    joined = rows.join(stats, part) if part else rows.crossJoin(
-        F.broadcast(stats)
-    )
+        stats = rows.groupBy(*part).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_vq").cast(_DEC).alias("_s1"),
+            F.sum(F.col("_vq") * F.col("_vq")).cast(_DEC).alias("_s2"),
+        )
+        joined = rows.join(stats, part) if part else rows.crossJoin(
+            F.broadcast(stats)
+        )
 
-    # exact variance numerator n·S2 − S1² (integer); the series σ in
-    # micro units is sqrt(var_num)/n, so the n's cancel in
-    # z = (vq − S1/n)/σ = (n·vq − S1)/sqrt(var_num) — ONE division on
-    # an exact-integer numerator
-    var_num = (
-        F.col("_n").cast(_DEC) * F.col("_s2")
-        - F.col("_s1") * F.col("_s1")
-    )
-    z = F.when(
-        var_num > 0,
-        (
-            F.col("_n").cast(_DEC) * F.col("_vq") - F.col("_s1")
-        ).cast("double")
-        / F.sqrt(var_num.cast("double")),
-    )
-    joined = joined.withColumn("_z", z).withColumn(
-        "_zq", F.round(F.col("_z") * F.lit(1e6), 0).cast(_DEC)
-    )
+        # exact variance numerator n·S2 − S1² (integer); the series σ in
+        # micro units is sqrt(var_num)/n, so the n's cancel in
+        # z = (vq − S1/n)/σ = (n·vq − S1)/sqrt(var_num) — ONE division
+        # on an exact-integer numerator
+        var_num = (
+            F.col("_n").cast(_DEC) * F.col("_s2")
+            - F.col("_s1") * F.col("_s1")
+        )
+        z = F.when(
+            var_num > 0,
+            (
+                F.col("_n").cast(_DEC) * F.col("_vq") - F.col("_s1")
+            ).cast("double")
+            / F.sqrt(var_num.cast("double")),
+        )
+        joined = joined.withColumn("_z", z).withColumn(
+            "_zq", F.round(F.col("_z") * F.lit(1e6), 0).cast(_DEC)
+        )
 
     kq = round(k * 1e6)
     hq = round(h * 1e6)

@@ -19,9 +19,16 @@ JS divergence vs the previous window, constant-size reorder-buffer
 state, batch-identical values), and the numeric twin
 :func:`streaming_window_histogram` → :func:`numeric_drift_stream`
 (per-window histogram L∞/TVD/EMD vs the previous window, bit-equal to
-the batch operator).
+the batch operator), and :func:`cusum_walk_stream` (the sustained-
+level-shift CUSUM walk with a frozen reference — O(1) state per series,
+bit-equal to batch ``series_cusum(..., reference=...)``).
 """
 
+from anomalydetector_spark.streaming.cusum_stream import (  # noqa: F401
+    CUSUM_SCHEMA,
+    CUSUM_STATE_SCHEMA,
+    cusum_walk_stream,
+)
 from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
     SCORED_SCHEMA,
     STAT_STATE_SCHEMA,
