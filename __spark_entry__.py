@@ -2932,6 +2932,61 @@ def q_divergence_attribution(spark, sf_dir):
     )
 
 
+def q_partition_balance(spark, sf_dir):
+    """Partition-skew summary (operators/cardinality.partition_balance):
+    CV + Gini + straggler ratio of the event_type partitioning — the
+    numbers the engine's salting/AQE mitigations gate on, all exact
+    integer identities (sorted-rank Gini, variance CV) with one double
+    division each."""
+    from anomalydetector_spark.operators.cardinality import (
+        partition_balance,
+    )
+
+    return partition_balance(
+        _t(spark, sf_dir, "events"), ["event_type"]
+    )
+
+
+def q_partition_sizes(spark, sf_dir):
+    """Per-partition exact sizes + share + deterministic size rank
+    (operators/cardinality.partition_sizes), NULL keys counted as their
+    own partition."""
+    from anomalydetector_spark.operators.cardinality import (
+        partition_sizes,
+    )
+
+    return partition_sizes(_t(spark, sf_dir, "events"), ["event_type"])
+
+
+def q_join_fanout(spark, sf_dir):
+    """Join-explosion prediction (operators/cardinality.
+    join_fanout_profile): exact output-row count, per-side key stats and
+    the max single-key fanout for orders ⋈ lineitem on orderkey —
+    measured from two bounded key-count frames, never materialized."""
+    from anomalydetector_spark.operators.cardinality import (
+        join_fanout_profile,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key")
+    )
+    return join_fanout_profile(o, li, "key")
+
+
+def q_fanout_histogram(spark, sf_dir):
+    """Key-multiplicity histogram (operators/cardinality.
+    fanout_histogram) of lineitem.l_orderkey — the pre-join shape check
+    (mass at 1-7 lines per order for TPC-H-ish data)."""
+    from anomalydetector_spark.operators.cardinality import (
+        fanout_histogram,
+    )
+
+    return fanout_histogram(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3082,6 +3137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "topk_churn_events": q_topk_churn,
         "divergence_attribution_events": q_divergence_attribution,
+        "partition_balance_events": q_partition_balance,
+        "partition_sizes_events": q_partition_sizes,
+        "join_fanout_orders": q_join_fanout,
+        "fanout_histogram_lineitem": q_fanout_histogram,
     }
 
 
@@ -7164,6 +7223,92 @@ def oracle_sql() -> dict[str, str]:
         # the last ulp — observed live at sf0.1 on the Spearman sums);
         # every cast of a potentially-wide integer therefore round-trips
         # through VARCHAR, whose strtod parse IS correctly rounded.
+        # ---- cardinality / skew profiling (operators/cardinality.py) --
+        "partition_balance_events": r"""
+            WITH c AS (
+              SELECT event_type, count(*)::HUGEINT AS n FROM events
+              GROUP BY 1),
+            r AS (
+              SELECT *, row_number() OVER
+                     (ORDER BY n ASC, event_type ASC NULLS FIRST)
+                       ::HUGEINT AS i
+              FROM c),
+            a AS (
+              SELECT count(*)::HUGEINT AS p, sum(n)::HUGEINT AS s,
+                     sum(n * n)::HUGEINT AS s2,
+                     sum(i * n)::HUGEINT AS rank_sum,
+                     max(n)::HUGEINT AS mx
+              FROM r),
+            m AS (
+              SELECT r.n AS median FROM r, a
+              WHERE r.i = floor((CAST(a.p AS BIGINT) + 1) / 2))
+            SELECT CAST(a.p AS BIGINT) AS n_partitions,
+                   CAST(a.s AS BIGINT) AS n_rows,
+                   CAST(a.mx AS BIGINT) AS max_rows,
+                   CAST(m.median AS BIGINT) AS median_rows,
+                   CAST(a.s AS DOUBLE) / CAST(a.p AS DOUBLE)
+                     AS mean_rows,
+                   sqrt(CAST(CAST(a.p * a.s2 - a.s * a.s AS VARCHAR)
+                             AS DOUBLE)) / CAST(a.s AS DOUBLE) AS cv,
+                   CAST(CAST(2 * a.rank_sum - (a.p + 1) * a.s
+                             AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(a.p * a.s AS VARCHAR) AS DOUBLE)
+                     AS gini,
+                   CAST(a.mx AS DOUBLE) / CAST(m.median AS DOUBLE)
+                     AS max_over_median,
+                   CAST(a.mx AS DOUBLE) / CAST(a.s AS DOUBLE)
+                     AS top_share
+            FROM a, m
+        """,
+        "partition_sizes_events": r"""
+            WITH c AS (
+              SELECT event_type, count(*)::BIGINT AS n_rows FROM events
+              GROUP BY 1)
+            SELECT event_type, n_rows,
+                   CAST(n_rows AS DOUBLE)
+                     / CAST(sum(n_rows) OVER () AS DOUBLE) AS share,
+                   CAST(row_number() OVER
+                     (ORDER BY n_rows DESC, event_type ASC NULLS FIRST)
+                     AS INT) AS size_rank
+            FROM c
+        """,
+        "join_fanout_orders": r"""
+            WITH lc AS (
+              SELECT o_orderkey AS key, count(*)::HUGEINT AS cl
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+            rc AS (
+              SELECT l_orderkey AS key, count(*)::HUGEINT AS cr
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+            b AS (
+              SELECT count(*)::BIGINT AS n_keys_common,
+                     sum(cl * cr)::HUGEINT AS outr,
+                     max(cl * cr)::HUGEINT AS maxpair
+              FROM lc JOIN rc USING (key)),
+            ls AS (SELECT sum(cl)::HUGEINT AS nl,
+                          count(*)::BIGINT AS n_keys_left,
+                          max(cl)::HUGEINT AS maxl FROM lc),
+            rs AS (SELECT sum(cr)::HUGEINT AS nr,
+                          count(*)::BIGINT AS n_keys_right,
+                          max(cr)::HUGEINT AS maxr FROM rc)
+            SELECT CAST(ls.nl AS BIGINT) AS n_left,
+                   CAST(rs.nr AS BIGINT) AS n_right,
+                   ls.n_keys_left, rs.n_keys_right, b.n_keys_common,
+                   CAST(coalesce(b.outr, 0) AS BIGINT) AS out_rows,
+                   CAST(ls.maxl AS BIGINT) AS max_left_mult,
+                   CAST(rs.maxr AS BIGINT) AS max_right_mult,
+                   CAST(coalesce(b.maxpair, 0) AS BIGINT)
+                     AS max_key_fanout,
+                   CAST(CAST(coalesce(b.outr, 0) AS VARCHAR) AS DOUBLE)
+                     / CAST(greatest(ls.nl, rs.nr) AS DOUBLE)
+                     AS amplification
+            FROM b, ls, rs
+        """,
+        "fanout_histogram_lineitem": r"""
+            SELECT multiplicity, count(*)::BIGINT AS n_keys FROM (
+              SELECT l_orderkey, count(*)::BIGINT AS multiplicity
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+            GROUP BY 1
+        """,
         # ---- trend analyzers (operators/trend.py) --------------------
         # shared head: the exact per-(event_type, day) count series
         "cusum_daily": r"""
