@@ -2987,6 +2987,23 @@ def q_fanout_histogram(spark, sf_dir):
     return fanout_histogram(_t(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
+def q_ewma_daily(spark, sf_dir):
+    """EWMA control chart (operators/trend.ewma_chart — Roberts 1959)
+    over the per-event_type daily count series, reference = the
+    series' own exact micro-sum mean/σ, λ=0.25, L=3. The walk is a
+    pinned sequential float recursion over each bounded series (no
+    exact closed form exists for geometric weights); the DuckDB twin
+    replays it as a RECURSIVE CTE with the identical expression
+    sequence — hash-exact including the time-varying control limits."""
+    from anomalydetector_spark.operators.trend import ewma_chart
+
+    series = _daily_count_series(spark, sf_dir)
+    return ewma_chart(
+        series, ["event_type"], "window_start", "value",
+        lam=0.25, L=3.0,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3141,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_sizes_events": q_partition_sizes,
         "join_fanout_orders": q_join_fanout,
         "fanout_histogram_lineitem": q_fanout_histogram,
+        "ewma_daily": q_ewma_daily,
     }
 
 
@@ -7223,6 +7241,62 @@ def oracle_sql() -> dict[str, str]:
         # the last ulp — observed live at sf0.1 on the Spearman sums);
         # every cast of a potentially-wide integer therefore round-trips
         # through VARCHAR, whose strtod parse IS correctly rounded.
+        "ewma_daily": r"""
+            WITH RECURSIVE s AS MATERIALIZED (
+              SELECT event_type,
+                     date_trunc('day', ts)::TIMESTAMP AS w,
+                     count(*)::HUGEINT AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            q AS (
+              SELECT event_type, w, CAST(cnt AS DOUBLE) AS v,
+                     CAST(round(CAST(cnt AS DOUBLE) * 1e6) AS HUGEINT)
+                       AS vq
+              FROM s),
+            st AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(vq)::HUGEINT AS s1, sum(vq * vq)::HUGEINT AS s2
+              FROM q GROUP BY 1),
+            ref AS MATERIALIZED (
+              SELECT event_type,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                       AS mu,
+                     sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR)
+                               AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6
+                       AS sigma
+              FROM st),
+            r AS MATERIALIZED (
+              SELECT event_type, w, v,
+                     row_number() OVER
+                       (PARTITION BY event_type ORDER BY w) AS rn
+              FROM q),
+            walk AS (
+              SELECT r.event_type, r.rn, r.w, r.v,
+                     0.25 * r.v + 0.75 * ref.mu AS e,
+                     CAST(0.5625 AS DOUBLE) AS f
+              FROM r JOIN ref USING (event_type) WHERE r.rn = 1
+              UNION ALL
+              SELECT r.event_type, r.rn, r.w, r.v,
+                     0.25 * r.v + 0.75 * walk.e,
+                     walk.f * CAST(0.5625 AS DOUBLE)
+              FROM r JOIN walk ON r.event_type = walk.event_type
+                              AND r.rn = walk.rn + 1)
+            SELECT walk.event_type, walk.w AS window_start,
+                   walk.v AS value,
+                   CASE WHEN ref.sigma > 0 THEN walk.e END AS ewma,
+                   CASE WHEN ref.sigma > 0 THEN
+                     ref.mu + 3.0 * ref.sigma
+                       * sqrt(0.14285714285714285 * (1.0 - walk.f)) END AS ucl,
+                   CASE WHEN ref.sigma > 0 THEN
+                     ref.mu - 3.0 * ref.sigma
+                       * sqrt(0.14285714285714285 * (1.0 - walk.f)) END AS lcl,
+                   CASE WHEN ref.sigma > 0 THEN
+                     walk.e > ref.mu + 3.0 * ref.sigma
+                       * sqrt(0.14285714285714285 * (1.0 - walk.f))
+                     OR walk.e < ref.mu - 3.0 * ref.sigma
+                       * sqrt(0.14285714285714285 * (1.0 - walk.f))
+                   ELSE false END AS alarm
+            FROM walk JOIN ref USING (event_type)
+        """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --
         "partition_balance_events": r"""
             WITH c AS (

@@ -536,3 +536,112 @@ def dominant_lag(acf: DataFrame, part_cols: Sequence[str]) -> DataFrame:
             F.struct("lag", "acf"), F.struct(-F.col("acf"), F.col("lag"))
         ).alias("_best")
     ).select(*part, F.col("_best.lag").alias("lag"), F.col("_best.acf").alias("acf"))
+
+
+def ewma_chart(
+    series: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lam: float = 0.25,
+    L: float = 3.0,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959) — the third classical lens
+    beside SR (saliency) and CUSUM (sustained shift): the exponentially
+    weighted moving average ``E_t = λ·v_t + (1−λ)·E_{t−1}`` with
+    time-varying control limits ``μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t}))``
+    reacts to SMALL shifts faster than a Shewhart rule and forgets
+    faster than CUSUM (λ tunes the memory). ``E_0 = μ``.
+
+    ``reference`` is a bounded ``(*part_cols, mu, sigma)`` frame
+    (:func:`cusum_reference`); default derives it from the full series.
+    Series with σ ≤ 0 emit NULL chart columns and ``alarm = false``;
+    series absent from an explicit reference are dropped (inner join).
+
+    Determinism: the walk is a SEQUENTIAL left-to-right recursion (a
+    geometric-weight sum has no exact closed form over integers), run
+    as an explicit Python loop over each BOUNDED series inside one
+    Arrow batch — the float operation sequence (``λ·v + (1−λ)·E``,
+    ``f·(1−λ)²``, ``L·σ·√(c·(1−f))`` with all constants precomputed in
+    Python) is pinned, so a DuckDB recursive-CTE twin replaying the
+    same expressions is bit-identical (the same contract as the
+    streaming twin, which carries (E, f) as O(1) state). Input rows
+    with NULL/NaN values are excluded before the walk.
+
+    Output: ``(*part_cols, order_col, value, ewma, ucl, lcl, alarm)``.
+    """
+    import math
+
+    part = list(part_cols)
+    if reference is None:
+        reference = cusum_reference(series, part_cols, value_col)
+    rows = series.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(*part, order_col, F.col(value_col).cast("double").alias("value"))
+    joined = (
+        rows.join(F.broadcast(reference), part)
+        if part
+        else rows.crossJoin(F.broadcast(reference))
+    )
+
+    fields = []
+    for f_ in joined.schema.fields:
+        if f_.name in part or f_.name == order_col:
+            fields.append(f"`{f_.name}` {f_.dataType.simpleString()}")
+    schema = (
+        ", ".join(fields)
+        + ", value double, ewma double, ucl double, lcl double, "
+        + "alarm boolean"
+    )
+    q = 1.0 - lam
+    q2 = q * q
+    c = lam / (2.0 - lam)
+
+    def walk(pdf):
+        import pandas as pd  # noqa: F811
+
+        pdf = pdf.sort_values(order_col)
+        mu = float(pdf["mu"].iloc[0]) if len(pdf) else None
+        sigma = float(pdf["sigma"].iloc[0]) if len(pdf) else None
+        degenerate = (
+            sigma is None or not sigma > 0 or mu is None or mu != mu
+        )
+        n = len(pdf)
+        ewma = [None] * n
+        ucl = [None] * n
+        lcl = [None] * n
+        alarm = [False] * n
+        if not degenerate:
+            e = mu
+            f = 1.0
+            for i, v in enumerate(pdf["value"].tolist()):
+                e = lam * v + q * e
+                f = f * q2
+                hw = L * sigma * math.sqrt(c * (1.0 - f))
+                ewma[i] = e
+                ucl[i] = mu + hw
+                lcl[i] = mu - hw
+                alarm[i] = e > ucl[i] or e < lcl[i]
+        out = pdf[[*part, order_col, "value"]].copy()
+        out["ewma"] = pd.array(ewma, dtype="Float64")
+        out["ucl"] = pd.array(ucl, dtype="Float64")
+        out["lcl"] = pd.array(lcl, dtype="Float64")
+        out["alarm"] = alarm
+        return out
+
+    grouped = (
+        joined.groupBy(*part) if part else joined.groupBy(F.lit(1))
+    )
+    if not part:
+        # a keyless groupBy(lit) would leak the literal column; give the
+        # global series an explicit empty key via a constant column
+        joined = joined.withColumn("_g", F.lit(1))
+        grouped = joined.groupBy("_g")
+        schema = "_g int, " + schema
+        out = grouped.applyInPandas(
+            lambda pdf: walk(pdf).assign(_g=1), schema
+        )
+        return out.drop("_g")
+    return grouped.applyInPandas(walk, schema)

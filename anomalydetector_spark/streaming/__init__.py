@@ -29,6 +29,11 @@ from anomalydetector_spark.streaming.cusum_stream import (  # noqa: F401
     CUSUM_STATE_SCHEMA,
     cusum_walk_stream,
 )
+from anomalydetector_spark.streaming.ewma_stream import (  # noqa: F401
+    EWMA_SCHEMA,
+    EWMA_STATE_SCHEMA,
+    ewma_stream,
+)
 from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
     SCORED_SCHEMA,
     STAT_STATE_SCHEMA,

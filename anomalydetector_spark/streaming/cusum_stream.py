@@ -53,7 +53,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from anomalydetector_spark.streaming.pairs import duration_us as _duration_us
+from anomalydetector_spark.streaming.pairs import (
+    ORDERED_NONE as _NONE,
+    duration_us as _duration_us,
+    ordered_drain,
+)
 
 CUSUM_STATE_SCHEMA = StructType(
     [
@@ -79,7 +83,6 @@ CUSUM_SCHEMA = (
     "cp_pos timestamp, cp_neg timestamp"
 )
 
-_NONE = -(1 << 62)  # sentinel for "no anchor yet" (NULL-able longs)
 
 
 def _half_up_micro(x: float) -> int:
@@ -131,13 +134,10 @@ def _make_walk_fn(
             buf.setdefault(int(t), float(v))
 
         out_rows = []
-        while buf:
-            t0 = min(buf)
-            contiguous = last_ts != _NONE and t0 == last_ts + dur_us
-            if not contiguous and len(buf) <= buffer_windows:
-                break
-            v = buf.pop(t0)
-            last_ts = t0
+        consumed, last_ts = ordered_drain(
+            buf, last_ts, dur_us, buffer_windows
+        )
+        for t0, v in consumed:
             if degenerate:
                 out_rows.append(
                     (t0, v, None, None, None, False, False, False,

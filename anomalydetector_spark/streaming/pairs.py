@@ -128,3 +128,29 @@ def window_pairs(
         )
     )
     return out
+
+
+ORDERED_NONE = -(1 << 62)  # "no window consumed yet" sentinel
+
+
+def ordered_drain(
+    buf: dict, last_ts: int, dur_us: int, horizon: int
+) -> tuple[list, int]:
+    """Shared consume rule for ORDER-SENSITIVE walks (CUSUM, EWMA):
+    pop buffered ``{ts_us: value}`` windows in strict timestamp order —
+    the oldest window is consumable when it is contiguous with the last
+    consumed one (``last_ts + dur_us``, the fast path) or when more
+    than ``horizon`` newer windows have accumulated behind it (the
+    near-sorted horizon has passed; a still-missing older window is
+    declared lost and the caller's pointer will drop it on late
+    arrival). Returns the consumed ``[(ts, value), ...]`` and the
+    advanced pointer."""
+    out = []
+    while buf:
+        t0 = min(buf)
+        contiguous = last_ts != ORDERED_NONE and t0 == last_ts + dur_us
+        if not contiguous and len(buf) <= horizon:
+            break
+        out.append((t0, buf.pop(t0)))
+        last_ts = t0
+    return out, last_ts

@@ -222,3 +222,85 @@ def test_autocorr_partition_invariance(spark):
     assert [(r.k, r.lag, r.acf) for r in a] == [
         (r.k, r.lag, r.acf) for r in b
     ]
+
+
+# ------------------------------------------------------------------ EWMA
+def _ewma_mirror(vals, mu, sigma, lam=0.25, L=3.0):
+    import math as _m
+
+    q = 1.0 - lam
+    q2 = q * q
+    c = lam / (2.0 - lam)
+    e, f = mu, 1.0
+    out = []
+    for v in vals:
+        e = lam * v + q * e
+        f = f * q2
+        hw = L * sigma * _m.sqrt(c * (1.0 - f))
+        out.append((e, mu + hw, mu - hw, e > mu + hw or e < mu - hw))
+    return out
+
+
+def test_ewma_chart_mirror_and_small_shift(spark):
+    from anomalydetector_spark.operators.trend import (
+        cusum_reference,
+        ewma_chart,
+    )
+
+    rnd = random.Random(31)
+    # small 1.2σ shift at t=40 — a Shewhart 3σ rule misses it, the
+    # EWMA chart catches it within a few windows
+    vals = []
+    for t in range(80):
+        v = 100.0 + rnd.uniform(-1.5, 1.5) + (1.2 if t >= 40 else 0.0)
+        vals.append(v)
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in enumerate(vals)],
+        "k string, t int, v double",
+    )
+    ref = cusum_reference(
+        df.filter(F.col("t") < 40), ["k"], "v"
+    )
+    got = (
+        ewma_chart(df, ["k"], "t", "v", lam=0.25, L=3.0, reference=ref)
+        .orderBy("t")
+        .collect()
+    )
+    r = ref.collect()[0]
+    exp = _ewma_mirror(vals, r.mu, r.sigma)
+    for g, (e, u, l, a) in zip(got, exp):
+        assert (g.ewma, g.ucl, g.lcl, g.alarm) == (e, u, l, a)
+    # the chart alarms after the small shift, within 10 windows
+    first = next(g.t for g in got if g.alarm)
+    assert 40 <= first <= 50
+    # no false alarm in the in-control half
+    assert all(not g.alarm for g in got if g.t < 40)
+    # Shewhart 3σ on raw values misses this shift entirely
+    assert all(abs(v - r.mu) < 3 * r.sigma for v in vals)
+
+
+def test_ewma_chart_derived_reference_and_degenerate(spark):
+    from anomalydetector_spark.operators.trend import ewma_chart
+
+    rows = [("a", t, 5.0 + 0.1 * (t % 3)) for t in range(20)] + [
+        ("const", t, 9.0) for t in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = ewma_chart(df, ["k"], "t", "v").collect()
+    const = [r for r in got if r.k == "const"]
+    assert const and all(
+        r.ewma is None and not r.alarm for r in const
+    )
+    a = [r for r in got if r.k == "a"]
+    assert all(r.ewma is not None for r in a)
+
+
+def test_ewma_partition_invariance(spark):
+    from anomalydetector_spark.operators.trend import ewma_chart
+
+    rnd = random.Random(33)
+    rows = [("p", t, rnd.uniform(0, 50)) for t in range(60)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    a = ewma_chart(df.coalesce(1), ["k"], "t", "v").orderBy("t").collect()
+    b = ewma_chart(df.repartition(7), ["k"], "t", "v").orderBy("t").collect()
+    assert [(r.ewma, r.ucl) for r in a] == [(r.ewma, r.ucl) for r in b]
