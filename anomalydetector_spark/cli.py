@@ -261,6 +261,11 @@ def cmd_validate(args, spark: SparkSession) -> None:
                 else None
             ),
             attribution_top_n=getattr(args, "attribution_top_n", 0) or 0,
+            ewma=(
+                tuple(float(x) for x in args.ewma.split(","))
+                if getattr(args, "ewma", None)
+                else None
+            ),
         )
     t0 = time.time()
     res = run_validation(pages, domains, cfg)
@@ -276,6 +281,10 @@ def cmd_validate(args, spark: SparkSession) -> None:
         res.cusum_scored.write.mode("overwrite").parquet(f"{out}/cusum_scores")
         res.cusum_verdicts.write.mode("overwrite").parquet(
             f"{out}/cusum_verdicts"
+        )
+    if res.ewma_scored is not None:
+        res.ewma_scored.write.mode("overwrite").parquet(
+            f"{out}/ewma_scores"
         )
     if res.drift_attribution is not None:
         res.drift_attribution.write.mode("overwrite").parquet(
@@ -430,6 +439,10 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
         res.cusum_scored.write.mode("overwrite").parquet(f"{out}/cusum_scores")
         res.cusum_verdicts.write.mode("overwrite").parquet(
             f"{out}/cusum_verdicts"
+        )
+    if res.ewma_scored is not None:
+        res.ewma_scored.write.mode("overwrite").parquet(
+            f"{out}/ewma_scores"
         )
     if res.drift_attribution is not None:
         res.drift_attribution.write.mode("overwrite").parquet(
@@ -1356,6 +1369,10 @@ def main(argv=None):
                         "slack and alarm threshold in sigma units, "
                         "e.g. 0.25,2.0 (writes <out>/cusum_scores "
                         "and cusum_verdicts)")
+    v.add_argument("--ewma", default=None, metavar="LAM,L",
+                   help="EWMA control chart on every stat series: "
+                        "lambda and limit width L, e.g. 0.25,3.0 "
+                        "(writes <out>/ewma_scores)")
     v.add_argument("--attribution-top-n", type=int, default=0,
                    help="emit per-language TVD attribution for each "
                         "SR-flagged lang-shape window "

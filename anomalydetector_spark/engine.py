@@ -109,6 +109,11 @@ class ValidationConfig:
     # changepoint estimate. Rides the same persisted bounded stat-series
     # frame as the SR scorer (zero extra input scans); None = off.
     cusum: tuple | None = None  # (float k, float h)
+    # EWMA control chart on every stat series: (lambda, L). The
+    # small-shift lens between Shewhart and CUSUM (operators/trend.
+    # ewma_chart); rides the same persisted stat-series frame. None =
+    # off.
+    ewma: tuple | None = None  # (float lam, float L)
     # drift drill-down: when shape_drift is on and this is > 0, emit
     # per-category TVD attribution (operators/divergence.
     # divergence_attribution) for every SR-FLAGGED lang_js_divergence
@@ -135,6 +140,8 @@ class ValidationResult:
     # summaries with changepoint estimates. None when off.
     cusum_scored: DataFrame | None = None
     cusum_verdicts: DataFrame | None = None
+    # EWMA chart rows (cfg.ewma). None when off.
+    ewma_scored: DataFrame | None = None
     # per-category TVD shares for SR-flagged lang-shape windows
     # (cfg.attribution_top_n). None when off.
     drift_attribution: DataFrame | None = None
@@ -567,6 +574,20 @@ def run_validation(
             cusum_scored, ["partition_key", "stat_name"], "window_start"
         )
 
+    ewma_scored = None
+    if cfg.ewma is not None:
+        from anomalydetector_spark.operators.trend import ewma_chart
+
+        lam, big_l = cfg.ewma
+        ewma_scored = ewma_chart(
+            stat_series,
+            ["partition_key", "stat_name"],
+            "window_start",
+            "value",
+            lam=lam,
+            L=big_l,
+        )
+
     attribution = None
     if cfg.shape_drift and cfg.attribution_top_n > 0:
         from anomalydetector_spark.operators.divergence import (
@@ -594,6 +615,7 @@ def run_validation(
         row_status=row_status,
         cusum_scored=cusum_scored,
         cusum_verdicts=cusum_summary,
+        ewma_scored=ewma_scored,
         drift_attribution=attribution,
         cached=[cube, profile, stat_series, scored, *fd_bad],
     )

@@ -110,15 +110,16 @@ def config_from_dict(spec: dict) -> ValidationConfig:
                         'reference_ts] pair (int, ISO timestamp string)'
                     )
                 value = tuple(value)
-            elif field == "cusum" and value is not None:
+            elif field in ("cusum", "ewma") and value is not None:
                 if (
                     not isinstance(value, (list, tuple))
                     or len(value) != 2
                     or not all(isinstance(x, (int, float)) for x in value)
                 ):
                     raise ValueError(
-                        '"cusum" must be a [k, h] pair of numbers '
-                        "(slack and alarm threshold in sigma units)"
+                        f'"{field}" must be a pair of numbers '
+                        "(cusum: [k, h] in sigma units; "
+                        "ewma: [lambda, L])"
                     )
                 value = (float(value[0]), float(value[1]))
             elif field == "attribution_top_n" and value is not None:
@@ -199,4 +200,6 @@ def suite_to_dict(cfg: ValidationConfig) -> dict:
         d["freshness"] = list(d["freshness"])
     if d["cusum"] is not None:
         d["cusum"] = list(d["cusum"])
+    if d["ewma"] is not None:
+        d["ewma"] = list(d["ewma"])
     return d

@@ -471,3 +471,24 @@ def test_cusum_second_opinion_and_attribution(spark, pages):
     res_off = run_validation(pages, None, ValidationConfig())
     assert res_off.cusum_scored is None
     assert res_off.drift_attribution is None
+
+
+def test_ewma_chart_in_engine(spark, pages):
+    """cfg.ewma rides the persisted stat series: chart rows exist for
+    every scored stat, and the injected null-rate burst pushes the
+    chart outside its limits at that window."""
+    res = run_validation(pages, None, ValidationConfig(ewma=(0.25, 3.0)))
+    assert res.ewma_scored is not None
+    truth = datagen.truth()
+    nr = {
+        r.window_start: r
+        for r in res.ewma_scored.filter(
+            "stat_name = 'null_rate' AND partition_key = 'global'"
+        ).collect()
+    }
+    assert nr, "no EWMA rows for null_rate"
+    burst = nr[_win_start(truth["null_window"])]
+    assert burst.alarm and burst.ewma > burst.ucl
+    res_off = run_validation(pages, None, ValidationConfig())
+    assert res_off.ewma_scored is None
+

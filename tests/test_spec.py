@@ -308,3 +308,15 @@ def test_cusum_and_attribution_spec_round_trip():
         config_from_dict({"cusum": "0.25,2"})
     with pytest.raises(ValueError, match="attribution_top_n"):
         config_from_dict({"attribution_top_n": -1})
+
+
+def test_ewma_spec_round_trip():
+    import pytest
+
+    cfg = config_from_dict({"ewma": [0.25, 3.0]})
+    assert cfg.ewma == (0.25, 3.0)
+    d = suite_to_dict(cfg)
+    assert d["ewma"] == [0.25, 3.0]
+    assert config_from_dict(d) == cfg
+    with pytest.raises(ValueError, match="ewma"):
+        config_from_dict({"ewma": [0.25]})
