@@ -3004,6 +3004,24 @@ def q_ewma_daily(spark, sf_dir):
     )
 
 
+def q_seasonal_volume(spark, sf_dir):
+    """Seasonality-aware volume expectation (operators/trend.
+    seasonal_expectation): each day's event count vs the exact mean of
+    the last 4 same-weekday counts, flagged beyond 50% relative
+    deviation — the check weekly rhythm hides from plain drift. The
+    relative deviation is the exact integer ``(m·vq − s)/s`` with one
+    double division; hash-exact vs the DuckDB lag-join twin."""
+    from anomalydetector_spark.operators.trend import (
+        seasonal_expectation,
+    )
+
+    series = _daily_count_series(spark, sf_dir)
+    return seasonal_expectation(
+        series, ["event_type"], "window_start", "value",
+        season_lag=7, n_seasons=4, tolerance=0.5,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3159,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fanout_orders": q_join_fanout,
         "fanout_histogram_lineitem": q_fanout_histogram,
         "ewma_daily": q_ewma_daily,
+        "seasonal_volume_events": q_seasonal_volume,
     }
 
 
@@ -7296,6 +7315,44 @@ def oracle_sql() -> dict[str, str]:
                        * sqrt(0.14285714285714285 * (1.0 - walk.f))
                    ELSE false END AS alarm
             FROM walk JOIN ref USING (event_type)
+        """,
+        "seasonal_volume_events": r"""
+            WITH s AS (
+              SELECT event_type,
+                     date_trunc('day', ts)::TIMESTAMP AS w,
+                     count(*)::HUGEINT AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            q AS (
+              SELECT event_type, w, CAST(cnt AS DOUBLE) AS v,
+                     CAST(round(CAST(cnt AS DOUBLE) * 1e6) AS HUGEINT)
+                       AS vq,
+                     row_number() OVER
+                       (PARTITION BY event_type ORDER BY w) AS rn
+              FROM s),
+            hist AS (
+              SELECT a.event_type, a.rn,
+                     count(*)::BIGINT AS m, sum(b.vq)::HUGEINT AS hs
+              FROM q a
+              CROSS JOIN (SELECT unnest(range(1, 5))::INT AS j) l
+              JOIN q b ON b.event_type = a.event_type
+                      AND b.rn = a.rn - l.j * 7
+              GROUP BY 1, 2)
+            SELECT q.event_type, q.w AS window_start, q.v AS value,
+                   CASE WHEN h.m IS NOT NULL THEN
+                     CAST(h.hs AS DOUBLE) / CAST(h.m AS DOUBLE) / 1e6
+                   END AS expected,
+                   CASE WHEN h.hs > 0 THEN
+                     CAST(h.m * q.vq - h.hs AS DOUBLE)
+                       / CAST(h.hs AS DOUBLE)
+                   END AS rel_dev,
+                   CASE WHEN h.m IS NULL THEN false
+                        WHEN h.hs > 0 THEN
+                          abs(CAST(h.m * q.vq - h.hs AS DOUBLE)
+                              / CAST(h.hs AS DOUBLE)) > 0.5
+                        ELSE q.vq <> 0 END AS flagged,
+                   coalesce(h.m, 0)::INT AS n_history
+            FROM q LEFT JOIN hist h
+              ON h.event_type = q.event_type AND h.rn = q.rn
         """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --
         "partition_balance_events": r"""

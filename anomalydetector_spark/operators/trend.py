@@ -645,3 +645,95 @@ def ewma_chart(
         )
         return out.drop("_g")
     return grouped.applyInPandas(walk, schema)
+
+
+def seasonal_expectation(
+    series: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    season_lag: int = 7,
+    n_seasons: int = 4,
+    tolerance: float = 0.5,
+) -> DataFrame:
+    """Seasonality-aware volume expectation (the Deequ-style "is
+    today's metric where the last few SAME-PHASE values say it should
+    be" check): for each window the expected value is the exact mean of
+    the values at row-index lags ``season_lag, 2·season_lag, …`` (up to
+    ``n_seasons`` that exist), and the window is flagged when the
+    relative deviation exceeds ``tolerance``. The lens the plain drift
+    battery lacks: a Monday is compared to MONDAYS, so weekly rhythm
+    stops masking (or faking) volume anomalies.
+
+    Exact arithmetic: with micro-quantized values ``vq`` and seasonal
+    history sum ``s`` over ``m ≤ n_seasons`` lags,
+    ``rel_dev = (m·vq − s)/s`` — an exact-integer numerator and ONE
+    double division, so the flag is partitioning-independent and
+    SQL-reproducible. Rows with no seasonal history (``rn ≤
+    season_lag``) emit NULL expected/rel_dev and ``flagged = false``;
+    an all-zero history (``s = 0``) flags any non-zero value (expected
+    0 means any volume is infinite relative deviation). NULL/NaN values
+    are excluded before indexing.
+
+    Output: ``(*part_cols, order_col, value, expected, rel_dev,
+    flagged, n_history)``. Lags are ROW-INDEX lags over ``order_col``'s
+    sort (aggregate to a dense window grid first if calendar phase must
+    align across data gaps — same contract as :func:`series_autocorr`).
+    """
+    part = list(part_cols)
+    rows = series.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(
+        *part,
+        order_col,
+        F.col(value_col).cast("double").alias("_v"),
+        _micro(F.col(value_col)).alias("_vq"),
+    )
+    w = (
+        Window.partitionBy(*part)
+        if part
+        else Window.partitionBy(F.lit(1))
+    )
+    rows = rows.withColumn(
+        "_rn", F.row_number().over(w.orderBy(order_col))
+    )
+    lag_df = rows.sparkSession.createDataFrame(
+        [(j,) for j in range(1, n_seasons + 1)], "j int"
+    )
+    a = rows.alias("a").crossJoin(F.broadcast(lag_df))
+    b = rows.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in part] + [
+        F.col("b._rn")
+        == F.col("a._rn") - F.col("j") * F.lit(int(season_lag))
+    ]
+    hist = a.join(b, cond).groupBy(
+        *[F.col(f"a.{c}") for c in part], F.col("a._rn").alias("_rn")
+    ).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col("b._vq")).cast(_DEC).alias("_s"),
+    )
+    joined = rows.join(hist, [*part, "_rn"], "left")
+    m_dec = F.col("_m").cast(_DEC)
+    num = m_dec * F.col("_vq") - F.col("_s")
+    rel = F.when(
+        F.col("_s") > 0, num.cast("double") / F.col("_s").cast("double")
+    )
+    expected = F.when(
+        F.col("_m").isNotNull(),
+        F.col("_s").cast("double")
+        / F.col("_m").cast("double")
+        / F.lit(1e6),
+    )
+    flagged = F.when(F.col("_m").isNull(), F.lit(False)).when(
+        F.col("_s") > 0, F.abs(rel) > F.lit(tolerance)
+    ).otherwise(F.col("_vq") != 0)
+    return joined.select(
+        *part,
+        order_col,
+        F.col("_v").alias("value"),
+        expected.alias("expected"),
+        rel.alias("rel_dev"),
+        flagged.alias("flagged"),
+        F.coalesce(F.col("_m"), F.lit(0)).cast("int").alias("n_history"),
+    )

@@ -304,3 +304,67 @@ def test_ewma_partition_invariance(spark):
     a = ewma_chart(df.coalesce(1), ["k"], "t", "v").orderBy("t").collect()
     b = ewma_chart(df.repartition(7), ["k"], "t", "v").orderBy("t").collect()
     assert [(r.ewma, r.ucl) for r in a] == [(r.ewma, r.ucl) for r in b]
+
+
+# --------------------------------------------------- seasonal expectation
+def test_seasonal_expectation_weekly_mask(spark):
+    """A weekly-periodic series with one anomalous Monday: plain
+    mean-based checks see Mondays as 'high' every week; the seasonal
+    check flags ONLY the broken one."""
+    from anomalydetector_spark.operators.trend import seasonal_expectation
+
+    vals = []
+    for t in range(56):  # 8 weeks
+        base = 100.0 if t % 7 == 0 else 20.0  # Mondays 5x the rest
+        if t == 42:  # week 7's Monday collapses
+            base = 30.0
+        vals.append(base)
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in enumerate(vals)],
+        "k string, t int, v double",
+    )
+    got = {
+        r.t: r
+        for r in seasonal_expectation(
+            df, ["k"], "t", "v", season_lag=7, n_seasons=4, tolerance=0.5
+        ).collect()
+    }
+    flagged = sorted(t for t, r in got.items() if r.flagged)
+    assert 42 in flagged
+    # the healthy Mondays after enough history are NOT flagged
+    assert 35 not in flagged and 28 not in flagged
+    # week-8 Monday (t=49) compares against a history containing the
+    # broken week — mean (100+100+100+30)/4 = 82.5, dev 17.5/82.5 < 0.5
+    assert 49 not in flagged
+    # exact expected at t=42: mean of t=35,28,21,14 = 100
+    assert got[42].expected == 100.0
+    assert got[42].rel_dev == (4 * 30_000_000 - 400_000_000) / 400_000_000
+    # first season_lag rows have no history
+    assert all(
+        got[t].expected is None and not got[t].flagged
+        for t in range(7)
+    )
+    assert got[13].n_history == 1 and got[42].n_history == 4
+
+
+def test_seasonal_expectation_zero_history_and_invariance(spark):
+    from anomalydetector_spark.operators.trend import seasonal_expectation
+
+    rows = [("k", t, 0.0) for t in range(14)] + [("k", 14, 5.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r.t: r for r in seasonal_expectation(
+        df, ["k"], "t", "v", season_lag=7, n_seasons=2
+    ).collect()}
+    # burst after dead weeks: expected 0 -> any volume flags
+    assert got[14].flagged and got[14].rel_dev is None
+    assert not got[7].flagged  # zero matching zero history
+
+    import random
+    rnd = random.Random(41)
+    big = [("p", t, rnd.uniform(0, 50)) for t in range(60)]
+    bdf = spark.createDataFrame(big, "k string, t int, v double")
+    a = seasonal_expectation(bdf.coalesce(1), ["k"], "t", "v").orderBy("t").collect()
+    b = seasonal_expectation(bdf.repartition(9), ["k"], "t", "v").orderBy("t").collect()
+    assert [(r.expected, r.rel_dev, r.flagged) for r in a] == [
+        (r.expected, r.rel_dev, r.flagged) for r in b
+    ]
