@@ -1423,6 +1423,65 @@ def main() -> None:
         ),
     )
 
+    from anomalydetector_spark.operators.cardinality import (
+        join_fanout_profile,
+        partition_balance,
+    )
+    from anomalydetector_spark.operators.trend import (
+        ewma_chart,
+        seasonal_expectation,
+    )
+
+    bal_plan = plan_of(partition_balance(ev, ["event_type"]))
+    ok &= check(
+        "partition balance: rows partial-aggregate map-side; every "
+        "window/median stage runs over the bounded sizes frame, zero "
+        "Python",
+        "partial_count" in bal_plan and "EvalPython" not in bal_plan,
+    )
+    fan_plan = plan_of(
+        join_fanout_profile(
+            ev.select(F.col("user_id").alias("key")),
+            ev.select(F.col("event_id").alias("key")),
+            "key",
+        )
+    )
+    ok &= check(
+        "join fanout: both sides partial-aggregate to key counts "
+        "BEFORE the only equi-join — the predicted join is never "
+        "materialized (no row-level join in the plan), zero Python",
+        "partial_count" in fan_plan
+        and "CartesianProduct" not in fan_plan
+        and "EvalPython" not in fan_plan,
+    )
+    ewma_plan = plan_of(
+        ewma_chart(day_series, ["event_type"], "window_start", "value")
+    )
+    import re as _re2
+
+    _ewma_pandas_nodes = set(
+        _re2.findall(r"FlatMapGroupsInPandas[^(]*\((\d+)\)", ewma_plan)
+    )
+    ok &= check(
+        "EWMA chart: exactly ONE Arrow/pandas stage (the bounded "
+        "per-series walk), raw rows partial-aggregated before it",
+        len(_ewma_pandas_nodes) == 1
+        and "ArrowEvalPython" not in ewma_plan
+        and "partial_count" in ewma_plan,
+    )
+    seas_plan = plan_of(
+        seasonal_expectation(
+            day_series, ["event_type"], "window_start", "value"
+        )
+    )
+    ok &= check(
+        "seasonal expectation: lag pairing is an equi-join of the "
+        "bounded series frame; only the 4-row lag literal nested-loops, "
+        "zero Python",
+        "CartesianProduct" not in seas_plan
+        and "EvalPython" not in seas_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])

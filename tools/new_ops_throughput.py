@@ -318,6 +318,46 @@ def batch3(rows: int = 1_000_000):
         ),
     )
 
+    from anomalydetector_spark.operators.cardinality import (
+        join_fanout_profile,
+        partition_balance,
+    )
+    from anomalydetector_spark.operators.trend import (
+        ewma_chart,
+        seasonal_expectation,
+    )
+
+    bench(
+        "partition_balance (8 partitions)",
+        f"{N//1000}k rows",
+        lambda: partition_balance(base, ["event_type"]),
+    )
+    dims = base.select((F.col("doc_id") % 100000).alias("key")).persist()
+    dims.count()
+    bench(
+        "join_fanout_profile (100k keys, 10x fanout)",
+        f"{N//1000}k x {N//1000}k rows",
+        lambda: join_fanout_profile(
+            base.select((F.col("doc_id") % 100000).alias("key")),
+            dims,
+            "key",
+        ),
+    )
+    bench(
+        "ewma_chart (8 series, from raw)",
+        f"{N//1000}k rows",
+        lambda: ewma_chart(
+            series(), ["event_type"], "window_start", "value"
+        ),
+    )
+    bench(
+        "seasonal_expectation (8 series, lag 7 x 4, from raw)",
+        f"{N//1000}k rows",
+        lambda: seasonal_expectation(
+            series(), ["event_type"], "window_start", "value"
+        ),
+    )
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "batch3":
