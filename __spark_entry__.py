@@ -3022,6 +3022,25 @@ def q_seasonal_volume(spark, sf_dir):
     )
 
 
+def q_cusum_reference_daily(spark, sf_dir):
+    """Reference-mode CUSUM (operators/trend.series_cusum with a frozen
+    (mu, sigma) frame from cusum_reference) — the ONLINE standardization
+    path the streaming twin replays bit-for-bit; here the reference is
+    the full daily count series, so the oracle certifies the
+    (v − mu)/sigma float chain + the same integer walk cross-engine."""
+    from anomalydetector_spark.operators.trend import (
+        cusum_reference,
+        series_cusum,
+    )
+
+    series = _daily_count_series(spark, sf_dir)
+    ref = cusum_reference(series, ["event_type"], "value")
+    return series_cusum(
+        series, ["event_type"], "window_start", "value",
+        k=0.25, h=2.0, reference=ref,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3178,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_histogram_lineitem": q_fanout_histogram,
         "ewma_daily": q_ewma_daily,
         "seasonal_volume_events": q_seasonal_volume,
+        "cusum_reference_daily": q_cusum_reference_daily,
     }
 
 
@@ -7353,6 +7373,77 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.m, 0)::INT AS n_history
             FROM q LEFT JOIN hist h
               ON h.event_type = q.event_type AND h.rn = q.rn
+        """,
+        "cusum_reference_daily": r"""
+            WITH s AS (
+              SELECT event_type,
+                     date_trunc('day', ts)::TIMESTAMP AS w,
+                     count(*)::HUGEINT AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            q AS (
+              SELECT event_type, w, CAST(cnt AS DOUBLE) AS v,
+                     CAST(round(CAST(cnt AS DOUBLE) * 1e6) AS HUGEINT)
+                       AS vq
+              FROM s),
+            st AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(vq)::HUGEINT AS s1, sum(vq * vq)::HUGEINT AS s2
+              FROM q GROUP BY 1),
+            ref AS (
+              SELECT event_type,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                       AS mu,
+                     sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR)
+                               AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6
+                       AS sigma
+              FROM st),
+            z AS (
+              SELECT q.event_type, q.w, q.v,
+                     CASE WHEN ref.sigma > 0 THEN
+                       (q.v - ref.mu) / ref.sigma END AS z
+              FROM q JOIN ref USING (event_type)),
+            zz AS (
+              SELECT *, CASE WHEN z IS NOT NULL THEN
+                       CAST(round(z * 1e6) AS HUGEINT) END AS zq
+              FROM z),
+            walk AS (
+              SELECT *, row_number() OVER win0 AS rn,
+                     sum(zq - 250000) OVER win AS cp,
+                     sum(-zq - 250000) OVER win AS cn
+              FROM zz
+              WINDOW win0 AS (PARTITION BY event_type ORDER BY w),
+                     win AS (PARTITION BY event_type ORDER BY w
+                             ROWS UNBOUNDED PRECEDING)),
+            mins AS (
+              SELECT *, min(cp) OVER win AS mp, min(cn) OVER win AS mn,
+                     min(cp * 1048576 + rn) OVER win AS ep,
+                     min(cn * 1048576 + rn) OVER win AS en
+              FROM walk
+              WINDOW win AS (PARTITION BY event_type ORDER BY w
+                             ROWS UNBOUNDED PRECEDING)),
+            dec AS (
+              SELECT *,
+                CASE WHEN zq IS NOT NULL THEN
+                  CAST(cp - least(0, mp) AS DOUBLE) / 1e6 END AS s_pos,
+                CASE WHEN zq IS NOT NULL THEN
+                  CAST(cn - least(0, mn) AS DOUBLE) / 1e6 END AS s_neg,
+                CASE WHEN mp < 0 THEN
+                  CAST(ep - mp * 1048576 AS BIGINT) END AS cp_rn,
+                CASE WHEN mn < 0 THEN
+                  CAST(en - mn * 1048576 AS BIGINT) END AS cn_rn
+              FROM mins)
+            SELECT d.event_type, d.w AS window_start, d.v AS value,
+                   d.z, d.s_pos, d.s_neg,
+                   coalesce(d.s_pos > 2.0, false) AS alarm_pos,
+                   coalesce(d.s_neg > 2.0, false) AS alarm_neg,
+                   coalesce(d.s_pos > 2.0, false)
+                     OR coalesce(d.s_neg > 2.0, false) AS alarm,
+                   p.w AS cp_pos, n.w AS cp_neg
+            FROM dec d
+            LEFT JOIN walk p ON p.event_type = d.event_type
+                            AND p.rn = d.cp_rn
+            LEFT JOIN walk n ON n.event_type = d.event_type
+                            AND n.rn = d.cn_rn
         """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --
         "partition_balance_events": r"""
