@@ -3041,6 +3041,26 @@ def q_cusum_reference_daily(spark, sf_dir):
     )
 
 
+def q_window_corr(spark, sf_dir):
+    """Relationship-stability series (operators/divergence.
+    numeric_window_corr): exact per-7-day-window Pearson between
+    l_quantity and l_extendedprice over l_shipdate — a pipeline bug
+    that breaks the coupling moves this before either marginal drifts.
+    Five decimal(38,0) sums per window, one pinned double chain."""
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_corr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return numeric_window_corr(
+        li, "ts", "l_quantity", "l_extendedprice", "7 days"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3198,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": q_ewma_daily,
         "seasonal_volume_events": q_seasonal_volume,
         "cusum_reference_daily": q_cusum_reference_daily,
+        "window_corr_lineitem": q_window_corr,
     }
 
 
@@ -7444,6 +7465,44 @@ def oracle_sql() -> dict[str, str]:
                             AND p.rn = d.cp_rn
             LEFT JOIN walk n ON n.event_type = d.event_type
                             AND n.rn = d.cn_rn
+        """,
+        "window_corr_lineitem": r"""
+            WITH rows_ok AS (
+              SELECT CAST(l_shipdate AS TIMESTAMP) AS ts,
+                     CAST(round(CAST(l_quantity AS DOUBLE) * 1e6)
+                          AS HUGEINT) AS aq,
+                     CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+                          AS HUGEINT) AS bq
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND NOT isnan(CAST(l_quantity AS DOUBLE))
+                AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+                AND l_shipdate IS NOT NULL),
+            b AS (
+              SELECT to_timestamp(floor(epoch(ts) / 604800) * 604800)
+                       ::TIMESTAMP AS w_start,
+                     aq, bq
+              FROM rows_ok),
+            agg AS (
+              SELECT w_start,
+                     (w_start + INTERVAL 7 DAY)::TIMESTAMP AS window_end,
+                     count(*)::HUGEINT AS n,
+                     sum(aq)::HUGEINT AS sa, sum(bq)::HUGEINT AS sb,
+                     sum(aq * aq)::HUGEINT AS sa2,
+                     sum(bq * bq)::HUGEINT AS sb2,
+                     sum(aq * bq)::HUGEINT AS sab
+              FROM b GROUP BY 1)
+            SELECT w_start AS window_start, window_end,
+                   CASE WHEN n * sa2 - sa * sa > 0
+                         AND n * sb2 - sb * sb > 0 THEN
+                     CAST(CAST(n * sab - sa * sb AS VARCHAR) AS DOUBLE)
+                       / (sqrt(CAST(CAST(n * sa2 - sa * sa AS VARCHAR)
+                                    AS DOUBLE))
+                          * sqrt(CAST(CAST(n * sb2 - sb * sb AS VARCHAR)
+                                      AS DOUBLE))) END AS corr,
+                   CAST(n AS BIGINT) AS n
+            FROM agg
         """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --
         "partition_balance_events": r"""

@@ -172,3 +172,62 @@ def drift_verdicts(scored: DataFrame) -> DataFrame:
             .otherwise(F.lit("pass")),
         )
     )
+
+
+def lens_consensus(
+    sr_scored: DataFrame,
+    cusum_scored: DataFrame | None = None,
+    ewma_scored: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-lens agreement per (partition, stat, window): SR is the
+    SALIENCY lens, CUSUM the sustained-shift lens, EWMA the small-shift
+    lens — a window flagged by two independent lenses is a far stronger
+    signal than any single detector's threshold crossing, and a
+    disagreement (CUSUM alarms, SR silent) itself says what KIND of
+    anomaly it is (slow drift vs spike).
+
+    Joins the scored frames on (partition_key, stat_name, window_start)
+    — all bounded stat-series frames, broadcast-sized. Lenses not
+    provided (or windows a lens could not score: too-short series, σ=0)
+    contribute NULL, counted as not-fired. Output::
+
+        (partition_key, stat_name, window_start, value, sr_anomaly,
+         cusum_alarm, ewma_alarm, n_fired, consensus)
+
+    ``consensus`` = at least two lenses fired. SR rows drive the output
+    (left joins): every SR-scored window appears exactly once.
+    """
+    keys = ["partition_key", "stat_name", "window_start"]
+    out = sr_scored.select(
+        *keys, "value", F.col("is_anomaly").alias("sr_anomaly")
+    )
+    if cusum_scored is not None:
+        out = out.join(
+            cusum_scored.select(*keys, F.col("alarm").alias("cusum_alarm")),
+            keys,
+            "left",
+        )
+    else:
+        out = out.withColumn("cusum_alarm", F.lit(None).cast("boolean"))
+    if ewma_scored is not None:
+        out = out.join(
+            ewma_scored.select(*keys, F.col("alarm").alias("ewma_alarm")),
+            keys,
+            "left",
+        )
+    else:
+        out = out.withColumn("ewma_alarm", F.lit(None).cast("boolean"))
+    fired = (
+        F.coalesce(F.col("sr_anomaly"), F.lit(False)).cast("int")
+        + F.coalesce(F.col("cusum_alarm"), F.lit(False)).cast("int")
+        + F.coalesce(F.col("ewma_alarm"), F.lit(False)).cast("int")
+    )
+    return out.select(
+        *keys,
+        "value",
+        "sr_anomaly",
+        "cusum_alarm",
+        "ewma_alarm",
+        fired.alias("n_fired"),
+        (fired >= 2).alias("consensus"),
+    )

@@ -142,6 +142,10 @@ class ValidationResult:
     cusum_verdicts: DataFrame | None = None
     # EWMA chart rows (cfg.ewma). None when off.
     ewma_scored: DataFrame | None = None
+    # cross-lens agreement (drift.lens_consensus): populated whenever
+    # at least one of cusum/ewma is configured beside SR. None when
+    # neither is.
+    lens_consensus: DataFrame | None = None
     # per-category TVD shares for SR-flagged lang-shape windows
     # (cfg.attribution_top_n). None when off.
     drift_attribution: DataFrame | None = None
@@ -588,6 +592,12 @@ def run_validation(
             L=big_l,
         )
 
+    consensus = None
+    if cusum_scored is not None or ewma_scored is not None:
+        from anomalydetector_spark.drift import lens_consensus
+
+        consensus = lens_consensus(scored, cusum_scored, ewma_scored)
+
     attribution = None
     if cfg.shape_drift and cfg.attribution_top_n > 0:
         from anomalydetector_spark.operators.divergence import (
@@ -616,6 +626,7 @@ def run_validation(
         cusum_scored=cusum_scored,
         cusum_verdicts=cusum_summary,
         ewma_scored=ewma_scored,
+        lens_consensus=consensus,
         drift_attribution=attribution,
         cached=[cube, profile, stat_series, scored, *fd_bad],
     )

@@ -980,3 +980,70 @@ def divergence_attribution(
             "p_prev"
         ),
     )
+
+
+def numeric_window_corr(
+    df: DataFrame,
+    ts_col: str = "ts",
+    col_a: str = "a",
+    col_b: str = "b",
+    window: str = "1 day",
+    part_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-window EXACT Pearson correlation between two numeric columns
+    — the relationship-stability series (a pipeline bug that breaks the
+    coupling between, say, length and token count moves this long
+    before either marginal distribution drifts). Feed it to the SR /
+    CUSUM / EWMA scorers like any stat series.
+
+    Rows where either side is NULL/NaN are excluded (pairwise
+    deletion). Values micro-quantize once; per window the five sums run
+    over exact decimal(38,0) and the coefficient is the one pinned
+    double chain ``(n·Σab − ΣaΣb) / (√(n·Σa²−(Σa)²) · √(n·Σb²−(Σb)²))``
+    (variance factors rooted separately — no 38-digit overflow), so the
+    series is partitioning-independent and hash-oracled. A window where
+    either column is constant yields NULL.
+
+    Output: ``(*part_cols, window_start, window_end, corr, n)``.
+    Scale shape: ONE map-side-combined aggregation; output bounded by
+    windows × partitions.
+    """
+    part = list(part_cols)
+    dec = "decimal(38,0)"
+
+    def _micro(c):
+        return F.round(F.col(c).cast("double") * F.lit(1e6), 0).cast(dec)
+
+    rows = df.filter(
+        F.col(col_a).isNotNull()
+        & F.col(col_b).isNotNull()
+        & ~F.isnan(F.col(col_a).cast("double"))
+        & ~F.isnan(F.col(col_b).cast("double"))
+    ).select(
+        *part,
+        F.window(ts_col, window).alias("w"),
+        _micro(col_a).alias("_aq"),
+        _micro(col_b).alias("_bq"),
+    )
+    agg = rows.groupBy(*part, "w").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum("_aq").alias("_sa"),
+        F.sum("_bq").alias("_sb"),
+        F.sum(F.col("_aq") * F.col("_aq")).alias("_sa2"),
+        F.sum(F.col("_bq") * F.col("_bq")).alias("_sb2"),
+        F.sum(F.col("_aq") * F.col("_bq")).alias("_sab"),
+    )
+    da = agg["_n"] * agg["_sa2"] - agg["_sa"] * agg["_sa"]
+    db = agg["_n"] * agg["_sb2"] - agg["_sb"] * agg["_sb"]
+    num = agg["_n"] * agg["_sab"] - agg["_sa"] * agg["_sb"]
+    return agg.select(
+        *part,
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.when(
+            (da > 0) & (db > 0),
+            num.cast("double")
+            / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+        ).alias("corr"),
+        F.col("_n").cast("long").alias("n"),
+    )

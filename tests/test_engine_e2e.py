@@ -492,3 +492,31 @@ def test_ewma_chart_in_engine(spark, pages):
     res_off = run_validation(pages, None, ValidationConfig())
     assert res_off.ewma_scored is None
 
+
+
+def test_lens_consensus(spark, pages):
+    """With all three lenses on, the injected null-rate burst reaches
+    consensus (>= 2 lenses) at its exact window; quiet series stay at
+    n_fired == 0 consensus-free."""
+    res = run_validation(
+        pages,
+        None,
+        ValidationConfig(cusum=(0.25, 2.0), ewma=(0.25, 3.0)),
+    )
+    assert res.lens_consensus is not None
+    truth = datagen.truth()
+    nr = {
+        r.window_start: r
+        for r in res.lens_consensus.filter(
+            "stat_name = 'null_rate' AND partition_key = 'global'"
+        ).collect()
+    }
+    burst = nr[_win_start(truth["null_window"])]
+    assert burst.consensus and burst.n_fired >= 2
+    assert burst.sr_anomaly or burst.cusum_alarm or burst.ewma_alarm
+    # every SR-scored window appears exactly once
+    n_sr = res.drift_scored.count()
+    assert res.lens_consensus.count() == n_sr
+    # a lens-off run has no consensus frame but SR-only runs fine
+    res_sr = run_validation(pages, None, ValidationConfig())
+    assert res_sr.lens_consensus is None

@@ -532,3 +532,62 @@ def test_full_histogram_drift_equals_separate_operators(spark):
             psi[w].psi, psi[w].chi2, psi[w].cramers_v,
             psi[w].n_bins_union,
         )
+
+
+# ------------------------------------------------- windowed correlation
+def test_numeric_window_corr_mirror(spark):
+    import datetime as dt
+    import math
+    import random
+
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_corr,
+    )
+
+    rnd = random.Random(19)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for d in range(3):
+        for i in range(50):
+            a = rnd.uniform(0, 100)
+            b = 2.0 * a + rnd.uniform(-5, 5) if d < 2 else rnd.uniform(0, 100)
+            rows.append((t0 + dt.timedelta(days=d, seconds=i * 60), a, b))
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    got = {
+        r.window_start.day: (r.corr, r.n)
+        for r in numeric_window_corr(df, "ts", "a", "b", "1 day").collect()
+    }
+    # python mirror on micro ints per day
+    by_day = {}
+    for ts, a, b in rows:
+        by_day.setdefault(ts.day, []).append((round(a * 1e6), round(b * 1e6)))
+    for day, pts in by_day.items():
+        n = len(pts)
+        sa = sum(a for a, _ in pts); sb = sum(b for _, b in pts)
+        sa2 = sum(a * a for a, _ in pts); sb2 = sum(b * b for _, b in pts)
+        sab = sum(a * b for a, b in pts)
+        exp = float(n * sab - sa * sb) / (
+            math.sqrt(float(n * sa2 - sa * sa))
+            * math.sqrt(float(n * sb2 - sb * sb))
+        )
+        assert got[day] == (exp, n)
+    # the coupled days are strongly correlated, the broken day is not
+    assert got[1][0] > 0.95 and got[2][0] > 0.95
+    assert abs(got[3][0]) < 0.5
+
+
+def test_numeric_window_corr_constant_and_nulls(spark):
+    import datetime as dt
+
+    from anomalydetector_spark.operators.divergence import (
+        numeric_window_corr,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(seconds=i), 5.0, float(i)) for i in range(10)]
+    rows += [(t0 + dt.timedelta(seconds=100), None, 1.0),
+             (t0 + dt.timedelta(seconds=101), float("nan"), 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    got = numeric_window_corr(df, "ts", "a", "b", "1 day").collect()
+    assert len(got) == 1
+    assert got[0].corr is None and got[0].n == 10  # constant a, nulls excluded
