@@ -286,6 +286,10 @@ def cmd_validate(args, spark: SparkSession) -> None:
         res.ewma_scored.write.mode("overwrite").parquet(
             f"{out}/ewma_scores"
         )
+    if res.lens_consensus is not None:
+        res.lens_consensus.write.mode("overwrite").parquet(
+            f"{out}/lens_consensus"
+        )
     if res.drift_attribution is not None:
         res.drift_attribution.write.mode("overwrite").parquet(
             f"{out}/drift_attribution"
@@ -443,6 +447,10 @@ def cmd_incremental_validate(args, spark: SparkSession) -> None:
     if res.ewma_scored is not None:
         res.ewma_scored.write.mode("overwrite").parquet(
             f"{out}/ewma_scores"
+        )
+    if res.lens_consensus is not None:
+        res.lens_consensus.write.mode("overwrite").parquet(
+            f"{out}/lens_consensus"
         )
     if res.drift_attribution is not None:
         res.drift_attribution.write.mode("overwrite").parquet(
