@@ -34,6 +34,11 @@ from anomalydetector_spark.streaming.ewma_stream import (  # noqa: F401
     EWMA_STATE_SCHEMA,
     ewma_stream,
 )
+from anomalydetector_spark.streaming.seasonal_stream import (  # noqa: F401
+    SEASONAL_SCHEMA,
+    SEASONAL_STATE_SCHEMA,
+    seasonal_expectation_stream,
+)
 from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
     SCORED_SCHEMA,
     STAT_STATE_SCHEMA,

@@ -382,3 +382,64 @@ def test_ewma_stream_matches_batch_bit_for_bit(spark, cusum_stream_env):
         ), key
     flat = [got[k] for k in got if k[0] == "flat"]
     assert flat and all(r.ewma is None and not r.alarm for r in flat)
+
+
+def test_seasonal_stream_matches_batch_bit_for_bit(
+    spark, cusum_stream_env
+):
+    """The streaming seasonal-expectation check equals the batch
+    operator bit for bit on every emitted window (exact integer
+    numerators, same pinned double chains, same zero-history rules)."""
+    from anomalydetector_spark.operators.trend import seasonal_expectation
+    from anomalydetector_spark.streaming import seasonal_expectation_stream
+
+    env = cusum_stream_env
+    stream = (
+        spark.readStream.schema(
+            "partition_key string, stat_name string, "
+            "window_start timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(env["in"])
+    )
+    out_dir = f"{env['root']}/seasonal_out"
+    q = (
+        seasonal_expectation_stream(
+            stream, season_lag=7, n_seasons=2, tolerance=0.1,
+            window_duration="1 day", buffer_windows=4,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{env['root']}/seasonal_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.stat_name, r.window_start): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r.stat_name, r.window_start): r
+        for r in seasonal_expectation(
+            env["series"],
+            ["partition_key", "stat_name"],
+            "window_start",
+            "value",
+            season_lag=7,
+            n_seasons=2,
+            tolerance=0.1,
+        ).collect()
+    }
+    m1 = [k for k in got if k[0] == "m1"]
+    assert len(m1) >= N_DAYS - 4
+    # the 6-unit shift at day 15 deviates >10% from its same-phase
+    # history — flagged in both engines
+    assert any(got[k].flagged for k in m1)
+    for key, g in got.items():
+        e = exp[key]
+        assert (g.value, g.expected, g.rel_dev, g.flagged, g.n_history) == (
+            e.value, e.expected, e.rel_dev, e.flagged, e.n_history,
+        ), key
