@@ -49,11 +49,13 @@ from anomalydetector_spark.streaming.ingest import (  # noqa: F401
     dedup_ingest_stream,
 )
 from anomalydetector_spark.streaming.numeric_stream import (  # noqa: F401
+    CORR_SCHEMA,
     HIST_SCHEMA,
     NUMERIC_DRIFT_SCHEMA,
     PSI_DRIFT_SCHEMA,
     numeric_drift_stream,
     psi_drift_stream,
+    streaming_window_corr,
     streaming_window_histogram,
 )
 from anomalydetector_spark.streaming.shape_stream import (  # noqa: F401
