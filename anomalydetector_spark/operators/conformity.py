@@ -170,3 +170,62 @@ def benford_check(
         .otherwise(F.lit("nonconforming"))
     )
     return agg.select(*part, "n", "chi2", "mad", verdict.alias("verdict"))
+
+
+def check_benford(
+    df: DataFrame,
+    value_col: str,
+    partition_by=None,
+    max_mad: float = 0.015,
+    check_name: str | None = None,
+):
+    """Benford conformity as a standard engine check: per partition,
+    ``passed`` iff Nigrini's MAD stays below ``max_mad`` (default the
+    published nonconformity edge, 0.015). Distribution-level — no
+    row-addressable violations (``violations=None``); the verdict's
+    ``rows_scanned`` is the digit-bearing row count (NULL/NaN/zero and
+    out-of-domain magnitudes excluded, see :func:`first_digit`).
+    Partitions with zero digit-bearing rows FAIL loudly with
+    NO_DIGITS — an absent feed must not read as conforming."""
+    from anomalydetector_spark.operators.checks import CheckResult, _part
+
+    name = check_name or f"benford_{value_col}"
+    keyed = _part(df, partition_by)
+    summary = benford_check(keyed, value_col, ["partition_key"])
+    ok = F.col("mad") < F.lit(float(max_mad))
+    verdicts = summary.select(
+        F.lit(name).alias("check_name"),
+        "partition_key",
+        ok.alias("passed"),
+        F.when(
+            ~ok,
+            F.format_string(
+                "first-digit distribution of %s deviates from "
+                "Benford's law: MAD %.6f >= " + f"{max_mad:g}"
+                + " (verdict %s)",
+                F.lit(value_col),
+                F.col("mad"),
+                F.col("verdict"),
+            ),
+        ).alias("error_message"),
+        F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("long").alias(
+            "violation_count"
+        ),
+        F.col("n").alias("rows_scanned"),
+    )
+    # partitions present in the input but with zero digit-bearing rows
+    # are absent from the summary — surface them as loud failures
+    all_parts = keyed.select("partition_key").distinct()
+    missing = all_parts.join(
+        summary.select("partition_key"), "partition_key", "left_anti"
+    ).select(
+        F.lit(name).alias("check_name"),
+        "partition_key",
+        F.lit(False).alias("passed"),
+        F.lit(
+            f"no digit-bearing values in {value_col} (NO_DIGITS)"
+        ).alias("error_message"),
+        F.lit(1).cast("long").alias("violation_count"),
+        F.lit(0).cast("long").alias("rows_scanned"),
+    )
+    return CheckResult(verdicts.unionByName(missing))

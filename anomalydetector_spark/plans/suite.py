@@ -38,7 +38,7 @@ CUBE_KINDS = {"min_rows", "not_null_ts", "referential"}
 class CheckSpec:
     """One declarative check. ``kind`` ∈ {min_rows, not_null_ts,
     not_null, unique, referential, finite, bounds, float_castable,
-    ascending, column_presence, robust_outliers, freshness,
+    ascending, column_presence, robust_outliers, freshness, benford,
     json_schema}."""
 
     kind: str
@@ -59,6 +59,8 @@ class CheckSpec:
     reference_ts: str | None = None
     # json_schema only: ((json_key, spark_type), ...) requirement pairs
     json_keys: tuple = ()
+    # benford only: Nigrini MAD ceiling (0.015 = nonconformity edge)
+    max_mad: float = 0.015
     # referential only: dimension-join ladder rung + salt count
     # (operators/referential.dim_join)
     strategy: str = "broadcast"
@@ -123,6 +125,12 @@ def robust_outliers(
     (checks.check_robust_outliers — exact counts-cube estimators)."""
     return CheckSpec("robust_outliers", column=column, k=k,
                      max_outlier_frac=max_outlier_frac)
+
+
+def benford(
+    column: str, max_mad: float = 0.015
+) -> CheckSpec:
+    return CheckSpec(kind="benford", column=column, max_mad=max_mad)
 
 
 def freshness(
@@ -333,6 +341,14 @@ def run_suite(
             r = C.check_freshness(
                 df, s.column, s.max_lag_seconds,
                 reference_ts=s.reference_ts, partition_by=partition_by,
+            )
+        elif s.kind == "benford":
+            from anomalydetector_spark.operators.conformity import (
+                check_benford,
+            )
+
+            r = check_benford(
+                df, s.column, partition_by, max_mad=s.max_mad
             )
         elif s.kind == "robust_outliers":
             r = C.check_robust_outliers(

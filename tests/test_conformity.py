@@ -254,3 +254,29 @@ def test_divergence_attribution_identical_windows_filtered(spark):
     )
     # TVD = 0 -> shares undefined -> window emitted nothing
     assert divergence_attribution(counts).count() == 0
+
+
+def test_benford_suite_check(spark):
+    import math
+    import random as _random
+
+    from anomalydetector_spark.plans import suite as S
+
+    rnd = _random.Random(12)
+    rows = (
+        [("organic", math.exp(rnd.uniform(0, 12))) for _ in range(4000)]
+        + [("fabricated", float(rnd.randint(500, 599))) for _ in range(4000)]
+        + [("dead", 0.0)] * 50
+    )
+    df = spark.createDataFrame(rows, "grp string, amount double")
+    res = S.run_suite(
+        df, [S.benford("amount")], partition_by="grp"
+    )
+    v = {r.partition_key: r for r in res.verdicts.collect()}
+    assert v["organic"].passed is True
+    assert v["fabricated"].passed is False
+    assert "Benford" in v["fabricated"].error_message
+    # zero digit-bearing rows: loud NO_DIGITS failure, never silently ok
+    assert v["dead"].passed is False
+    assert "NO_DIGITS" in v["dead"].error_message
+    assert v["organic"].rows_scanned == 4000
