@@ -266,6 +266,9 @@ def cmd_validate(args, spark: SparkSession) -> None:
                 if getattr(args, "ewma", None)
                 else None
             ),
+            cusum_reference_before=getattr(
+                args, "cusum_reference_before", None
+            ),
         )
     t0 = time.time()
     res = run_validation(pages, domains, cfg)
@@ -1377,6 +1380,11 @@ def main(argv=None):
                         "slack and alarm threshold in sigma units, "
                         "e.g. 0.25,2.0 (writes <out>/cusum_scores "
                         "and cusum_verdicts)")
+    v.add_argument("--cusum-reference-before", default=None,
+                   metavar="ISO_TS",
+                   help="freeze the CUSUM reference (mu, sigma) from "
+                        "stat windows strictly before this instant — "
+                        "the production in-control setup")
     v.add_argument("--ewma", default=None, metavar="LAM,L",
                    help="EWMA control chart on every stat series: "
                         "lambda and limit width L, e.g. 0.25,3.0 "

@@ -109,6 +109,13 @@ class ValidationConfig:
     # changepoint estimate. Rides the same persisted bounded stat-series
     # frame as the SR scorer (zero extra input scans); None = off.
     cusum: tuple | None = None  # (float k, float h)
+    # optional in-control cutoff for the CUSUM reference: when set (ISO
+    # timestamp string), mu/sigma freeze from the stat windows STRICTLY
+    # BEFORE this instant (trend.cusum_reference) and the walk runs in
+    # reference mode — the production setup: an anomalous present can
+    # no longer inflate sigma and mask itself. None = standardize
+    # against each series' own full history (the exploratory default).
+    cusum_reference_before: str | None = None
     # EWMA control chart on every stat series: (lambda, L). The
     # small-shift lens between Shewhart and CUSUM (operators/trend.
     # ewma_chart); rides the same persisted stat-series frame. None =
@@ -566,6 +573,20 @@ def run_validation(
         )
 
         ck, ch = cfg.cusum
+        ref = None
+        if cfg.cusum_reference_before is not None:
+            from anomalydetector_spark.operators.trend import (
+                cusum_reference,
+            )
+
+            ref = cusum_reference(
+                stat_series.filter(
+                    F.col("window_start")
+                    < F.lit(cfg.cusum_reference_before).cast("timestamp")
+                ),
+                ["partition_key", "stat_name"],
+                "value",
+            )
         cusum_scored = series_cusum(
             stat_series,
             ["partition_key", "stat_name"],
@@ -573,6 +594,7 @@ def run_validation(
             "value",
             k=ck,
             h=ch,
+            reference=ref,
         )
         cusum_summary = _cusum_verdicts(
             cusum_scored, ["partition_key", "stat_name"], "window_start"

@@ -520,3 +520,39 @@ def test_lens_consensus(spark, pages):
     # a lens-off run has no consensus frame but SR-only runs fine
     res_sr = run_validation(pages, None, ValidationConfig())
     assert res_sr.lens_consensus is None
+
+
+def test_cusum_frozen_reference_period(spark, pages):
+    """cusum_reference_before freezes mu/sigma from the in-control
+    prefix: the injected null-rate burst (far outside the frozen
+    sigma) alarms MUCH harder than under full-series standardization,
+    where the burst inflates its own sigma."""
+    truth = datagen.truth()
+    cutoff = _win_start(truth["lang_window"] - 2).isoformat()
+    res = run_validation(
+        pages,
+        None,
+        ValidationConfig(
+            cusum=(0.25, 2.0), cusum_reference_before=cutoff
+        ),
+    )
+    zh = {
+        r.window_start: r
+        for r in res.cusum_scored.filter(
+            "stat_name = 'lang_frac_zh' AND partition_key = 'global'"
+        ).collect()
+    }
+    burst = zh[_win_start(truth["lang_window"])]
+    assert burst.alarm_pos
+    res_full = run_validation(
+        pages, None, ValidationConfig(cusum=(0.25, 2.0))
+    )
+    full = {
+        r.window_start: r
+        for r in res_full.cusum_scored.filter(
+            "stat_name = 'lang_frac_zh' AND partition_key = 'global'"
+        ).collect()
+    }
+    # the frozen-reference z at the shift dwarfs the self-contaminated
+    # full-series z (the shift inflates its own sigma)
+    assert burst.z > full[_win_start(truth["lang_window"])].z
