@@ -280,3 +280,47 @@ def test_benford_suite_check(spark):
     assert v["dead"].passed is False
     assert "NO_DIGITS" in v["dead"].error_message
     assert v["organic"].rows_scanned == 4000
+
+
+def test_first_digit_adversarial_power_boundaries(spark):
+    """The corrected-exponent extraction must agree with the pure-
+    Python mirror on values straddling every power-of-ten boundary by
+    one ulp — exactly where a raw floor(log10) flips."""
+    import math as _m
+    import struct
+
+    def ulp_away(x, up):
+        packed = struct.pack(">d", x)
+        i = struct.unpack(">q", packed)[0]
+        return struct.unpack(">d", struct.pack(">q", i + (1 if up else -1)))[0]
+
+    vals = []
+    for k in range(-25, 26):
+        p = 10.0 ** k
+        vals += [p, ulp_away(p, True), ulp_away(p, False)]
+    vals += [3.0, 5.5, 99.99999999999999, 0.30000000000000004]
+
+    def digit_mirror(v):
+        v = abs(v)
+        if not (1e-30 <= v < 1e30):
+            return None
+        p = _m.floor(_m.log10(v))
+        if 10.0 ** (p + 1) <= v:
+            p += 1
+        elif 10.0 ** p > v:
+            p -= 1
+        return min(max(int(v / 10.0 ** p), 1), 9)
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.v: r.d
+        for r in df.select(
+            "v", first_digit(F.col("v")).alias("d")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == digit_mirror(v), (v, got[v], digit_mirror(v))
+    # the one-ulp-below values really do carry digit 9: the extraction
+    # distinguishes them from the boundary
+    below = [got[ulp_away(10.0 ** k, False)] for k in range(-20, 20)]
+    assert all(d == 9 for d in below)

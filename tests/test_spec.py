@@ -320,3 +320,11 @@ def test_ewma_spec_round_trip():
     assert config_from_dict(d) == cfg
     with pytest.raises(ValueError, match="ewma"):
         config_from_dict({"ewma": [0.25]})
+
+
+def test_cusum_reference_before_round_trip():
+    cfg = config_from_dict(
+        {"cusum": [0.25, 2.0], "cusum_reference_before": "2025-02-01"}
+    )
+    assert cfg.cusum_reference_before == "2025-02-01"
+    assert config_from_dict(suite_to_dict(cfg)) == cfg
