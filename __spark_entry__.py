@@ -3061,6 +3061,35 @@ def q_window_corr(spark, sf_dir):
     )
 
 
+def q_pattern_profile(spark, sf_dir):
+    """Value-pattern discovery (operators/patterns.
+    value_pattern_profile, exact mode): char-class signatures of
+    c_name — the shape-of-the-string lens (ids/codes/dates have a
+    stable silhouette before any regex is written). Pure-codegen
+    regexp_replace chain; the DuckDB twin replays it with RE2 + the
+    'g' flag."""
+    from anomalydetector_spark.operators.patterns import (
+        value_pattern_profile,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return value_pattern_profile(c, "c_name", collapsed=False)
+
+
+def q_pattern_check(spark, sf_dir):
+    """Pattern compliance (operators/patterns.check_value_pattern):
+    every c_name must match the collapsed 'Aa+#9+' signature — the
+    enforce half of the discover → suggest → enforce loop."""
+    from anomalydetector_spark.operators.patterns import (
+        check_value_pattern,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return check_value_pattern(
+        c, "c_name", ["Aa+#9+"], partition_by="c_mktsegment"
+    ).verdicts
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3219,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_volume_events": q_seasonal_volume,
         "cusum_reference_daily": q_cusum_reference_daily,
         "window_corr_lineitem": q_window_corr,
+        "pattern_profile_customer": q_pattern_profile,
+        "pattern_check_customer": q_pattern_check,
     }
 
 
@@ -7502,6 +7533,43 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(CAST(CAST(n * sb2 - sb * sb AS VARCHAR)
                                       AS DOUBLE))) END AS corr,
                    CAST(n AS BIGINT) AS n
+            FROM agg
+        """,
+        "pattern_profile_customer": r"""
+            WITH sigs AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name, '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[^\x00-\x7F]', 'u', 'g') AS signature
+              FROM customer WHERE c_name IS NOT NULL),
+            c AS (
+              SELECT signature, count(*)::BIGINT AS n_values
+              FROM sigs GROUP BY 1)
+            SELECT signature, n_values,
+                   CAST(n_values AS DOUBLE)
+                     / CAST(sum(n_values) OVER () AS DOUBLE) AS share,
+                   CAST(row_number() OVER
+                     (ORDER BY n_values DESC, signature ASC) AS INT)
+                     AS rank
+            FROM c
+        """,
+        "pattern_check_customer": r"""
+            WITH t AS (
+              SELECT c_mktsegment AS partition_key,
+                     c_name,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name, '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[^\x00-\x7F]', 'u', 'g'), 'u{2,}', 'u+', 'g'), '9{2,}', '9+', 'g'), 'A{2,}', 'A+', 'g'), 'a{2,}', 'a+', 'g') AS sig
+              FROM customer),
+            agg AS (
+              SELECT partition_key,
+                     sum((c_name IS NOT NULL
+                          AND sig <> 'Aa+#9+')::BIGINT)::BIGINT
+                       AS violation_count,
+                     count(*)::BIGINT AS rows_scanned
+              FROM t GROUP BY 1)
+            SELECT 'pattern_c_name' AS check_name, partition_key,
+                   violation_count = 0 AS passed,
+                   CASE WHEN violation_count <> 0 THEN
+                     printf('%d value(s) of c_name match none of the '
+                            || '1 allowed signature(s)',
+                            violation_count) END AS error_message,
+                   violation_count, rows_scanned
             FROM agg
         """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --

@@ -38,7 +38,7 @@ CUBE_KINDS = {"min_rows", "not_null_ts", "referential"}
 class CheckSpec:
     """One declarative check. ``kind`` ∈ {min_rows, not_null_ts,
     not_null, unique, referential, finite, bounds, float_castable,
-    ascending, column_presence, robust_outliers, freshness, benford,
+    ascending, column_presence, robust_outliers, freshness, benford, pattern,
     json_schema}."""
 
     kind: str
@@ -61,6 +61,9 @@ class CheckSpec:
     json_keys: tuple = ()
     # benford only: Nigrini MAD ceiling (0.015 = nonconformity edge)
     max_mad: float = 0.015
+    # pattern only: allowed char-class signatures + collapse mode
+    allowed: tuple[str, ...] = ()
+    collapsed: bool = True
     # referential only: dimension-join ladder rung + salt count
     # (operators/referential.dim_join)
     strategy: str = "broadcast"
@@ -131,6 +134,15 @@ def benford(
     column: str, max_mad: float = 0.015
 ) -> CheckSpec:
     return CheckSpec(kind="benford", column=column, max_mad=max_mad)
+
+
+def pattern(
+    column: str, allowed: list[str] | tuple[str, ...], collapsed: bool = True
+) -> CheckSpec:
+    return CheckSpec(
+        kind="pattern", column=column,
+        allowed=tuple(allowed), collapsed=collapsed,
+    )
 
 
 def freshness(
@@ -341,6 +353,15 @@ def run_suite(
             r = C.check_freshness(
                 df, s.column, s.max_lag_seconds,
                 reference_ts=s.reference_ts, partition_by=partition_by,
+            )
+        elif s.kind == "pattern":
+            from anomalydetector_spark.operators.patterns import (
+                check_value_pattern,
+            )
+
+            r = check_value_pattern(
+                df, s.column, list(s.allowed), partition_by,
+                collapsed=s.collapsed,
             )
         elif s.kind == "benford":
             from anomalydetector_spark.operators.conformity import (
