@@ -335,6 +335,48 @@ def cmd_validate(args, spark: SparkSession) -> None:
     )
 
 
+def cmd_check_table(args, spark: SparkSession) -> None:
+    """Declarative check suite over ANY table (not just pages): a
+    reviewed JSON array of CheckSpec objects (plans/suite.specs_from_json)
+    runs through run_suite — verdicts + row-addressable violations to
+    parquet, nonzero exit when any check fails (the CI gate shape)."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    from anomalydetector_spark.plans.suite import (
+        run_suite,
+        specs_from_json,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    df = read_table(spark, args.input_path)
+    with open(args.checks) as fh:
+        spec_list = _json.load(fh)
+    specs = specs_from_json(
+        spec_list, spark=spark, base_dir=_os.path.dirname(args.checks)
+    )
+    res = run_suite(df, specs, partition_by=args.partition_by)
+    out = args.output_path.rstrip("/")
+    res.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    if res.violations is not None:
+        res.violations.write.mode("overwrite").parquet(
+            f"{out}/violations"
+        )
+    rows = res.verdicts.collect()
+    n_fail = sum(1 for r in rows if not r.passed)
+    for r in sorted(rows, key=lambda r: (r.check_name, str(r.partition_key))):
+        status = "PASS" if r.passed else "FAIL"
+        msg = f" — {r.error_message}" if r.error_message else ""
+        print(f"{status} {r.check_name} [{r.partition_key}]{msg}")
+    print(
+        f"{len(rows)} verdict(s), {n_fail} failing; outputs under {out}/"
+    )
+    res.unpersist()
+    if n_fail and not args.no_fail_exit:
+        _sys.exit(3)
+
+
 def cmd_incremental_validate(args, spark: SparkSession) -> None:
     """Incremental re-validation (incremental.py): digest both snapshots
     at partition granularity, validate ONLY added ∪ changed partitions of
@@ -1490,6 +1532,24 @@ def main(argv=None):
                          "of this column, one aggregation per side (the "
                          "cheap incremental-skip gate)")
 
+    ct = sub.add_parser(
+        "check-table",
+        help="declarative check suite over ANY table from a reviewed "
+             "JSON file (array of CheckSpec objects); nonzero exit on "
+             "failure — the CI gate shape",
+    )
+    ct.add_argument("--input-path", required=True)
+    ct.add_argument("--output-path", required=True)
+    ct.add_argument("--checks", required=True,
+                    help="JSON array of check objects, e.g. "
+                         '[{"kind": "not_null", "column": "id"}, '
+                         '{"kind": "pattern", "column": "code", '
+                         '"allowed": ["A9+"]}]; referential checks '
+                         "declare dim_path/dim_column")
+    ct.add_argument("--partition-by", default=None)
+    ct.add_argument("--no-fail-exit", action="store_true",
+                    help="always exit 0 (report-only mode)")
+
     iv = sub.add_parser(
         "incremental-validate",
         help="validate only the partitions that changed between two "
@@ -1763,6 +1823,8 @@ def main(argv=None):
             cmd_prep_corpus(args, spark)
         elif args.cmd == "snapshot-diff":
             cmd_snapshot_diff(args, spark)
+        elif args.cmd == "check-table":
+            cmd_check_table(args, spark)
         elif args.cmd == "incremental-validate":
             cmd_incremental_validate(args, spark)
         elif args.cmd == "evaluate":

@@ -383,3 +383,61 @@ def run_suite(
             violations.append(r.violations)
 
     return SuiteResult(_union(verdicts), _union(violations), cached)
+
+
+def specs_from_json(
+    spec_list, spark=None, base_dir: str | None = None
+) -> list[CheckSpec]:
+    """Translate a JSON list of check objects into :class:`CheckSpec`s,
+    validating every kind and field LOUDLY (the reviewed-file CI
+    workflow, for ANY table — the generic-table twin of the pages
+    suite's ValidationConfig spec). ``referential`` checks declare
+    ``dim_path`` (parquet path, resolved against ``base_dir``) +
+    ``dim_column``; ``spark`` is required iff one is present."""
+    import dataclasses as _dc
+    import os as _os
+
+    if not isinstance(spec_list, list):
+        raise ValueError("check suite must be a JSON array of objects")
+    allowed_fields = {f.name for f in _dc.fields(CheckSpec)} - {"dim"}
+    allowed_fields |= {"dim_path"}
+    out = []
+    for i, obj in enumerate(spec_list):
+        if not isinstance(obj, dict) or "kind" not in obj:
+            raise ValueError(f"checks[{i}] must be an object with a 'kind'")
+        bad = sorted(set(obj) - allowed_fields)
+        if bad:
+            raise ValueError(
+                f"checks[{i}] ({obj['kind']}): unknown field(s) {bad}; "
+                f"valid: {sorted(allowed_fields)}"
+            )
+        kw = dict(obj)
+        kind = kw.pop("kind")
+        dim_path = kw.pop("dim_path", None)
+        if "required" in kw:
+            kw["required"] = tuple(kw["required"])
+        if "allowed" in kw:
+            kw["allowed"] = tuple(kw["allowed"])
+        if "json_keys" in kw:
+            kw["json_keys"] = tuple(
+                (k, v) for k, v in dict(kw["json_keys"]).items()
+            )
+        dim = None
+        if kind == "referential":
+            if dim_path is None:
+                raise ValueError(
+                    f"checks[{i}]: referential needs 'dim_path'"
+                )
+            if spark is None:
+                raise ValueError("spark session required for dim_path")
+            p = (
+                dim_path
+                if _os.path.isabs(dim_path) or base_dir is None
+                else _os.path.join(base_dir, dim_path)
+            )
+            dim = spark.read.parquet(p)
+        try:
+            out.append(CheckSpec(kind=kind, dim=dim, **kw))
+        except TypeError as e:
+            raise ValueError(f"checks[{i}] ({kind}): {e}") from None
+    return out
