@@ -1482,6 +1482,29 @@ def main() -> None:
         and "EvalPython" not in seas_plan,
     )
 
+    from anomalydetector_spark.operators.patterns import (
+        check_value_pattern,
+        value_pattern_profile,
+    )
+
+    pages_str = pages.select(F.col("url"), F.col("domain"))
+    pat_prof_plan = plan_of(value_pattern_profile(pages_str, "url"))
+    pat_chk_plan = plan_of(
+        check_value_pattern(
+            pages_str, "url", ["a+://a+.a+/a+9+"], partition_by="domain"
+        ).verdicts
+    )
+    ok &= check(
+        "value patterns: signature is pure codegen (regexp_replace "
+        "chain, zero Python, zero joins), profile/check counts "
+        "partial-aggregate map-side",
+        all(
+            "EvalPython" not in p and "partial_count" in p
+            for p in (pat_prof_plan, pat_chk_plan)
+        )
+        and "CartesianProduct" not in pat_chk_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
