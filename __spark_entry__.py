@@ -3090,6 +3090,48 @@ def q_pattern_check(spark, sf_dir):
     ).verdicts
 
 
+def q_reconcile(spark, sf_dir):
+    """Cross-table aggregate reconciliation (operators/reconcile.
+    reconcile_aggregate): per order, does Σ l_extendedprice agree with
+    o_totalprice within 1%? The warehouse parity lens beside key
+    existence (referential) and row equality (snapshot diff) — the
+    synthetic data deliberately does NOT maintain the rollup, so
+    mismatches and childless orders both surface. Every tolerance
+    comparison is a cross-multiplied integer predicate in micro units."""
+    from anomalydetector_spark.operators.reconcile import (
+        reconcile_aggregate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return reconcile_aggregate(
+        li, o, "o_orderkey", "l_extendedprice", "o_totalprice",
+        rel_tolerance=0.01,
+    )
+
+
+def q_reconcile_verdict(spark, sf_dir):
+    """One-row rollup of q_reconcile (operators/reconcile.
+    reconcile_verdict): per-status counts + the pass/fail gate."""
+    from anomalydetector_spark.operators.reconcile import (
+        reconcile_aggregate,
+        reconcile_verdict,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return reconcile_verdict(
+        reconcile_aggregate(
+            li, o, "o_orderkey", "l_extendedprice", "o_totalprice",
+            rel_tolerance=0.01,
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3250,6 +3292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_corr_lineitem": q_window_corr,
         "pattern_profile_customer": q_pattern_profile,
         "pattern_check_customer": q_pattern_check,
+        "reconcile_orders": q_reconcile,
+        "reconcile_verdict_orders": q_reconcile_verdict,
     }
 
 
@@ -7571,6 +7615,101 @@ def oracle_sql() -> dict[str, str]:
                             violation_count) END AS error_message,
                    violation_count, rows_scanned
             FROM agg
+        """,
+        "reconcile_orders": r"""
+            WITH f AS (
+              SELECT l_orderkey AS k,
+                     sum(CAST(round(CAST(l_extendedprice AS DOUBLE)
+                                    * 1e6) AS HUGEINT))::HUGEINT AS fq,
+                     count(*)::BIGINT AS n_fact_rows
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+              GROUP BY 1),
+            s AS (
+              SELECT o_orderkey AS k, count(*)::BIGINT AS dup,
+                     min(CAST(round(CAST(o_totalprice AS DOUBLE) * 1e6)
+                              AS HUGEINT)) AS sq,
+                     min(CAST(o_totalprice AS DOUBLE)) AS sv
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+            j AS (
+              SELECT coalesce(f.k, s.k) AS k, f.fq, f.n_fact_rows,
+                     s.dup, s.sq, s.sv
+              FROM f FULL OUTER JOIN s ON f.k = s.k),
+            st AS (
+              SELECT *,
+                CASE
+                  WHEN dup > 1 THEN 'duplicate_summary_key'
+                  WHEN sq IS NULL AND dup IS NULL
+                    THEN 'missing_in_summary'
+                  WHEN fq IS NULL THEN 'missing_in_fact'
+                  WHEN sq IS NULL THEN 'mismatched'
+                  WHEN abs(fq - sq) <= 0
+                    OR abs(fq - sq) * 1000000::HUGEINT
+                       <= 10000::HUGEINT * abs(sq)
+                    THEN 'matched'
+                  ELSE 'mismatched' END AS status
+              FROM j)
+            SELECT k AS o_orderkey,
+                   CAST(fq AS DOUBLE) / 1e6 AS fact_sum,
+                   sv AS summary_val,
+                   CASE WHEN fq IS NOT NULL AND sq IS NOT NULL
+                         AND dup = 1 THEN
+                     CAST(fq - sq AS DOUBLE) / 1e6 END AS diff,
+                   coalesce(n_fact_rows, 0)::BIGINT AS n_fact_rows,
+                   status
+            FROM st
+        """,
+        "reconcile_verdict_orders": r"""
+            WITH f AS (
+              SELECT l_orderkey AS k,
+                     sum(CAST(round(CAST(l_extendedprice AS DOUBLE)
+                                    * 1e6) AS HUGEINT))::HUGEINT AS fq,
+                     count(*)::BIGINT AS n_fact_rows
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+              GROUP BY 1),
+            s AS (
+              SELECT o_orderkey AS k, count(*)::BIGINT AS dup,
+                     min(CAST(round(CAST(o_totalprice AS DOUBLE) * 1e6)
+                              AS HUGEINT)) AS sq,
+                     min(CAST(o_totalprice AS DOUBLE)) AS sv
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+            j AS (
+              SELECT coalesce(f.k, s.k) AS k, f.fq, f.n_fact_rows,
+                     s.dup, s.sq, s.sv
+              FROM f FULL OUTER JOIN s ON f.k = s.k),
+            st AS (
+              SELECT *,
+                CASE
+                  WHEN dup > 1 THEN 'duplicate_summary_key'
+                  WHEN sq IS NULL AND dup IS NULL
+                    THEN 'missing_in_summary'
+                  WHEN fq IS NULL THEN 'missing_in_fact'
+                  WHEN sq IS NULL THEN 'mismatched'
+                  WHEN abs(fq - sq) <= 0
+                    OR abs(fq - sq) * 1000000::HUGEINT
+                       <= 10000::HUGEINT * abs(sq)
+                    THEN 'matched'
+                  ELSE 'mismatched' END AS status
+              FROM j)
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum((status = 'matched')::BIGINT)::BIGINT
+                     AS n_matched,
+                   sum((status = 'mismatched')::BIGINT)::BIGINT
+                     AS n_mismatched,
+                   sum((status = 'missing_in_fact')::BIGINT)::BIGINT
+                     AS n_missing_in_fact,
+                   sum((status = 'missing_in_summary')::BIGINT)::BIGINT
+                     AS n_missing_in_summary,
+                   sum((status = 'duplicate_summary_key')::BIGINT)
+                     ::BIGINT AS n_duplicate_summary_keys,
+                   sum((status = 'matched')::BIGINT) = count(*)
+                     AS passed
+            FROM st
         """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --
         "partition_balance_events": r"""
