@@ -39,6 +39,9 @@ def partition_sizes(
     partition (skew hides in NULL keys as often as in hot ones)."""
     part = list(part_cols)
     counts = df.groupBy(*part).agg(F.count(F.lit(1)).alias("n_rows"))
+    # global windows here run over the BOUNDED partition-sizes frame
+    # (cardinality of the partitioning, never rows) — the single-
+    # partition sort is by design
     w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c).asc_nulls_first() for c in part])
     tot = Window.partitionBy()
     return counts.select(

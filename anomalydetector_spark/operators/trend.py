@@ -457,7 +457,9 @@ def series_autocorr(
     the statistic is partitioning-independent and SQL-reproducible.
     Lags are ROW-index lags over ``order_col``'s sort (gap-agnostic by
     design — aggregate to a dense window grid first if calendar lags
-    must align). NULL/NaN excluded; σ = 0 (constant) → NULL acf.
+    must align; ``order_col`` must be unique per series, or the lag
+    pairing itself becomes partitioning-dependent). NULL/NaN excluded;
+    σ = 0 (constant) → NULL acf.
 
     Output: ``(*part_cols, lag, acf, n)``, one row per series × lag
     with ``lag < n``.
@@ -677,8 +679,9 @@ def seasonal_expectation(
 
     Output: ``(*part_cols, order_col, value, expected, rel_dev,
     flagged, n_history)``. Lags are ROW-INDEX lags over ``order_col``'s
-    sort (aggregate to a dense window grid first if calendar phase must
-    align across data gaps — same contract as :func:`series_autocorr`).
+    sort (unique per series, same contract as :func:`series_autocorr`;
+    aggregate to a dense window grid first if calendar phase must
+    align across data gaps).
     """
     part = list(part_cols)
     rows = series.filter(

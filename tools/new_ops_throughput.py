@@ -358,6 +358,57 @@ def batch3(rows: int = 1_000_000):
         ),
     )
 
+    from anomalydetector_spark.operators.patterns import (
+        check_value_pattern,
+        value_pattern_profile,
+    )
+    from anomalydetector_spark.operators.reconcile import (
+        reconcile_aggregate,
+    )
+
+    strs = base.select(
+        F.concat(
+            F.lit("ID-"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 1000 == 0, F.lit("!?")).otherwise(
+                F.lit("")
+            ),
+        ).alias("code")
+    ).persist()
+    strs.count()
+    bench(
+        "value_pattern_profile (collapsed)",
+        f"{N//1000}k strings",
+        lambda: value_pattern_profile(strs, "code"),
+    )
+    bench(
+        "check_value_pattern (1 allowed signature)",
+        f"{N//1000}k strings",
+        lambda: check_value_pattern(strs, "code", ["A+-9+"]).verdicts,
+    )
+    summ = (
+        base.select((F.col("doc_id") % 100000).alias("k"))
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) * 10.0).alias("total"))
+        .persist()
+    )
+    summ.count()
+    bench(
+        "reconcile_aggregate (100k keys, 10 rows/key)",
+        f"{N//1000}k fact rows",
+        lambda: reconcile_aggregate(
+            base.select(
+                (F.col("doc_id") % 100000).alias("k"),
+                F.lit(10.0).alias("v"),
+            ),
+            summ,
+            "k",
+            "v",
+            "total",
+            rel_tolerance=0.01,
+        ),
+    )
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "batch3":
