@@ -377,6 +377,44 @@ def cmd_check_table(args, spark: SparkSession) -> None:
         _sys.exit(3)
 
 
+def cmd_reconcile(args, spark: SparkSession) -> None:
+    """Cross-table aggregate reconciliation (operators/reconcile):
+    per-key sum(fact_value) vs the summary's value, statuses +
+    one-row verdict to parquet, nonzero exit unless every key
+    matched."""
+    import sys as _sys
+
+    from anomalydetector_spark.operators.reconcile import (
+        reconcile_aggregate,
+        reconcile_verdict,
+    )
+    from anomalydetector_spark.sources.tables import read_table
+
+    fact = read_table(spark, args.fact)
+    summary = read_table(spark, args.summary)
+    rec = reconcile_aggregate(
+        fact, summary, args.key, args.fact_value, args.summary_value,
+        rel_tolerance=args.rel_tolerance,
+        abs_tolerance=args.abs_tolerance,
+    ).persist()
+    out = args.output_path.rstrip("/")
+    rec.write.mode("overwrite").parquet(f"{out}/reconcile")
+    verdict = reconcile_verdict(rec)
+    verdict.write.mode("overwrite").parquet(f"{out}/verdict")
+    v = verdict.collect()[0]
+    print(
+        f"{v.n_keys} key(s): {v.n_matched} matched, "
+        f"{v.n_mismatched} mismatched, "
+        f"{v.n_missing_in_fact} missing in fact, "
+        f"{v.n_missing_in_summary} missing in summary, "
+        f"{v.n_duplicate_summary_keys} duplicate summary key(s); "
+        f"outputs under {out}/"
+    )
+    rec.unpersist()
+    if not v.passed and not args.no_fail_exit:
+        _sys.exit(3)
+
+
 def cmd_incremental_validate(args, spark: SparkSession) -> None:
     """Incremental re-validation (incremental.py): digest both snapshots
     at partition granularity, validate ONLY added ∪ changed partitions of
@@ -1550,6 +1588,22 @@ def main(argv=None):
     ct.add_argument("--no-fail-exit", action="store_true",
                     help="always exit 0 (report-only mode)")
 
+    rc = sub.add_parser(
+        "reconcile",
+        help="cross-table aggregate reconciliation: per-key "
+             "sum(fact_value) vs a summary table's value, with "
+             "tolerance; nonzero exit unless every key matched",
+    )
+    rc.add_argument("--fact", required=True)
+    rc.add_argument("--summary", required=True)
+    rc.add_argument("--key", required=True)
+    rc.add_argument("--fact-value", required=True)
+    rc.add_argument("--summary-value", required=True)
+    rc.add_argument("--rel-tolerance", type=float, default=0.0)
+    rc.add_argument("--abs-tolerance", type=float, default=0.0)
+    rc.add_argument("--output-path", required=True)
+    rc.add_argument("--no-fail-exit", action="store_true")
+
     iv = sub.add_parser(
         "incremental-validate",
         help="validate only the partitions that changed between two "
@@ -1825,6 +1879,8 @@ def main(argv=None):
             cmd_snapshot_diff(args, spark)
         elif args.cmd == "check-table":
             cmd_check_table(args, spark)
+        elif args.cmd == "reconcile":
+            cmd_reconcile(args, spark)
         elif args.cmd == "incremental-validate":
             cmd_incremental_validate(args, spark)
         elif args.cmd == "evaluate":

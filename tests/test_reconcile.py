@@ -111,3 +111,34 @@ def test_partition_invariance(spark):
     assert [(r.k, r.fact_sum, r.diff, r.status) for r in a] == [
         (r.k, r.fact_sum, r.diff, r.status) for r in b
     ]
+
+
+def test_reconcile_cli_end_to_end(spark, tmp_path):
+    import subprocess
+    import sys
+
+    root = str(tmp_path)
+    fact, summary = _frames(spark)
+    fact.write.parquet(f"{root}/fact")
+    summary.write.parquet(f"{root}/summary")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "anomalydetector_spark.cli",
+            "reconcile",
+            "--fact", f"{root}/fact",
+            "--summary", f"{root}/summary",
+            "--key", "k", "--fact-value", "v",
+            "--summary-value", "total",
+            "--output-path", f"{root}/out",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+    assert "2 matched" in proc.stdout and "1 mismatched" in proc.stdout
+    rec = {
+        r.k: r.status
+        for r in spark.read.parquet(f"{root}/out/reconcile").collect()
+    }
+    assert rec[6] == "duplicate_summary_key"
+    v = spark.read.parquet(f"{root}/out/verdict").collect()[0]
+    assert v.passed is False and v.n_keys == 6
