@@ -3132,6 +3132,27 @@ def q_reconcile_verdict(spark, sf_dir):
     )
 
 
+def q_spearman_window(spark, sf_dir):
+    """Windowed Spearman series (operators/profile.
+    spearman_correlations with the 7-day window as partition_by) —
+    the MONOTONE twin of window_corr_lineitem: rank-based coupling per
+    window survives outliers and nonlinearity that bend Pearson. Same
+    cube-ranked integer machinery, one series row per window."""
+    from anomalydetector_spark.operators.profile import (
+        spearman_correlations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_w",
+        F.window(
+            F.col("l_shipdate").cast("timestamp"), "7 days"
+        )["start"],
+    )
+    return spearman_correlations(
+        li, [("l_quantity", "l_extendedprice")], partition_by=F.col("_w")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3294,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_check_customer": q_pattern_check,
         "reconcile_orders": q_reconcile,
         "reconcile_verdict_orders": q_reconcile_verdict,
+        "spearman_window_lineitem": q_spearman_window,
     }
 
 
@@ -7710,6 +7732,69 @@ def oracle_sql() -> dict[str, str]:
                    sum((status = 'matched')::BIGINT) = count(*)
                      AS passed
             FROM st
+        """,
+        "spearman_window_lineitem": r"""
+            WITH ok AS (
+              SELECT CAST(CAST(to_timestamp(
+                       floor(epoch(CAST(l_shipdate AS TIMESTAMP))
+                             / 604800) * 604800) AS TIMESTAMP)
+                       AS VARCHAR) AS partition_key,
+                     CAST(l_quantity AS DOUBLE) AS a,
+                     CAST(l_extendedprice AS DOUBLE) AS b
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND NOT isnan(CAST(l_quantity AS DOUBLE))
+                AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+            pair_cube AS (
+              SELECT partition_key, a, b, count(*)::HUGEINT AS c
+              FROM ok GROUP BY 1, 2, 3),
+            ma AS (
+              SELECT partition_key, a, sum(c)::HUGEINT AS cnt
+              FROM pair_cube GROUP BY 1, 2),
+            ra AS (
+              SELECT partition_key, a,
+                     (2 * (sum(cnt) OVER (PARTITION BY partition_key
+                             ORDER BY a ROWS UNBOUNDED PRECEDING)
+                           - cnt) + cnt + 1)::HUGEINT AS rank2
+              FROM ma),
+            mb AS (
+              SELECT partition_key, b, sum(c)::HUGEINT AS cnt
+              FROM pair_cube GROUP BY 1, 2),
+            rb AS (
+              SELECT partition_key, b,
+                     (2 * (sum(cnt) OVER (PARTITION BY partition_key
+                             ORDER BY b ROWS UNBOUNDED PRECEDING)
+                           - cnt) + cnt + 1)::HUGEINT AS rank2
+              FROM mb),
+            j AS (
+              SELECT p.partition_key, p.c,
+                     ra.rank2 AS xa, rb.rank2 AS xb
+              FROM pair_cube p
+              JOIN ra ON ra.partition_key = p.partition_key
+                     AND ra.a = p.a
+              JOIN rb ON rb.partition_key = p.partition_key
+                     AND rb.b = p.b),
+            s AS (
+              SELECT partition_key, sum(c)::HUGEINT AS n,
+                     sum(c * xa)::HUGEINT AS sa,
+                     sum(c * xb)::HUGEINT AS sb,
+                     sum(c * xa * xa)::HUGEINT AS sa2,
+                     sum(c * xb * xb)::HUGEINT AS sb2,
+                     sum(c * xa * xb)::HUGEINT AS sab
+              FROM j GROUP BY 1)
+            SELECT partition_key,
+                   'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   CASE WHEN n * sa2 - sa * sa > 0
+                         AND n * sb2 - sb * sb > 0 THEN
+                     CAST(CAST(n * sab - sa * sb AS VARCHAR) AS DOUBLE)
+                       / (sqrt(CAST(CAST(n * sa2 - sa * sa AS VARCHAR)
+                                    AS DOUBLE))
+                          * sqrt(CAST(CAST(n * sb2 - sb * sb
+                                           AS VARCHAR) AS DOUBLE)))
+                   END AS spearman,
+                   CAST(n AS BIGINT) AS n
+            FROM s
         """,
         # ---- cardinality / skew profiling (operators/cardinality.py) --
         "partition_balance_events": r"""
