@@ -39,6 +39,12 @@ from anomalydetector_spark.streaming.seasonal_stream import (  # noqa: F401
     SEASONAL_STATE_SCHEMA,
     seasonal_expectation_stream,
 )
+from anomalydetector_spark.streaming.churn_stream import (  # noqa: F401
+    CHURN_SCHEMA,
+    CHURN_STATE_SCHEMA,
+    streaming_window_topk,
+    topk_churn_stream,
+)
 from anomalydetector_spark.streaming.drift_stream import (  # noqa: F401
     SCORED_SCHEMA,
     STAT_STATE_SCHEMA,

@@ -443,3 +443,117 @@ def test_seasonal_stream_matches_batch_bit_for_bit(
         assert (g.value, g.expected, g.rel_dev, g.flagged, g.n_history) == (
             e.value, e.expected, e.rel_dev, e.flagged, e.n_history,
         ), key
+
+
+def test_topk_churn_stream_matches_batch(spark, tmp_path):
+    """Streaming top-k churn equals the batch operator value-for-value
+    on every emitted window (same deterministic tie-break, exact
+    integers, one division)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from anomalydetector_spark.operators.divergence import topk_churn
+    from anomalydetector_spark.streaming import (
+        streaming_window_topk,
+        topk_churn_stream,
+    )
+
+    root = str(tmp_path)
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    cats = ["a", "b", "c", "d", "e"]
+    rnd = random.Random(29)
+    rows = []
+    for day in range(10):
+        weights = [10, 8, 6, 1, 1] if day < 5 else [1, 1, 6, 8, 10]
+        pool = [c for c, w in zip(cats, weights) for _ in range(w)]
+        for i in range(120):
+            rows.append(
+                (T0 + dt.timedelta(days=day, seconds=i * 600),
+                 rnd.choice(pool))
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, cat string").cache()
+    df.count()
+    day_col = F.floor(
+        (F.col("ts").cast("long") - F.lit(int(T0.timestamp())))
+        / F.lit(86400)
+    )
+    for i in range(4):
+        chunk = df.filter(
+            (day_col >= i * 2.5) & (day_col < (i + 1) * 2.5)
+        )
+        tmp = f"{root}/c{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{in_dir}/{i:04d}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, cat string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    topk = streaming_window_topk(
+        stream, "cat", cats, k=3, window_duration="1 day",
+        watermark_delay="1 day",
+    )
+    tk_dir = f"{root}/topk"
+    q1 = (
+        topk.writeStream.format("parquet")
+        .option("path", tk_dir)
+        .option("checkpointLocation", f"{root}/tk_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+    tstream = (
+        spark.readStream.schema(
+            "partition_key string, window_start timestamp, "
+            "topk array<string>"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tk_dir)
+    )
+    q2 = (
+        topk_churn_stream(tstream, window_duration="1 day")
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/churn_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    got = {
+        r.window_start: (
+            r.jaccard, r.n_kept, r.n_new, r.n_dropped, r.k_cur, r.k_prev
+        )
+        for r in spark.read.parquet(f"{root}/out").collect()
+    }
+    counts = (
+        df.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "cat",
+            "n",
+        )
+    )
+    exp = {
+        r.window_start: (
+            r.jaccard, r.n_kept, r.n_new, r.n_dropped, r.k_cur, r.k_prev
+        )
+        for r in topk_churn(counts, k=3).collect()
+    }
+    assert len(got) >= 7  # all but possibly the trailing window
+    for w, vals in got.items():
+        assert vals == exp[w], (w, vals, exp[w])
+    # the regime flip shows: some window has churn (jaccard < 1)
+    assert any(v[0] < 1.0 for v in got.values())
+    df.unpersist()
