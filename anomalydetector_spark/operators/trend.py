@@ -740,3 +740,35 @@ def seasonal_expectation(
         flagged.alias("flagged"),
         F.coalesce(F.col("_m"), F.lit(0)).cast("int").alias("n_history"),
     )
+
+
+def detect_season_lag(
+    series: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 14,
+    min_acf: float = 0.3,
+) -> int | None:
+    """Auto-detect a single seasonal period for
+    :func:`seasonal_expectation`: the GLOBAL dominant positive-ACF lag
+    — the lag winning the most per-series :func:`dominant_lag` votes
+    (ties: smaller lag), provided the winners' acf clears ``min_acf``
+    (median over voting series). Returns None when no series shows a
+    positive-ACF lag at or above the floor — callers fall back to a
+    domain default. The collect is over the bounded per-series
+    dominant-lag frame (one row per series)."""
+    best = dominant_lag(
+        series_autocorr(series, part_cols, order_col, value_col, max_lag),
+        part_cols,
+    ).collect()
+    votes: dict[int, list] = {}
+    for r in best:
+        votes.setdefault(int(r.lag), []).append(float(r.acf))
+    if not votes:
+        return None
+    # winner by vote count, ties to the smaller lag
+    lag = min(votes, key=lambda l: (-len(votes[l]), l))
+    acfs = sorted(votes[lag])
+    med = acfs[(len(acfs) + 1) // 2 - 1]
+    return lag if med >= min_acf else None

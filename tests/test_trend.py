@@ -368,3 +368,33 @@ def test_seasonal_expectation_zero_history_and_invariance(spark):
     assert [(r.expected, r.rel_dev, r.flagged) for r in a] == [
         (r.expected, r.rel_dev, r.flagged) for r in b
     ]
+
+
+def test_detect_season_lag(spark):
+    from anomalydetector_spark.operators.trend import (
+        detect_season_lag,
+        seasonal_expectation,
+    )
+
+    # three series, all period 7 with different phases + noise
+    rnd = random.Random(47)
+    rows = []
+    for s in range(3):
+        for t in range(56):
+            v = 50.0 + (30.0 if (t + s) % 7 == 0 else 0.0)
+            rows.append((f"s{s}", t, v + rnd.uniform(-1, 1)))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    lag = detect_season_lag(df, ["k"], "t", "v", max_lag=10)
+    assert lag == 7
+    # the detected lag drives the check end to end
+    got = seasonal_expectation(
+        df, ["k"], "t", "v", season_lag=lag, n_seasons=4, tolerance=0.3
+    )
+    assert got.filter("flagged").count() == 0  # clean periodic data
+
+    # white noise: no credible period
+    noise = spark.createDataFrame(
+        [("n", t, rnd.uniform(0, 1)) for t in range(60)],
+        "k string, t int, v double",
+    )
+    assert detect_season_lag(noise, ["k"], "t", "v") is None
