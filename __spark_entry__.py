@@ -3165,6 +3165,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "multimodal_decode": q_multimodal_decode,
+        "semdedup": q_semdedup,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_clusters": q_embedding_clusters,
+        "embedding_projection": q_embedding_projection,
+        "embedding_topk_projected": q_embedding_topk_projected,
+        "token_counts": q_token_counts,
+        "doc_chunks": q_doc_chunks,
+        "vocab_topk": q_vocab_topk,
+        "vocab_doc_freq": q_vocab_doc_freq,
+        "bpe_merges": q_bpe_merges,
+        "bpe_subwords": q_bpe_subwords,
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
+        "fineweb_filter": q_fineweb_filter,
+        "ccnet_buckets": q_ccnet_buckets,
+        "lm_quality": q_lm_quality,
+        "lm_bigram_quality": q_lm_bigram_quality,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "c4_span_dedup": q_c4_span_dedup,
+        "scrub_boilerplate": q_scrub_boilerplate,
+        "boilerplate_lines": q_boilerplate_lines,
+        "pii_redaction": q_pii_redaction,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "domain_blocklist": q_domain_blocklist,
+        "lang_segments": q_lang_segments,
+        "lang_para_filter": q_lang_para_filter,
+        "span_removal": q_span_removal,
+        "unicode_nfc": q_unicode_nfc,
+        "quality_profile": q_quality_profile,
+        "lang_id_agreement": q_lang_id_agreement,
+        "fingerprint": q_fingerprint,
+        "repetition_profile": q_repetition_profile,
+        "asof_join_events": q_asof_join_events,
+        "asof_join_bucketed_events": q_asof_join_bucketed_events,
+        "host_pagerank": q_host_pagerank,
+        "host_degrees": q_host_degrees,
+        "trustrank": q_trustrank,
+        "outlink_hosts": q_outlink_hosts,
+        "cusum_daily": q_cusum_daily,
+        "theil_sen_daily": q_theil_sen,
+        "series_acf_daily": q_series_acf,
+        "benford_verdicts": q_benford,
+        "topk_churn_events": q_topk_churn,
+        "ewma_daily": q_ewma_daily,
+        "srcnn_train_windows": q_srcnn_train_windows,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
+        "session_stats_bucketed": q_session_stats_bucketed,
+        "pmi_collocations": q_pmi_collocations,
+        "session_funnel": q_session_funnel,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
+        "mad_outliers_events": q_mad_outliers_events,
+        "zorder_events": q_zorder_events,
+        "snapshot_diff": q_snapshot_diff,
+        "lang_divergence": q_lang_divergence,
+        "numeric_drift": q_numeric_drift,
+        "ks_drift": q_ks_drift,
+        "psi_drift": q_psi_drift,
+        "weighted_sample": q_weighted_sample,
+        "token_shards": q_token_shards,
+        "column_entropy": q_column_entropy,
+        "ranking_metrics": q_ranking_metrics,
+        "freshness_verdicts": q_freshness,
+        "json_schema_verdicts": q_json_schema,
+        "json_key_profile": q_json_profile,
+        "equidepth_drift": q_equidepth_drift,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "growth_accounting": q_growth_accounting,
+        "mutual_info": q_mutual_info,
+        "partition_churn": q_partition_churn,
+        "incremental_rows": q_incremental_rows,
+        "bm25": q_bm25,
+        "nb_classify": q_nb_classify,
+        "nb_confusion": q_nb_confusion,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bloom_frontier": q_bloom_frontier,
+        "sr_drift_events": q_sr_drift_events,
+        "sr_scores_events": q_sr_scores_events,
+        "srcnn_features_events": q_srcnn_features_events,
+        "spearman_corr": q_spearman,
+        "benford_digits": q_benford_digits,
+        "divergence_attribution_events": q_divergence_attribution,
+        "partition_balance_events": q_partition_balance,
+        "partition_sizes_events": q_partition_sizes,
+        "join_fanout_orders": q_join_fanout,
+        "fanout_histogram_lineitem": q_fanout_histogram,
+        "seasonal_volume_events": q_seasonal_volume,
+        "cusum_reference_daily": q_cusum_reference_daily,
+        "window_corr_lineitem": q_window_corr,
+        "pattern_profile_customer": q_pattern_profile,
+        "pattern_check_customer": q_pattern_check,
+        "reconcile_orders": q_reconcile,
+        "reconcile_verdict_orders": q_reconcile_verdict,
+        "spearman_window_lineitem": q_spearman_window,
         "stats_pass_events": q_stats_pass_events,
         "stats_cube_events": q_stats_cube_events,
         "min_rows_verdict": q_min_rows_verdict,
@@ -3215,107 +3316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_neardup": q_decontaminate_neardup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "multimodal_decode": q_multimodal_decode,
-        "srcnn_train_windows": q_srcnn_train_windows,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "token_counts": q_token_counts,
-        "doc_chunks": q_doc_chunks,
-        "vocab_topk": q_vocab_topk,
-        "vocab_doc_freq": q_vocab_doc_freq,
-        "bpe_merges": q_bpe_merges,
-        "bpe_subwords": q_bpe_subwords,
-        "quality_profile": q_quality_profile,
-        "lang_id_agreement": q_lang_id_agreement,
-        "fingerprint": q_fingerprint,
-        "repetition_profile": q_repetition_profile,
-        "boilerplate_lines": q_boilerplate_lines,
-        "scrub_boilerplate": q_scrub_boilerplate,
-        "pii_redaction": q_pii_redaction,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "domain_blocklist": q_domain_blocklist,
-        "asof_join_events": q_asof_join_events,
-        "asof_join_bucketed_events": q_asof_join_bucketed_events,
-        "sessionize_events": q_sessionize_events,
-        "session_stats_events": q_session_stats_events,
-        "session_stats_bucketed": q_session_stats_bucketed,
-        "pmi_collocations": q_pmi_collocations,
-        "session_funnel": q_session_funnel,
-        "funnel_counts": q_funnel_counts,
-        "cohort_retention": q_cohort_retention,
-        "mad_outliers_events": q_mad_outliers_events,
-        "host_pagerank": q_host_pagerank,
-        "host_degrees": q_host_degrees,
-        "outlink_hosts": q_outlink_hosts,
-        "trustrank": q_trustrank,
-        "zorder_events": q_zorder_events,
-        "snapshot_diff": q_snapshot_diff,
-        "lang_divergence": q_lang_divergence,
-        "numeric_drift": q_numeric_drift,
-        "ks_drift": q_ks_drift,
-        "psi_drift": q_psi_drift,
-        "weighted_sample": q_weighted_sample,
-        "token_shards": q_token_shards,
-        "column_entropy": q_column_entropy,
-        "ranking_metrics": q_ranking_metrics,
-        "freshness_verdicts": q_freshness,
-        "json_schema_verdicts": q_json_schema,
-        "json_key_profile": q_json_profile,
-        "equidepth_drift": q_equidepth_drift,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "growth_accounting": q_growth_accounting,
-        "mutual_info": q_mutual_info,
-        "partition_churn": q_partition_churn,
-        "incremental_rows": q_incremental_rows,
-        "gopher_filter": q_gopher_filter,
-        "c4_filter": q_c4_filter,
-        "bm25": q_bm25,
-        "fineweb_filter": q_fineweb_filter,
-        "c4_span_dedup": q_c4_span_dedup,
-        "lm_quality": q_lm_quality,
-        "lm_bigram_quality": q_lm_bigram_quality,
-        "ccnet_buckets": q_ccnet_buckets,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "nb_classify": q_nb_classify,
-        "nb_confusion": q_nb_confusion,
-        "tfidf_keywords": q_tfidf_keywords,
-        "bloom_frontier": q_bloom_frontier,
-        "lang_segments": q_lang_segments,
-        "lang_para_filter": q_lang_para_filter,
-        "embedding_projection": q_embedding_projection,
-        "embedding_topk_projected": q_embedding_topk_projected,
-        "unicode_nfc": q_unicode_nfc,
-        "semdedup": q_semdedup,
-        "embedding_clusters": q_embedding_clusters,
-        "span_removal": q_span_removal,
-        "sr_drift_events": q_sr_drift_events,
-        "sr_scores_events": q_sr_scores_events,
-        "srcnn_features_events": q_srcnn_features_events,
-        "cusum_daily": q_cusum_daily,
-        "theil_sen_daily": q_theil_sen,
-        "series_acf_daily": q_series_acf,
-        "spearman_corr": q_spearman,
-        "benford_verdicts": q_benford,
-        "benford_digits": q_benford_digits,
-        "topk_churn_events": q_topk_churn,
-        "divergence_attribution_events": q_divergence_attribution,
-        "partition_balance_events": q_partition_balance,
-        "partition_sizes_events": q_partition_sizes,
-        "join_fanout_orders": q_join_fanout,
-        "fanout_histogram_lineitem": q_fanout_histogram,
-        "ewma_daily": q_ewma_daily,
-        "seasonal_volume_events": q_seasonal_volume,
-        "cusum_reference_daily": q_cusum_reference_daily,
-        "window_corr_lineitem": q_window_corr,
-        "pattern_profile_customer": q_pattern_profile,
-        "pattern_check_customer": q_pattern_check,
-        "reconcile_orders": q_reconcile,
-        "reconcile_verdict_orders": q_reconcile_verdict,
-        "spearman_window_lineitem": q_spearman_window,
     }
 
 
