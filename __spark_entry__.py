@@ -3341,21 +3341,26 @@ def _benford_literals():
     source so the two sides cannot drift."""
     from anomalydetector_spark.operators.conformity import (
         BENFORD_MICRO,
+        _POW_LO,
         _POWERS,
     )
 
     pows = "[" + ", ".join(repr(x) for x in _POWERS) + "]"
+    # 1-based lookup offset: 10^p == list_extract(pows, p + off)
+    off = 1 - _POW_LO
     pm_values = ", ".join(
         f"({d}, {BENFORD_MICRO[d]})" for d in range(1, 10)
     )
-    return pows, pm_values
+    return pows, pm_values, off
 
 
 def _benford_digit_chain(value_expr: str, extra_cols: str = "") -> str:
     """DuckDB CTE chain computing the corrected-exponent first digit of
     ``value_expr`` — mirrors conformity.first_digit expression-for-
-    expression (literal power table, one-step log10 correction)."""
-    pows, _ = _benford_literals()
+    expression (literal power table, one-step log10 correction); the
+    lookup offset is derived from the operator's _POW_LO so the two
+    sides cannot drift when the padding decades change."""
+    pows, _, off = _benford_literals()
     pre = f"{extra_cols}, " if extra_cols else ""
     return f"""
         vals AS (
@@ -3369,13 +3374,13 @@ def _benford_digit_chain(value_expr: str, extra_cols: str = "") -> str:
           SELECT *, CAST(floor(log10(v)) AS INT) AS pg FROM vals),
         cd AS (
           SELECT *, CASE
-              WHEN list_extract({pows}, pg + 32) <= v THEN pg + 1
-              WHEN list_extract({pows}, pg + 31) > v THEN pg - 1
+              WHEN list_extract({pows}, pg + {off + 1}) <= v THEN pg + 1
+              WHEN list_extract({pows}, pg + {off}) > v THEN pg - 1
               ELSE pg END AS p1
           FROM g),
         dig AS (
           SELECT {pre}least(greatest(
-                   CAST(floor(v / list_extract({pows}, p1 + 31)) AS INT),
+                   CAST(floor(v / list_extract({pows}, p1 + {off})) AS INT),
                    1), 9) AS digit
           FROM cd)
     """
@@ -7479,14 +7484,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN h.m IS NOT NULL THEN
                      CAST(h.hs AS DOUBLE) / CAST(h.m AS DOUBLE) / 1e6
                    END AS expected,
-                   CASE WHEN h.hs > 0 THEN
+                   CASE WHEN h.hs <> 0 THEN
                      CAST(h.m * q.vq - h.hs AS DOUBLE)
-                       / CAST(h.hs AS DOUBLE)
+                       / CAST(abs(h.hs) AS DOUBLE)
                    END AS rel_dev,
                    CASE WHEN h.m IS NULL THEN false
-                        WHEN h.hs > 0 THEN
+                        WHEN h.hs <> 0 THEN
                           abs(CAST(h.m * q.vq - h.hs AS DOUBLE)
-                              / CAST(h.hs AS DOUBLE)) > 0.5
+                              / CAST(abs(h.hs) AS DOUBLE)) > 0.5
                         ELSE q.vq <> 0 END AS flagged,
                    coalesce(h.m, 0)::INT AS n_history
             FROM q LEFT JOIN hist h
@@ -7992,10 +7997,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE rk = floor((m + 1) / 2)),
             cnt AS (
               SELECT event_type, count(*)::BIGINT AS n FROM r
+              GROUP BY 1),
+            pcnt AS (
+              SELECT event_type, count(*)::BIGINT AS n_pairs FROM pairs
               GROUP BY 1)
-            SELECT i.event_type, i.slope, i.intercept, c.n,
-                   CAST(c.n * (c.n - 1) / 2 AS BIGINT) AS n_pairs_upper
+            SELECT i.event_type, i.slope, i.intercept, c.n, p.n_pairs
             FROM inter i JOIN cnt c USING (event_type)
+                         JOIN pcnt p USING (event_type)
         """,
         "series_acf_daily": r"""
             WITH s AS (

@@ -43,10 +43,20 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
 
-# exact doubles 10^-30 .. 10^30; repr() round-trips bit-exactly into
-# both Spark literals and DuckDB SQL text
-_POW_LO = -30
-_POWERS = [float(10.0**k) for k in range(_POW_LO, 31)]
+# exact doubles 10^-31 .. 10^31; repr() round-trips bit-exactly into
+# both Spark literals and DuckDB SQL text.  The table spans ONE DECADE
+# beyond the documented [1e-30, 1e30) value domain on each side: the
+# uncorrected ``floor(log10(v))`` guess can land one past the domain
+# edge (log10 rounding within a few ulps of an exact decade), and under
+# Spark 4's ANSI mode an out-of-range ``element_at`` THROWS rather than
+# returning NULL (index 0 throws in every mode) — the padding decades
+# keep every speculative lookup of the when() correction in-table, and
+# the ok-filter below still excludes the padded decades from results.
+_POW_LO = -31
+_POWERS = [float(10.0**k) for k in range(_POW_LO, 32)]
+# documented value domain: magnitudes in [1e-30, 1e30)
+_DOMAIN_LO = 1e-30
+_DOMAIN_HI = 1e30
 
 # micro-probability integer literals: round(log10(1 + 1/d) * 1e8)
 BENFORD_MICRO = {
@@ -62,8 +72,8 @@ def first_digit(col: Column) -> Column:
     ok = (
         col.isNotNull()
         & ~F.isnan(col.cast("double"))
-        & (v >= F.lit(_POWERS[0]))
-        & (v < F.lit(_POWERS[-1]))
+        & (v >= F.lit(_DOMAIN_LO))
+        & (v < F.lit(_DOMAIN_HI))
     )
     p_guess = F.floor(F.log10(v)).cast("int")
     pow_arr = F.array(*[F.lit(x) for x in _POWERS])

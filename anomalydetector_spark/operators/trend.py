@@ -35,11 +35,13 @@ CUSUM closed form (why no recursion is needed): Page's
 — a cumulative sum plus a running min, both plain window aggregates
 over exact integers (an order-independent SET sum per prefix, so no
 float-accumulation-order hazard exists at any partitioning). The
-argmin of the running min is the changepoint estimate (the last time
-the walk touched its floor = the last in-control instant); it is
-carried through the same window via an order-preserving integer
-encoding ``C·2²⁰ + rownum`` (valid for series up to 2²⁰ windows —
-far above any real windows-per-series cardinality).
+argmin of the running min is the changepoint estimate — on ties the
+FIRST time the walk reached its floor (the ``min`` over the encoding
+``C·2²⁰ + rownum`` selects the smallest rownum among equal ``C``, and
+the streaming twin's strict ``<`` update agrees); it is carried
+through the same window via that order-preserving integer encoding
+(valid for series up to 2²⁰ windows — far above any real
+windows-per-series cardinality).
 
 Scale shape: inputs are POST-aggregation stat series (windows ×
 partitions rows, independent of raw row count). One shuffle keys the
@@ -136,8 +138,10 @@ def series_cusum(
 
     ``s_pos``/``s_neg`` are the one-sided walks (≥0, σ units);
     ``cp_pos``/``cp_neg`` are the changepoint estimates — the value of
-    ``order_col`` at the last in-control instant BEFORE the shift (the
-    running-min argmin), NULL while the walk has never left zero. A
+    ``order_col`` at the running-min argmin, i.e. the FIRST instant the
+    walk touched its floor before the shift (ties resolve to the
+    earliest index; the streaming twin's strict ``<`` update matches),
+    NULL while the walk has never left zero. A
     constant series (σ = 0, or reference σ ≤ 0/NULL) yields NULL
     z/walks and ``alarm = false``.
     """
@@ -392,9 +396,17 @@ def theil_sen_trend(
     ranked = pairs.withColumn(
         "_r", F.row_number().over(wp.orderBy("_slope", "_i", "_j"))
     ).withColumn("_m", F.count(F.lit(1)).over(wp))
+    # _m on the median row is the count of pairs ACTUALLY ranked —
+    # duplicate-x (vertical-slope) pairs were already excluded by the
+    # join condition, so this is the true pair count, not the
+    # n·(n−1)/2 upper bound
     slopes = ranked.filter(
         F.col("_r") == F.floor((F.col("_m") + 1) / 2)
-    ).select(*part, F.col("_slope").alias("slope"))
+    ).select(
+        *part,
+        F.col("_slope").alias("slope"),
+        F.col("_m").cast("long").alias("n_pairs"),
+    )
 
     joined = (
         rows.join(F.broadcast(slopes), part)
@@ -405,6 +417,7 @@ def theil_sen_trend(
         *part,
         "_rn",
         "slope",
+        "n_pairs",
         (F.col("_v") - F.col("slope") * F.col("_x")).alias("_b"),
     )
     ranked_b = resid.withColumn(
@@ -412,7 +425,7 @@ def theil_sen_trend(
     ).withColumn("_m", F.count(F.lit(1)).over(wp))
     inter = ranked_b.filter(
         F.col("_r") == F.floor((F.col("_m") + 1) / 2)
-    ).select(*part, "slope", F.col("_b").alias("intercept"))
+    ).select(*part, "slope", F.col("_b").alias("intercept"), "n_pairs")
 
     counts = rows.groupBy(*part).agg(
         F.count(F.lit(1)).alias("n"),
@@ -427,9 +440,7 @@ def theil_sen_trend(
         "slope",
         "intercept",
         "n",
-        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
-            "n_pairs_upper"
-        ),
+        "n_pairs",
     )
 
 
@@ -669,9 +680,11 @@ def seasonal_expectation(
 
     Exact arithmetic: with micro-quantized values ``vq`` and seasonal
     history sum ``s`` over ``m ≤ n_seasons`` lags,
-    ``rel_dev = (m·vq − s)/s`` — an exact-integer numerator and ONE
+    ``rel_dev = (m·vq − s)/|s|`` — an exact-integer numerator and ONE
     double division, so the flag is partitioning-independent and
-    SQL-reproducible. Rows with no seasonal history (``rn ≤
+    SQL-reproducible. The ``|s|`` denominator makes the deviation
+    well-defined for series containing negative values (generic stat
+    series, not just volumes). Rows with no seasonal history (``rn ≤
     season_lag``) emit NULL expected/rel_dev and ``flagged = false``;
     an all-zero history (``s = 0``) flags any non-zero value (expected
     0 means any volume is infinite relative deviation). NULL/NaN values
@@ -719,8 +732,14 @@ def seasonal_expectation(
     joined = rows.join(hist, [*part, "_rn"], "left")
     m_dec = F.col("_m").cast(_DEC)
     num = m_dec * F.col("_vq") - F.col("_s")
+    # relative deviation against |s| so series with NEGATIVE values
+    # (generic stat series, not just volumes) get a well-defined
+    # deviation instead of a NULL that used to fall through to the
+    # flag-any-nonzero branch; s = 0 keeps the documented
+    # expected-zero semantics (any non-zero value flags)
     rel = F.when(
-        F.col("_s") > 0, num.cast("double") / F.col("_s").cast("double")
+        F.col("_s") != 0,
+        num.cast("double") / F.abs(F.col("_s")).cast("double"),
     )
     expected = F.when(
         F.col("_m").isNotNull(),
@@ -729,7 +748,7 @@ def seasonal_expectation(
         / F.lit(1e6),
     )
     flagged = F.when(F.col("_m").isNull(), F.lit(False)).when(
-        F.col("_s") > 0, F.abs(rel) > F.lit(tolerance)
+        F.col("_s") != 0, F.abs(rel) > F.lit(tolerance)
     ).otherwise(F.col("_vq") != 0)
     return joined.select(
         *part,

@@ -94,7 +94,8 @@ def _half_up_micro(x: float) -> int:
 
 
 def _make_walk_fn(
-    refs: dict, k: float, h: float, dur_us: int, buffer_windows: int
+    refs: dict, k: float, h: float, dur_us: int, buffer_windows: int,
+    trust_first: bool = False,
 ):
     kq = round(k * 1e6)
     hq = round(h * 1e6)
@@ -135,7 +136,7 @@ def _make_walk_fn(
 
         out_rows = []
         consumed, last_ts = ordered_drain(
-            buf, last_ts, dur_us, buffer_windows
+            buf, last_ts, dur_us, buffer_windows, trust_first
         )
         for t0, v in consumed:
             if degenerate:
@@ -213,6 +214,7 @@ def cusum_walk_stream(
     h: float = 5.0,
     window_duration: str = "1 day",
     buffer_windows: int = 8,
+    trust_first: bool = False,
 ) -> DataFrame:
     """Walk a STREAM of finalized stat windows ``(partition_key,
     stat_name, window_start, value)`` through the two-sided CUSUM with
@@ -228,6 +230,15 @@ def cusum_walk_stream(
     absent from the reference emits NULL z/walks with ``alarm=false``
     (the batch inner-join drops them instead — the stream surfaces them
     loudly; filter on ``z IS NOT NULL`` for strict parity).
+
+    COLD-START HORIZON: the ordered-drain consume rule has no anchor
+    before the first consumed window, so a fresh series emits nothing
+    until MORE than ``buffer_windows`` windows (default 8) have
+    accumulated — a series with ≤ 8 total windows never emits, and the
+    first emission lags ~9 window durations. Pass ``trust_first=True``
+    for sources known to deliver windows in order: the first window
+    seen anchors the walk immediately (an even-earlier window arriving
+    later is then dropped).
     """
     ref_rows = reference.select(
         "partition_key", "stat_name", "mu", "sigma"
@@ -239,7 +250,7 @@ def cusum_walk_stream(
     return stat_series_stream.groupBy(
         "partition_key", "stat_name"
     ).applyInPandasWithState(
-        _make_walk_fn(refs, k, h, dur, buffer_windows),
+        _make_walk_fn(refs, k, h, dur, buffer_windows, trust_first),
         outputStructType=CUSUM_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,
         outputMode="append",

@@ -59,7 +59,8 @@ EWMA_SCHEMA = (
 
 
 def _make_ewma_fn(
-    refs: dict, lam: float, L: float, dur_us: int, buffer_windows: int
+    refs: dict, lam: float, L: float, dur_us: int, buffer_windows: int,
+    trust_first: bool = False,
 ):
     q = 1.0 - lam
     q2 = q * q
@@ -98,7 +99,7 @@ def _make_ewma_fn(
 
         out_rows = []
         consumed, last_ts = ordered_drain(
-            buf, last_ts, dur_us, buffer_windows
+            buf, last_ts, dur_us, buffer_windows, trust_first
         )
         for t0, v in consumed:
             if degenerate:
@@ -151,6 +152,7 @@ def ewma_stream(
     L: float = 3.0,
     window_duration: str = "1 day",
     buffer_windows: int = 8,
+    trust_first: bool = False,
 ) -> DataFrame:
     """EWMA-chart a STREAM of finalized stat windows ``(partition_key,
     stat_name, window_start, value)`` against a frozen per-series
@@ -158,7 +160,13 @@ def ewma_stream(
     Emitted rows are bit-equal to batch ``ewma_chart(..., reference=
     ...)`` (pinned by test across micro-batch boundaries and
     kill/resume). Series absent from the reference emit NULL chart
-    columns with ``alarm=false`` (the batch inner join drops them)."""
+    columns with ``alarm=false`` (the batch inner join drops them).
+
+    COLD-START HORIZON: nothing emits for a fresh series until more
+    than ``buffer_windows`` windows (default 8) have buffered — ≤ 8
+    total windows never emit, first emission lags ~9 window durations.
+    ``trust_first=True`` anchors on the first window seen (in-order
+    sources only; see ``ordered_drain``)."""
     ref_rows = reference.select(
         "partition_key", "stat_name", "mu", "sigma"
     ).collect()
@@ -169,7 +177,7 @@ def ewma_stream(
     return stat_series_stream.groupBy(
         "partition_key", "stat_name"
     ).applyInPandasWithState(
-        _make_ewma_fn(refs, lam, L, dur, buffer_windows),
+        _make_ewma_fn(refs, lam, L, dur, buffer_windows, trust_first),
         outputStructType=EWMA_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",

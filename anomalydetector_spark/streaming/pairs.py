@@ -134,7 +134,8 @@ ORDERED_NONE = -(1 << 62)  # "no window consumed yet" sentinel
 
 
 def ordered_drain(
-    buf: dict, last_ts: int, dur_us: int, horizon: int
+    buf: dict, last_ts: int, dur_us: int, horizon: int,
+    trust_first: bool = False,
 ) -> tuple[list, int]:
     """Shared consume rule for ORDER-SENSITIVE walks (CUSUM, EWMA):
     pop buffered ``{ts_us: value}`` windows in strict timestamp order —
@@ -144,11 +145,23 @@ def ordered_drain(
     near-sorted horizon has passed; a still-missing older window is
     declared lost and the caller's pointer will drop it on late
     arrival). Returns the consumed ``[(ts, value), ...]`` and the
-    advanced pointer."""
+    advanced pointer.
+
+    COLD START: before anything has been consumed (``last_ts ==
+    ORDERED_NONE``) the contiguous fast path has no anchor, so nothing
+    drains until MORE than ``horizon`` windows are buffered — a series
+    with ≤ ``horizon`` total windows never emits, and first results
+    lag ~``horizon + 1`` window durations. ``trust_first=True`` opts
+    out: the oldest buffered window is declared the stream's first and
+    consumed immediately — correct for sources known to deliver in
+    order, but an earlier window arriving later is then dropped."""
     out = []
     while buf:
         t0 = min(buf)
-        contiguous = last_ts != ORDERED_NONE and t0 == last_ts + dur_us
+        cold = last_ts == ORDERED_NONE
+        contiguous = (not cold and t0 == last_ts + dur_us) or (
+            cold and trust_first
+        )
         if not contiguous and len(buf) <= horizon:
             break
         out.append((t0, buf.pop(t0)))

@@ -65,6 +65,7 @@ def _make_seasonal_fn(
     tolerance: float,
     dur_us: int,
     buffer_windows: int,
+    trust_first: bool = False,
 ):
     depth = season_lag * n_seasons
 
@@ -93,7 +94,7 @@ def _make_seasonal_fn(
 
         out_rows = []
         consumed, last_ts = ordered_drain(
-            buf, last_ts, dur_us, buffer_windows
+            buf, last_ts, dur_us, buffer_windows, trust_first
         )
         for t0, v in consumed:
             vq = _half_up_micro(v * 1e6)
@@ -109,8 +110,10 @@ def _make_seasonal_fn(
             else:
                 s = sum(lags)
                 expected = float(s) / float(m) / 1e6
-                if s > 0:
-                    rel = float(m * vq - s) / float(s)
+                if s != 0:
+                    # |s| denominator — matches the batch operator's
+                    # negative-history-sum handling (trend.py)
+                    rel = float(m * vq - s) / float(abs(s))
                     flagged = abs(rel) > tolerance
                 else:
                     rel = None
@@ -164,18 +167,26 @@ def seasonal_expectation_stream(
     tolerance: float = 0.5,
     window_duration: str = "1 day",
     buffer_windows: int = 8,
+    trust_first: bool = False,
 ) -> DataFrame:
     """Seasonal-expectation-check a STREAM of finalized stat windows
     ``(partition_key, stat_name, window_start, value)``. Emitted rows
     are bit-equal to the batch operator on the same consumed prefix
     (pinned by test). No reference frame is needed — the seasonal
-    history IS the state."""
+    history IS the state.
+
+    COLD-START HORIZON: nothing emits for a fresh series until more
+    than ``buffer_windows`` windows (default 8) have buffered — ≤ 8
+    total windows never emit, first emission lags ~9 window durations.
+    ``trust_first=True`` anchors on the first window seen (in-order
+    sources only; see ``ordered_drain``)."""
     dur = _duration_us(window_duration)
     return stat_series_stream.groupBy(
         "partition_key", "stat_name"
     ).applyInPandasWithState(
         _make_seasonal_fn(
-            season_lag, n_seasons, tolerance, dur, buffer_windows
+            season_lag, n_seasons, tolerance, dur, buffer_windows,
+            trust_first,
         ),
         outputStructType=SEASONAL_SCHEMA,
         stateStructType=SEASONAL_STATE_SCHEMA,

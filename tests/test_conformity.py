@@ -324,3 +324,34 @@ def test_first_digit_adversarial_power_boundaries(spark):
     # distinguishes them from the boundary
     below = [got[ulp_away(10.0 ** k, False)] for k in range(-20, 20)]
     assert all(d == 9 for d in below)
+
+
+def test_first_digit_domain_edge_ulps_ansi_safe(spark):
+    """Regression (round-4 ADVICE): a double one ulp below 1e30 is IN
+    the documented domain but its floor(log10) rounds to exactly 30,
+    so the speculative p_guess+1 lookup indexes one past a table that
+    stops at 10^30 — under Spark 4's default ANSI mode that THREW and
+    killed the job (DuckDB's out-of-range list_extract yields NULL, so
+    the twins also diverged).  The padded table must return digit 9
+    without raising; same guarantee at the 1e-30 edge."""
+    import struct
+
+    def ulp_away(x, up):
+        i = struct.unpack(">q", struct.pack(">d", x))[0]
+        return struct.unpack(">d", struct.pack(">q", i + (1 if up else -1)))[0]
+
+    hi_in = ulp_away(1e30, False)   # 9.999999999999999e+29: in-domain
+    lo_in = ulp_away(1e-30, True)   # just above the lower edge
+    assert hi_in < 1e30 and lo_in >= 1e-30
+    df = spark.createDataFrame(
+        [(hi_in,), (lo_in,), (1e-30,), (ulp_away(1e30, True),), (1e30,)],
+        "v double",
+    )
+    got = {r.v: r.d for r in df.select(
+        "v", first_digit(F.col("v")).alias("d")).collect()}
+    assert got[hi_in] == 9
+    assert got[lo_in] == 1
+    assert got[1e-30] == 1
+    # at/above the upper edge: excluded (NULL), never an exception
+    assert got[1e30] is None
+    assert got[ulp_away(1e30, True)] is None

@@ -557,3 +557,35 @@ def test_topk_churn_stream_matches_batch(spark, tmp_path):
     # the regime flip shows: some window has churn (jaccard < 1)
     assert any(v[0] < 1.0 for v in got.values())
     df.unpersist()
+
+
+def test_ordered_drain_cold_start_and_trust_first():
+    """Round-4 ADVICE: document + opt out of the cold-start horizon.
+    With no anchor, nothing drains until more than `horizon` windows
+    buffer; trust_first=True anchors on the oldest buffered window
+    immediately and the contiguous fast path takes over."""
+    from anomalydetector_spark.streaming.pairs import (
+        ORDERED_NONE,
+        ordered_drain,
+    )
+
+    dur = 10
+    # cold start, horizon 8: 8 windows buffered -> nothing drains
+    buf = {t * dur: float(t) for t in range(8)}
+    out, last = ordered_drain(dict(buf), ORDERED_NONE, dur, 8)
+    assert out == [] and last == ORDERED_NONE
+    # 9th window crosses the horizon: everything drains in order
+    buf9 = dict(buf); buf9[8 * dur] = 8.0
+    out, last = ordered_drain(buf9, ORDERED_NONE, dur, 8)
+    assert [t for t, _ in out] == [t * dur for t in range(9)]
+    assert last == 8 * dur
+    # trust_first: the same 3-window cold buffer drains immediately
+    buf3 = {t * dur: float(t) for t in range(3)}
+    out, last = ordered_drain(dict(buf3), ORDERED_NONE, dur, 8,
+                              trust_first=True)
+    assert [t for t, _ in out] == [0, dur, 2 * dur]
+    # ...but a non-contiguous later window still waits for the horizon
+    gap = {0: 0.0, 5 * dur: 5.0}
+    out, last = ordered_drain(dict(gap), ORDERED_NONE, dur, 8,
+                              trust_first=True)
+    assert [t for t, _ in out] == [0] and last == 0

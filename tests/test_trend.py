@@ -143,7 +143,7 @@ def test_theil_sen_mirror_and_robustness(spark):
     assert got.slope == pytest.approx(3.0, abs=0.3)
     inters = [v - got.slope * x for x, v in zip(xs, vals)]
     assert got.intercept == _type1_median(inters)
-    assert got.n == 30 and got.n_pairs_upper == 435
+    assert got.n == 30 and got.n_pairs == 435
 
 
 def test_theil_sen_duplicate_x_excluded(spark):
@@ -154,6 +154,9 @@ def test_theil_sen_duplicate_x_excluded(spark):
     got = theil_sen_trend(df, ["k"], "x", "v").collect()[0]
     # slopes: (2-1)/1=1, (2-9)/1=-7 — type-1 median = -7
     assert got.slope == -7.0
+    # n_pairs counts pairs ACTUALLY used: the duplicate-x pair is
+    # excluded (round-4 ADVICE: the old n_pairs_upper said 3)
+    assert got.n_pairs == 2 and got.n == 3
 
 
 def test_autocorr_exact_mirror(spark):
@@ -398,3 +401,33 @@ def test_detect_season_lag(spark):
         "k string, t int, v double",
     )
     assert detect_season_lag(noise, ["k"], "t", "v") is None
+
+
+def test_seasonal_expectation_negative_series(spark):
+    """Regression (round-4 ADVICE): a NEGATIVE seasonal history sum
+    used to make rel_dev NULL and drop the flag to `value != 0`,
+    flagging every non-zero window of a negative-valued stat series.
+    With the |s| denominator the deviation is well-defined and only
+    genuine departures flag."""
+    from anomalydetector_spark.operators.trend import seasonal_expectation
+
+    # steady -10 series, lag 3: every in-history window sits exactly on
+    # its seasonal expectation -> rel_dev 0.0, nothing flags
+    rows = [("k", t, -10.0) for t in range(12)]
+    # one genuine departure at the end
+    rows.append(("k", 12, -30.0))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r.t: r for r in seasonal_expectation(
+        df, ["k"], "t", "v", season_lag=3, n_seasons=2, tolerance=0.5
+    ).collect()}
+    steady = [got[t] for t in range(3, 12)]
+    assert all(r.rel_dev == 0.0 for r in steady)
+    assert not any(r.flagged for r in steady)
+    assert got[12].expected == -10.0
+    # (1*(-30) - (-10)) / |-10| = -2.0
+    assert got[12].rel_dev == pytest.approx(-2.0)
+    assert got[12].flagged
+    # streaming twin agrees on the same arithmetic (pure-python mirror)
+    s = -10_000_000 * 2  # two lags of vq = -1e7
+    rel = float(2 * (-30_000_000) - s) / float(abs(s))
+    assert rel == pytest.approx(-2.0)
