@@ -1117,14 +1117,15 @@ def q_srcnn_train_windows(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode, hash-exactly oracled: synth payloads are
-    built from doc_id (even → 8x6 BMP filled with doc_id % 251, odd →
-    64-sample PCM-16 WAV of constant doc_id % 1000), run through the
-    pure-numpy decoders via extract_features' mapInPandas, and the
+    built from doc_id (doc_id%3==0 → 8x6 BMP filled with doc_id % 251,
+    ==1 → 9x5 RGB PNG (stdlib-zlib decode path) of the same constant,
+    ==2 → 64-sample PCM-16 WAV of constant doc_id % 1000), run through
+    the pure-numpy decoders via extract_features' mapInPandas, and the
     DECODED statistics are emitted — mean raster value / mean sample
     amplitude recovers the injected constant, so DuckDB predicts every
     row from doc_id alone. Exercises encode → Arrow batch → sniff →
-    decode → featurize end-to-end (operators/codecs.py +
-    operators/multimodal.py)."""
+    decode (incl. PNG inflate+unfilter) → featurize end-to-end
+    (operators/codecs.py + operators/multimodal.py)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1149,11 +1150,18 @@ def q_multimodal_decode(spark, sf_dir):
             kinds, payloads = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     kinds.append("image")
                     payloads.append(
                         codecs.encode_bmp(
                             np.full((6, 8, 3), did % 251, dtype=np.uint8)
+                        )
+                    )
+                elif did % 3 == 1:
+                    kinds.append("image")
+                    payloads.append(
+                        codecs.encode_png(
+                            np.full((5, 9, 3), did % 251, dtype=np.uint8)
                         )
                     )
                 else:
@@ -1172,17 +1180,24 @@ def q_multimodal_decode(spark, sf_dir):
     )
     feats = multimodal.extract_features(media, use_stub=False)
     f = F.col("feature")
+    is_bmp = F.col("media_id") % 3 == 0
+    is_png = F.col("media_id") % 3 == 1
     return feats.select(
         F.col("media_id").alias("doc_id"),
         "kind",
+        F.when(is_bmp, "bmp").when(is_png, "png").otherwise("wav").alias(
+            "container"
+        ),
         F.round(
             F.when(
                 F.col("kind") == "image", f[2] * 255.0
             ).otherwise(f[2] * 32768.0)
         ).cast("long").alias("decoded_mean"),
-        F.when(
-            F.col("kind") == "image", (f[0] == 6.0) & (f[1] == 8.0)
-        ).otherwise((f[0] == 64.0) & (f[1] == 16000.0)).alias("shape_ok"),
+        # decoded dims prove the REAL decoder ran: the two image
+        # containers carry different rasters
+        F.when(is_bmp, (f[0] == 6.0) & (f[1] == 8.0))
+        .when(is_png, (f[0] == 5.0) & (f[1] == 9.0))
+        .otherwise((f[0] == 64.0) & (f[1] == 16000.0)).alias("shape_ok"),
     )
 
 
@@ -5057,9 +5072,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-                   (CASE WHEN doc_id % 2 = 0 THEN doc_id % 251
-                         ELSE doc_id % 1000 END)::BIGINT AS decoded_mean,
+                   CASE WHEN doc_id % 3 = 2 THEN 'audio'
+                        ELSE 'image' END AS kind,
+                   CASE doc_id % 3 WHEN 0 THEN 'bmp'
+                        WHEN 1 THEN 'png' ELSE 'wav' END AS container,
+                   (CASE WHEN doc_id % 3 = 2 THEN doc_id % 1000
+                         ELSE doc_id % 251 END)::BIGINT AS decoded_mean,
                    TRUE AS shape_ok
             FROM documents
         """,

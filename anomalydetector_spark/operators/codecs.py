@@ -180,13 +180,164 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # --------------------------------------------------------------------------
+# PNG — 8-bit RGB/RGBA, non-interlaced (pure stdlib zlib + numpy)
+# --------------------------------------------------------------------------
+#
+# The most common web image format is decodable WITHOUT a codec
+# library: a PNG is a magic + CRC-framed chunk stream whose IDAT
+# payload is zlib (stdlib) and whose only per-pixel transform is the
+# five scanline filters of RFC 2083 §6 — all expressible as numpy
+# lane arithmetic (None/Up/Sub vectorized whole-row; Average/Paeth
+# walk pixels left→right with the 3/4 channel lanes vectorized).
+# Supported: bit depth 8, color types 2 (RGB) and 6 (RGBA),
+# non-interlaced. Everything else (palette, 16-bit, Adam7, grayscale)
+# raises ValueError loudly — JPEG/MP4 remain the only codec-required
+# stubs.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(raster: np.ndarray) -> bytes:
+    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes (8-bit,
+    non-interlaced, filter 0 scanlines)."""
+    import zlib
+
+    arr = np.ascontiguousarray(raster, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects an HxWx3 or HxWx4 raster")
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) prepended to each scanline
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * ch)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Undo the per-scanline filters: ``raw`` is h rows of
+    (1 filter byte + w·bpp data bytes); returns (h, w·bpp) uint8."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: recon[i] = line[i] + recon[i-bpp]
+            # lane-wise prefix sum mod 256 over the pixel axis
+            recon = (
+                np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
+                % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = line + prior  # uint8 wraps mod 256
+        elif ftype == 3:  # Average: left is reconstructed — walk pixels
+            recon = np.zeros(stride, dtype=np.uint8)
+            up = prior.reshape(w, bpp).astype(np.int64)
+            cur = line.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            rr = recon.reshape(w, bpp)
+            for x in range(w):
+                px = (cur[x] + ((left + up[x]) >> 1)) & 0xFF
+                rr[x] = px
+                left = px
+        elif ftype == 4:  # Paeth
+            recon = np.zeros(stride, dtype=np.uint8)
+            up = prior.reshape(w, bpp).astype(np.int64)
+            cur = line.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            rr = recon.reshape(w, bpp)
+            for x in range(w):
+                b = up[x]
+                p = left + b - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                )
+                px = (cur[x] + pred) & 0xFF
+                rr[x] = px
+                left, ul = px, b
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = recon
+        prior = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → HxWx3 or HxWx4 uint8. Only 8-bit RGB/RGBA
+    non-interlaced PNGs are supported — anything else raises."""
+    import zlib
+
+    if payload is None or payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            "only 8-bit RGB/RGBA PNG is supported "
+            f"(depth={depth}, color_type={color_type})"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG is not supported")
+    bpp = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * bpp
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline data has the wrong length")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    return _png_unfilter(rows, h, w, bpp).reshape(h, w, bpp).copy()
+
+
+# --------------------------------------------------------------------------
 # shared helpers
 # --------------------------------------------------------------------------
 
 
 def sniff(payload: bytes) -> str:
-    """Cheap magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | 'unknown'."""
-    if payload is None or len(payload) < 4:
+    """Cheap magic-byte format sniff:
+    'bmp' | 'ppm' | 'wav' | 'png' | 'unknown'."""
+    if payload is None or len(payload) < 8:
         return "unknown"
     if payload[:2] == b"BM":
         return "bmp"
@@ -194,6 +345,8 @@ def sniff(payload: bytes) -> str:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     return "unknown"
 
 

@@ -2,10 +2,11 @@
 with typed metadata.
 
 The decode path is REAL for the codec-free formats (pure-numpy BMP /
-PPM / WAV parsers in ``operators/codecs.py``): payloads are sniffed by
-magic bytes, rasters/PCM are decoded and featurized with numpy only.
-Formats that genuinely need a codec library (JPEG/PNG/MP4 — none ships
-in this container) still route to a clearly-marked
+PPM / WAV parsers plus a stdlib-zlib PNG decoder in
+``operators/codecs.py``): payloads are sniffed by magic bytes,
+rasters/PCM are decoded and featurized with numpy only. Formats that
+genuinely need a codec library (JPEG/MP4 — none ships in this
+container) still route to a clearly-marked
 ``NotImplementedError`` stub, or to a deterministic fake when
 ``use_stub=True`` so the Arrow plumbing stays testable end-to-end.
 Everything Spark-side is real either way: schemas, ``mapInPandas``
@@ -84,14 +85,18 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode a codec-free image payload (BMP or PPM) to HxWx3 uint8.
-    Other image formats (JPEG/PNG/...) need a codec library the
-    container doesn't ship — marked stub."""
+    """Decode a codec-free image payload (BMP, PPM, or 8-bit RGB/RGBA
+    PNG) to HxWx3 uint8 — PNG alpha is dropped (features describe the
+    color raster). Formats that genuinely need a codec library
+    (JPEG/...) remain the marked stub."""
     kind = codecs.sniff(payload)
     if kind == "bmp":
         return codecs.decode_bmp(payload)
     if kind == "ppm":
         return codecs.decode_ppm(payload)
+    if kind == "png":
+        raster = codecs.decode_png(payload)
+        return raster[:, :, :3]
     raise NotImplementedError(
         "image decode for this format requires a codec library"
     )
@@ -123,7 +128,7 @@ def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
 
 def _featurize(payload: bytes, use_stub: bool) -> np.ndarray:
     fmt = codecs.sniff(payload)
-    if fmt in ("bmp", "ppm"):
+    if fmt in ("bmp", "ppm", "png"):
         return _image_features(_decode_image(payload))
     if fmt == "wav":
         return _audio_features(*_decode_audio(payload))
@@ -143,7 +148,7 @@ def extract_features(
     Arrow streams binary columns in bounded batches (cap
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
     images fits executor memory); payloads are dispatched by magic
-    bytes: BMP/PPM → real raster decode + image descriptor, WAV → real
+    bytes: BMP/PPM/PNG → real raster decode + image descriptor, WAV → real
     PCM decode + audio descriptor, anything else → deterministic fake
     (``use_stub=True``) or ``NotImplementedError`` marking where a codec
     library goes.
@@ -175,8 +180,9 @@ RESIZED_SCHEMA = (
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL for BMP/PPM: decode → nearest-neighbor resample (pure numpy
-    indexing) → re-encode in the same format. Codec formats still raise."""
+    """REAL for BMP/PPM/PNG: decode → nearest-neighbor resample (pure
+    numpy indexing) → re-encode in the same format (PNG keeps its RGBA
+    channel if present). Codec formats (JPEG/...) still raise."""
     fmt = codecs.sniff(payload)
     if fmt == "bmp":
         return codecs.encode_bmp(
@@ -185,6 +191,10 @@ def _resize_image(payload: bytes, width: int, height: int) -> bytes:
     if fmt == "ppm":
         return codecs.encode_ppm(
             codecs.resize_nearest(codecs.decode_ppm(payload), width, height)
+        )
+    if fmt == "png":
+        return codecs.encode_png(
+            codecs.resize_nearest(codecs.decode_png(payload), width, height)
         )
     raise NotImplementedError(
         "image resize for this format requires a codec library"
@@ -207,12 +217,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads via ``mapInPandas`` (same Arrow-batch contract
     as :func:`extract_features`); non-image rows pass through unchanged.
-    Parseable payloads (BMP/PPM) are ALWAYS really resampled; unknown
+    Parseable payloads (BMP/PPM/PNG) are ALWAYS really resampled; unknown
     formats use the fake when ``use_stub=True`` and raise otherwise.
     Output schema equals the input media schema with updated dimensions."""
 
     def one(p, w, h):
-        if codecs.sniff(p) in ("bmp", "ppm"):
+        if codecs.sniff(p) in ("bmp", "ppm", "png"):
             return _resize_image(p, w, h)
         if use_stub:
             return _fake_resize(p, w, h)

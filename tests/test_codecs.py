@@ -5,6 +5,7 @@ errors, and feature extraction over real bytes end-to-end in Spark."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql.functions import lit as F_lit
 
 from anomalydetector_spark.operators import codecs, multimodal
 
@@ -127,3 +128,152 @@ def test_extract_features_mixed_formats(spark):
     # same raster → identical features regardless of container format
     assert rows[1] == rows[2]
     assert rows[1][0] == 3 and rows[1][1] == 4
+
+
+# ---------------------------------------------------------------- PNG
+def _png_encode_independent(raster, filters):
+    """Test-side PNG encoder, written independently of codecs.encode_png
+    (which only ever emits filter 0): applies the given per-scanline
+    filter types (RFC 2083 §6) with plain per-byte Python arithmetic, so
+    decode_png's numpy unfiltering is checked against a second
+    implementation, not itself."""
+    import struct
+    import zlib
+
+    h, w, ch = raster.shape
+    bpp = ch
+    stride = w * bpp
+    flat = raster.reshape(h, stride).astype(int)
+    raw = bytearray()
+    prior = [0] * stride
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = list(flat[y])
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0      # left (recon)
+            b = prior[i]                               # up (recon)
+            c = prior[i - bpp] if i >= bpp else 0      # upper-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((line[i] - pred) & 0xFF)
+        prior = line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape,ch", [((1, 1), 3), ((6, 8), 3), ((7, 5), 4),
+                                      ((13, 3), 3), ((2, 17), 4)])
+def test_png_roundtrip_own_encoder(shape, ch):
+    rng = np.random.default_rng(sum(shape) + ch)
+    raster = rng.integers(0, 256, size=(*shape, ch), dtype=np.uint8)
+    payload = codecs.encode_png(raster)
+    assert codecs.sniff(payload) == "png"
+    np.testing.assert_array_equal(codecs.decode_png(payload), raster)
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4],
+                                     [0, 1, 2, 3, 4], [4, 3, 2, 1]])
+def test_png_decode_all_filter_types_independent_encoder(filters):
+    """decode_png recovers the exact raster from PNGs produced by the
+    independent per-byte encoder for every scanline filter type and
+    mixed per-row filters — including RGBA."""
+    rng = np.random.default_rng(sum(filters) + 7)
+    for ch in (3, 4):
+        raster = rng.integers(0, 256, size=(9, 11, ch), dtype=np.uint8)
+        payload = _png_encode_independent(raster, filters)
+        np.testing.assert_array_equal(codecs.decode_png(payload), raster)
+
+
+def test_png_rejects_unsupported_loudly():
+    raster = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = codecs.encode_png(raster)
+    import struct
+
+    # palette color type
+    bad = bytearray(good)
+    # IHDR body starts at 8 (magic) + 8 (len+tag); color type at +9
+    bad[8 + 8 + 9] = 3
+    with pytest.raises(ValueError, match="RGB/RGBA"):
+        codecs.decode_png(bytes(bad))
+    # 16-bit depth
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 16
+    with pytest.raises(ValueError, match="RGB/RGBA"):
+        codecs.decode_png(bytes(bad))
+    # interlaced
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="Adam7"):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="PNG"):
+        codecs.decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    # truncated scanline data
+    h, w = 2, 2
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    short = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="length"):
+        codecs.decode_png(short)
+
+
+def test_png_features_and_resize_spark(spark):
+    """End-to-end Spark: real PNG bytes (independent encoder, mixed
+    filters) through extract_features — features equal the same raster
+    shipped as BMP — and through resize_images, round-tripping to the
+    resampled raster."""
+    rng = np.random.default_rng(99)
+    raster = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    png = _png_encode_independent(raster, [0, 1, 2, 3, 4])
+    rgba = np.dstack([raster, np.full((6, 8), 7, dtype=np.uint8)])
+    png_a = _png_encode_independent(rgba, [4, 2])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "kind": ["image"] * 3,
+                "payload": [png, codecs.encode_bmp(raster), png_a],
+            }
+        )
+    )
+    rows = {r.media_id: r.feature for r in
+            multimodal.extract_features(df, use_stub=False).collect()}
+    assert rows[1] == rows[2]          # same raster, different container
+    assert rows[3] == rows[1]          # alpha dropped for features
+    # resize: PNG payloads come back as PNG of the resampled raster
+    df2 = df.withColumn("mime", F_lit("image/png")) \
+            .withColumn("width", F_lit(8)).withColumn("height", F_lit(6)) \
+            .withColumn("duration_ms", F_lit(None).cast("int"))
+    out = {r.media_id: bytes(r.payload) for r in
+           multimodal.resize_images(df2, width=4, height=3,
+                                    use_stub=False).collect()}
+    want = codecs.resize_nearest(raster, 4, 3)
+    np.testing.assert_array_equal(codecs.decode_png(out[1]), want)
+    got_a = codecs.decode_png(out[3])
+    assert got_a.shape == (3, 4, 4)    # RGBA preserved through resize
+    np.testing.assert_array_equal(
+        got_a, codecs.resize_nearest(rgba, 4, 3)
+    )
