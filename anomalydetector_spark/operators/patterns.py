@@ -99,16 +99,25 @@ def value_pattern_profile(
 
 
 def suggest_value_patterns(
-    profile: DataFrame, min_coverage: float = 0.99
+    profile: DataFrame, min_coverage: float = 0.99,
+    max_patterns: int = 1000,
 ) -> list[str]:
     """Freeze the dominant signatures into an allowed set: the smallest
     rank-prefix of the GLOBAL profile (no part_cols) whose cumulative
-    share reaches ``min_coverage``. Bounded frame — the collect is by
-    design (the result is a config literal for
-    :func:`check_value_pattern`)."""
-    rows = sorted(
-        profile.select("signature", "share", "rank").collect(),
-        key=lambda r: r.rank,
+    share reaches ``min_coverage``. The collect is by design (the
+    result is a config literal for :func:`check_value_pattern`) but it
+    is CAPPED at the ``max_patterns`` top-ranked signatures — a
+    pathological free-text column can carry near-distinct signatures
+    per row, and an uncapped collect of that profile would be
+    data-sized. If coverage isn't reached within the cap, the top
+    ``max_patterns`` signatures are returned (an allowed set looser
+    than requested is the safe direction: fewer false violations)."""
+    rows = (
+        profile.select("signature", "share", "rank")
+        .filter(F.col("rank") <= max_patterns)
+        .orderBy("rank")
+        .limit(max_patterns)
+        .collect()
     )
     out, cum = [], 0.0
     for r in rows:

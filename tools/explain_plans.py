@@ -18,7 +18,21 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 
+# every audited plan also passes through the global-window audit
+# (plans/audit.py): a Window.partitionBy(lit(1))-style node is only
+# legal above an aggregate / literal frame / row limit
+_GLOBAL_WINDOW_OFFENDERS: list[str] = []
+_AUDITED_PLANS = 0
+
+
 def plan_of(df) -> str:
+    global _AUDITED_PLANS
+    from anomalydetector_spark.plans.audit import (
+        find_unbounded_global_windows,
+    )
+
+    _AUDITED_PLANS += 1
+    _GLOBAL_WINDOW_OFFENDERS.extend(find_unbounded_global_windows(df))
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
@@ -1503,6 +1517,18 @@ def main() -> None:
             for p in (pat_prof_plan, pat_chk_plan)
         )
         and "CartesianProduct" not in pat_chk_plan,
+    )
+
+    ok &= check(
+        "every global-mode window in every audited plan sits above an "
+        "aggregate / literal frame / row limit",
+        not _GLOBAL_WINDOW_OFFENDERS,
+        f"{_AUDITED_PLANS} plans audited"
+        + (
+            "; offenders: " + "; ".join(_GLOBAL_WINDOW_OFFENDERS[:3])
+            if _GLOBAL_WINDOW_OFFENDERS
+            else ""
+        ),
     )
 
     print()
