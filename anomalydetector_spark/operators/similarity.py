@@ -114,6 +114,80 @@ def _table_signatures(
     ).select(out_id, "s.tbl", "s.bucket")
 
 
+def _plane_projection(vec_col, plane: np.ndarray):
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(x)) for x in plane]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _table_signatures_multiprobe(
+    df: DataFrame,
+    out_id: str,
+    planes_per_table: list[np.ndarray],
+    id_col: str,
+    vec_col: str,
+    n_flips: int,
+) -> DataFrame:
+    """(id, tbl, bucket) with MULTIPROBE expansion: per table, each
+    vector emits its base signature bucket PLUS ``n_flips`` single-bit
+    variants flipping the lowest-|margin| planes — the planes whose
+    projection landed nearest the boundary, exactly where a true
+    neighbor most likely fell on the other side (Lv et al.'s
+    multi-probe LSH, the same probe-the-near-misses pattern as the
+    SimHash block tables). Stays a pure in-row projection: margins are
+    sorted with ``array_sort`` over (|proj|, plane-idx) structs and the
+    flip masks come from a literal power table, so the candidate join
+    remains a bucket equi-join."""
+    n_planes = len(planes_per_table[0])
+    n_flips = min(n_flips, n_planes)
+    # bit i of the signature (MSB-first accumulation) carries weight
+    # 2^(n_planes-1-i)
+    masks = F.array(
+        *[F.lit(1 << (n_planes - 1 - i)) for i in range(n_planes)]
+    )
+    per_table = []
+    for t, planes in enumerate(planes_per_table):
+        projs = [_plane_projection(F.col(vec_col), p) for p in planes]
+        sig = F.lit(0).cast("long")
+        for pr in projs:
+            sig = sig * 2 + F.when(pr > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(pr).alias("m"), F.lit(i).alias("i")
+                    )
+                    for i, pr in enumerate(projs)
+                ]
+            )
+        )
+        flips = F.transform(
+            F.slice(margins, 1, n_flips),
+            lambda s: F.struct(
+                F.lit(t).alias("tbl"),
+                sig.bitwiseXOR(
+                    F.element_at(masks, s["i"] + 1).cast("long")
+                ).alias("bucket"),
+            ),
+        )
+        base = F.array(
+            F.struct(F.lit(t).alias("tbl"), sig.alias("bucket"))
+        )
+        per_table.append(F.concat(base, flips))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.flatten(F.array(*per_table))).alias("s"),
+    ).select(out_id, "s.tbl", "s.bucket")
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,6 +198,7 @@ def lsh_bucket_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's hyperplane buckets.
 
@@ -140,12 +215,26 @@ def lsh_bucket_ann(
     vectors are re-attached by id (query side broadcast; the candidate
     side is |queries| × bucket-occupancy rows — AQE broadcasts it against
     the corpus when it fits).
+
+    ``multiprobe`` > 0 expands the QUERY side only (the cheap side —
+    the corpus index keeps one row per vector per table) with that many
+    lowest-margin single-bit flips per table, the Lv et al. multi-probe
+    pattern: recall rises steeply while candidate volume grows only
+    ~(1+multiprobe)× on the small side of the join.
     """
     planes_per_table = [
         _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
     c = _table_signatures(corpus, "neighbor_id", planes_per_table, id_col, vec_col)
-    q = _table_signatures(queries, "query_id", planes_per_table, id_col, vec_col)
+    q = (
+        _table_signatures_multiprobe(
+            queries, "query_id", planes_per_table, id_col, vec_col, multiprobe
+        )
+        if multiprobe > 0
+        else _table_signatures(
+            queries, "query_id", planes_per_table, id_col, vec_col
+        )
+    )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -346,32 +435,49 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, candidates
-    confined to LSH buckets (equi-join on ``(table, bucket)`` with
-    ``a < b`` — never a theta/cartesian join).
+    confined to LSH buckets (equi-join on ``(table, bucket)`` —
+    never a theta/cartesian join).
 
     ``n_tables`` > 1 builds that many independently-seeded hash tables
     and ORs their candidate sets (the standard recall lever: collision
     prob per table is ``(1-θ/π)^n_planes``, over L tables
-    ``1-(1-p)^L``).  Candidates are distinct'd on the id pair BEFORE the
-    cosine is computed, so each survivor costs one dot product no matter
-    how many tables bucket it together; vectors are re-attached with two
+    ``1-(1-p)^L``).  ``multiprobe`` > 0 additionally probes, per table,
+    that many single-bit flips of each vector's LOWEST-MARGIN signature
+    bits (the planes it nearly fell on the other side of) — a pair is
+    caught when either endpoint's probe set covers the other's base
+    bucket, lifting per-table collision probability far above the base
+    rate while the join stays a bucket equi-join. Candidates are
+    distinct'd on the unordered id pair BEFORE the cosine is computed,
+    so each survivor costs one dot product no matter how many
+    tables/probes bucket it together; vectors are re-attached with two
     hash joins on the id.
     """
     planes_per_table = [
         _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
-    sig = _table_signatures(corpus, "_id", planes_per_table, id_col, vec_col)
-    a, b = sig.alias("a"), sig.alias("b")
+    base = _table_signatures(corpus, "_id", planes_per_table, id_col, vec_col)
+    probe = (
+        _table_signatures_multiprobe(
+            corpus, "_id", planes_per_table, id_col, vec_col, multiprobe
+        )
+        if multiprobe > 0
+        else base
+    )
+    a, b = probe.alias("a"), base.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._id") != F.col("b._id")),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        )
         .distinct()
     )
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
