@@ -306,11 +306,30 @@ def cmd_validate(args, spark: SparkSession) -> None:
         write_split(res.row_status, f"{out}/rows")
 
     snapshot = table_version(spark, args.input_path)
-    if args.manifest:
-        merged = M.run_with_resume(spark, res.verdicts, snapshot, args.manifest)
-        merged.write.mode("overwrite").parquet(f"{out}/verdicts")
+    verdict_frame = (
+        M.run_with_resume(spark, res.verdicts, snapshot, args.manifest)
+        if args.manifest
+        else res.verdicts
+    )
+    if getattr(args, "bucketed_output", False):
+        # canonical resume-friendly layout (README §Output layout):
+        # hive-partitioned by partition_key so incremental readers prune
+        from anomalydetector_spark.sources.tables import (
+            write_output_bucketed,
+        )
+
+        write_output_bucketed(
+            verdict_frame.withColumn(
+                "partition_key",
+                F.coalesce(
+                    F.col("partition_key").cast("string"),
+                    F.lit("__global__"),
+                ),
+            ),
+            f"{out}/verdicts",
+        )
     else:
-        res.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+        verdict_frame.write.mode("overwrite").parquet(f"{out}/verdicts")
     if args.manifest and getattr(args, "store_digests", False) and cfg.partition_by:
         # seed the digest store so the FIRST incremental-validate run
         # against this snapshot never rescans its content
@@ -1592,6 +1611,11 @@ def main(argv=None):
                         "per-partition content digests so the first "
                         "incremental-validate against this snapshot skips "
                         "the old-side scan")
+    v.add_argument("--bucketed-output", action="store_true",
+                   help="write verdicts/ hive-partitioned by "
+                        "partition_key (README §Output layout) so "
+                        "incremental readers get partition pruning; "
+                        "NULL keys land in partition_key=__global__")
 
     s = sub.add_parser(
         "stream-validate",
