@@ -39,6 +39,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default-false out of cache-reuse conservatism; without it a
+        # persisted aggregate keeps its full pre-AQE shuffle fan-out
+        # (measured: the 621-row stat-series cache carried 128
+        # partitions, and every downstream stage paid 128 tiny tasks —
+        # enabling AQE repartitioning of cached plans coalesced it to 4
+        # and cut the flagship's post-scan phases ~35%). Nothing in the
+        # engine relies on a cached frame's physical partitioning.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
