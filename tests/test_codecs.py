@@ -277,3 +277,35 @@ def test_png_features_and_resize_spark(spark):
     np.testing.assert_array_equal(
         got_a, codecs.resize_nearest(rgba, 4, 3)
     )
+
+
+def test_png_unfilter_hypothesis_fuzz():
+    """Randomized sweep: arbitrary shapes, channel counts, and per-row
+    filter assignments through the independent encoder must round-trip
+    bit-exactly. (Plain loop over seeded draws — the raster/filter space
+    is too structured for @given to add value over volume.)"""
+    rng = np.random.default_rng(20240821)
+    for trial in range(40):
+        h = int(rng.integers(1, 14))
+        w = int(rng.integers(1, 19))
+        ch = int(rng.choice([3, 4]))
+        raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = rng.integers(0, 5, size=h).tolist()
+        payload = _png_encode_independent(raster, filters)
+        np.testing.assert_array_equal(
+            codecs.decode_png(payload), raster,
+            err_msg=f"trial={trial} h={h} w={w} ch={ch} filters={filters}",
+        )
+    # degenerate rasters that stress the filter predictors: constant,
+    # saturated, alternating extremes
+    for fill in (0, 255):
+        r = np.full((5, 7, 3), fill, dtype=np.uint8)
+        for ft in range(5):
+            np.testing.assert_array_equal(
+                codecs.decode_png(_png_encode_independent(r, [ft])), r
+            )
+    alt = np.zeros((6, 8, 4), dtype=np.uint8)
+    alt[::2] = 255
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_encode_independent(alt, [4, 3, 2, 1, 0])), alt
+    )
