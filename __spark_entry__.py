@@ -1547,6 +1547,86 @@ def q_url_canonical_dedup(spark, sf_dir):
     return canonical_url_duplicates(docs.select("doc_id", url.alias("url")))
 
 
+_ROBOTS_EVEN = (
+    "# even-site policy\n"
+    "User-agent: gptbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok/\n"
+    "Disallow: /tmp/*.pdf$\n"
+    "Disallow:\n"
+    "Crawl-delay: 7\n"
+)
+_ROBOTS_ODD = (
+    "User-agent: *\n"
+    "Allow: /tmp/\n"
+    "Disallow: /tmp/*.pdf$\n"
+    "Disallow: /private/\n"
+    "\n"
+    "User-agent: specialbot\n"
+    "Allow: /\n"
+)
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt URL gating (operators/robots.py — RFC 9309 parse +
+    longest-match/allow-ties gate, the crawl-politeness step of a
+    Common-Crawl pipeline): 7 synthetic domains carry two literal
+    policies (even sites: disallow /private/ with an /private/ok/
+    carve-out and a $-anchored /tmp/*.pdf$ ban, plus a gptbot group
+    that must NOT leak into '*'; odd sites: allow /tmp/ overridden by
+    the longer pdf ban), URLs synthesized from doc_id across 5 path
+    variants. The parser runs for real (line explode + group windows);
+    the oracle re-derives the verdicts INDEPENDENTLY: the documented
+    parse of the two literal bodies as a VALUES rule table + the same
+    LIKE longest-match/allow-ties aggregation in SQL. Parser semantics
+    themselves are pinned against a pure-Python mirror on randomized
+    bodies in tests/test_robots.py."""
+    from anomalydetector_spark.operators.robots import (
+        parse_robots_rules,
+        robots_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dom = F.concat(
+        F.lit("site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org"),
+    )
+    did = F.col("doc_id").cast("string")
+    variant = F.col("doc_id") % 5
+    path = (
+        F.when(variant == 0, F.lit("/index.html"))
+        .when(variant == 1, F.concat(F.lit("/private/x"), did))
+        .when(variant == 2, F.concat(F.lit("/private/ok/x"), did))
+        .when(variant == 3, F.concat(F.lit("/tmp/f"), did, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/tmp/f"), did, F.lit(".x")))
+    )
+    urls = docs.select(
+        "doc_id",
+        dom.alias("domain"),
+        F.concat(F.lit("https://"), dom, path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"site-{i}.example.org",
+                _ROBOTS_EVEN if i % 2 == 0 else _ROBOTS_ODD,
+            )
+            for i in range(7)
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="*")
+    out = robots_gate(urls, rules)
+    return out.select(
+        "doc_id", "domain", "path",
+        "matched_pattern", "matched_type", "crawl_allowed",
+    )
+
+
 def q_domain_blocklist(spark, sf_dir):
     """UT1-style domain blocklist flags (operators/urls.domain_blocklist_flags):
     messy URLs synthesized from doc_id (the url_canonical_dedup formula —
@@ -3412,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_drift_gate": q_sr_drift_gate,
         "srcnn_features_gate": q_srcnn_features_gate,
         "srcnn_train_windows_gate": q_srcnn_train_windows_gate,
+        "robots_gate": q_robots_gate,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
@@ -5265,6 +5346,50 @@ def oracle_sql() -> dict[str, str]:
         # derived-invariant gates for the seeded/approximate paths: the
         # oracle computes the exact (SQL-expressible) halves and asserts
         # the deterministic booleans the Spark query derives
+        "robots_gate": """
+            WITH u AS (
+              SELECT doc_id,
+                     'site-' || (doc_id % 7)::VARCHAR || '.example.org'
+                       AS domain,
+                     (doc_id % 7) % 2 = 0 AS even,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '/index.html'
+                       WHEN 1 THEN '/private/x' || doc_id::VARCHAR
+                       WHEN 2 THEN '/private/ok/x' || doc_id::VARCHAR
+                       WHEN 3 THEN '/tmp/f' || doc_id::VARCHAR || '.pdf'
+                       ELSE '/tmp/f' || doc_id::VARCHAR || '.x'
+                     END AS path
+              FROM documents),
+            r(even, rule_type, path_pattern, pattern_len, like_pattern)
+              AS (VALUES
+              (TRUE,  'disallow', '/private/',    9,  '/private/%'),
+              (TRUE,  'allow',    '/private/ok/', 12, '/private/ok/%'),
+              (TRUE,  'disallow', '/tmp/*.pdf$',  11, '/tmp/%.pdf'),
+              (FALSE, 'allow',    '/tmp/',        5,  '/tmp/%'),
+              (FALSE, 'disallow', '/tmp/*.pdf$',  11, '/tmp/%.pdf'),
+              (FALSE, 'disallow', '/private/',    9,  '/private/%')),
+            cand AS (
+              SELECT u.doc_id, u.domain, u.path,
+                     CASE WHEN r.rule_type IS NOT NULL THEN
+                       struct_pack(
+                         l := r.pattern_len,
+                         a := CASE WHEN r.rule_type = 'allow'
+                              THEN 1 ELSE 0 END,
+                         p := r.path_pattern)
+                     END AS s
+              FROM u LEFT JOIN r
+                ON r.even = u.even AND u.path LIKE r.like_pattern),
+            best AS (
+              SELECT doc_id, domain, path, max(s) AS b
+              FROM cand GROUP BY 1, 2, 3)
+            SELECT doc_id, domain, path,
+                   b.p AS matched_pattern,
+                   CASE WHEN b IS NULL THEN NULL
+                        WHEN b.a = 1 THEN 'allow'
+                        ELSE 'disallow' END AS matched_type,
+                   b IS NULL OR b.a = 1 AS crawl_allowed
+            FROM best
+        """,
         "sr_scores_gate": """
             WITH c AS (
               SELECT event_type,

@@ -1,0 +1,192 @@
+"""robots.txt (Robots Exclusion Protocol, RFC 9309) parsing + URL
+gating — the crawl-politeness operator every Common-Crawl-style
+pipeline needs before it fetches or even trains on a page: which URLs
+does the site's robots policy allow for a given user agent?
+
+Spark-first shape: robots bodies are a BOUNDED per-domain dim table
+(one row per site), so parsing is a line-explode + two window
+functions over (domain, line-idx) — never a data-sized shuffle — and
+the resulting rules table joins the (potentially 10^12-row) URL side
+as a plain equi-join on domain (broadcast when the rule table is
+small, shuffle otherwise; AQE decides). Everything is codegen string
+expressions: zero Python anywhere, and every step is reproducible in
+ANSI SQL, so the operator is hash-oracled.
+
+Semantics implemented (RFC 9309, documented subset):
+
+* line split on ``\\n``; ``#`` comments stripped; ``\\r`` and
+  horizontal whitespace trimmed,
+* directives matched case-insensitively: ``user-agent``, ``allow``,
+  ``disallow``; unknown directives ignored,
+* GROUPS: consecutive ``user-agent`` lines stack onto one group; a
+  ``user-agent`` line after at least one rule line starts a new group
+  (§2.2.1 — the standard running-group construction),
+* group selection (§2.2.1): if any group names the agent exactly
+  (case-insensitive), ONLY those groups apply; otherwise the ``*``
+  groups; otherwise no rules (everything allowed),
+* rule matching (§2.2.2): ``*`` wildcards anywhere in the path
+  pattern, ``$`` end-anchor, longest-PATTERN-match wins, ties go to
+  ``allow``; empty rule values are ignored; no matching rule =
+  allowed,
+* matching is implemented by compiling each pattern to a SQL ``LIKE``
+  pattern (escape ``%``/``_``/``\\``, ``*`` → ``%``, trailing ``$``
+  strips the implicit suffix wildcard) — identical semantics in Spark
+  and DuckDB, which is what makes the oracle exact.
+
+Reference analog: none (the reference repo is a series detector); this
+operator is brief-driven (webtext payload axis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVE = r"^(?i)(user-agent|allow|disallow)\s*:\s*(.*)$"
+
+
+def _like_escape(col: Column) -> Column:
+    """Escape SQL-LIKE metacharacters, then map robots ``*`` → ``%``."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, "%", r"\\%")
+    c = F.regexp_replace(c, "_", r"\\_")
+    return F.regexp_replace(c, r"\*", "%")
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-domain robots.txt bodies into the rule table for one
+    user agent: ``(domain, rule_type 'allow'|'disallow', path_pattern,
+    pattern_len, like_pattern)``.
+
+    ``pattern_len`` is the octet length of the raw pattern (the RFC's
+    longest-match key); ``like_pattern`` is the compiled SQL LIKE form
+    (no trailing ``%`` when the pattern was ``$``-anchored)."""
+    agent_lc = agent.lower()
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "_raw"),
+    ).select(
+        "domain",
+        "idx",
+        # strip comment, then surrounding whitespace/CR
+        F.trim(
+            F.regexp_replace(F.regexp_replace("_raw", "#.*$", ""), "\r", "")
+        ).alias("line"),
+    )
+    parsed = lines.select(
+        "domain",
+        "idx",
+        F.lower(F.regexp_extract("line", _DIRECTIVE, 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", _DIRECTIVE, 2)).alias("value"),
+    ).filter(F.col("directive") != "")
+
+    w = Window.partitionBy("domain").orderBy("idx")
+    is_ua = F.col("directive") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    # a UA line NOT preceded by a UA line opens a new group
+    parsed = parsed.withColumn(
+        "group_id",
+        F.sum(F.when(is_ua & ~prev_ua, 1).otherwise(0)).over(w),
+    )
+
+    ua = parsed.filter(is_ua).select(
+        "domain", "group_id", F.lower("value").alias("ua")
+    )
+    # group ranking per domain: any exact-agent group beats '*' groups
+    grp = ua.groupBy("domain", "group_id").agg(
+        F.max((F.col("ua") == agent_lc).cast("int")).alias("is_exact"),
+        F.max((F.col("ua") == "*").cast("int")).alias("is_star"),
+    )
+    has_exact = grp.groupBy("domain").agg(
+        F.max("is_exact").alias("_has_exact")
+    )
+    chosen = (
+        grp.join(has_exact, "domain")
+        .filter(
+            F.when(F.col("_has_exact") == 1, F.col("is_exact") == 1).otherwise(
+                F.col("is_star") == 1
+            )
+        )
+        .select("domain", "group_id")
+    )
+
+    rules = parsed.filter(
+        F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
+    ).join(chosen, ["domain", "group_id"])
+    anchored = F.col("value").endswith("$")
+    raw = F.when(
+        anchored, F.expr("substring(value, 1, length(value) - 1)")
+    ).otherwise(F.col("value"))
+    return rules.select(
+        "domain",
+        F.col("directive").alias("rule_type"),
+        F.col("value").alias("path_pattern"),
+        F.length("value").alias("pattern_len"),
+        F.when(anchored, _like_escape(raw)).otherwise(
+            F.concat(_like_escape(raw), F.lit("%"))
+        ).alias("like_pattern"),
+    ).distinct()
+
+
+def url_path(url: Column) -> Column:
+    """Path component (incl. query) of an absolute URL — everything
+    from the first ``/`` after the authority; ``/`` when absent."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)?$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Gate a URL frame against a parsed rule table: adds
+    ``(path, matched_pattern, matched_type, crawl_allowed)`` — the
+    longest matching pattern decides, ``allow`` wins length ties, no
+    match = allowed.
+
+    Join shape: ONE equi-join on domain (rules are the bounded side —
+    broadcast below the threshold, shuffled hash join above; either
+    way never a theta join), then a groupBy on the URL row's key
+    taking ``max(struct(pattern_len, allow_bit, pattern))`` — the
+    longest-match/allow-ties rule as a single aggregate, no window
+    over the data-sized frame."""
+    u = urls.withColumn("path", url_path(F.col(url_col)))
+    cand = u.join(
+        rules.withColumnRenamed("domain", "_rdom"),
+        (F.col(domain_col) == F.col("_rdom"))
+        & F.expr("path LIKE like_pattern"),
+        "left",
+    )
+    best = F.max(
+        F.when(
+            F.col("rule_type").isNotNull(),
+            F.struct(
+                F.col("pattern_len").alias("l"),
+                (F.col("rule_type") == "allow").cast("int").alias("a"),
+                F.col("path_pattern").alias("p"),
+            ),
+        )
+    ).alias("_best")
+    out_cols = [F.col(c) for c in urls.columns]
+    agg = cand.groupBy(*[F.col(c) for c in urls.columns], F.col("path")).agg(
+        best
+    )
+    return agg.select(
+        *out_cols,
+        "path",
+        F.col("_best.p").alias("matched_pattern"),
+        F.when(F.col("_best").isNull(), None)
+        .when(F.col("_best.a") == 1, "allow")
+        .otherwise("disallow")
+        .alias("matched_type"),
+        (
+            F.col("_best").isNull() | (F.col("_best.a") == 1)
+        ).alias("crawl_allowed"),
+    )

@@ -1,0 +1,184 @@
+"""robots.txt parsing + URL gating (operators/robots.py): RFC 9309
+semantics pinned against a pure-Python mirror on randomized bodies,
+plus the documented edge cases."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetector_spark.operators.robots import (
+    parse_robots_rules,
+    robots_gate,
+    url_path,
+)
+
+
+# ---------------------------------------------------------------- mirror
+def _mirror_parse(body: str, agent: str):
+    """Independent pure-Python parse: groups, agent selection, rules."""
+    groups, cur_uas, cur_rules, in_ua_run = [], [], [], False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].replace("\r", "").strip()
+        if not line or ":" not in line:
+            continue
+        d, v = line.split(":", 1)
+        d, v = d.strip().lower(), v.strip()
+        if d == "user-agent":
+            if not in_ua_run:
+                if cur_uas:
+                    groups.append((cur_uas, cur_rules))
+                cur_uas, cur_rules = [], []
+            cur_uas.append(v.lower())
+            in_ua_run = True
+        elif d in ("allow", "disallow"):
+            in_ua_run = False
+            if v:
+                cur_rules.append((d, v))
+        # unknown directives (crawl-delay, sitemap, ...) are ignored
+        # ENTIRELY — they neither join a group nor break a user-agent
+        # run (RFC 9309 grouping is defined only over startgroupline
+        # and rule lines)
+    if cur_uas:
+        groups.append((cur_uas, cur_rules))
+    exact = [g for g in groups if agent.lower() in g[0]]
+    chosen = exact or [g for g in groups if "*" in g[0]]
+    out = set()
+    for _, rules in chosen:
+        out.update(rules)
+    return out
+
+
+def _mirror_match(path: str, rules):
+    import re
+
+    best = None
+    for rtype, pat in rules:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
+        rx = "^" + rx + ("$" if anchored else ".*")
+        if re.match(rx, path):
+            key = (len(pat), 1 if rtype == "allow" else 0, pat)
+            if best is None or key > best:
+                best = key
+    if best is None:
+        return None, None, True
+    return best[2], ("allow" if best[1] else "disallow"), best[1] == 1
+
+
+def _random_body(rnd: random.Random) -> str:
+    segs = ["/a/", "/b/", "/a/b/", "/c", "/a/*.pdf$", "/b/*x", "/"]
+    lines = []
+    for _ in range(rnd.randint(1, 3)):
+        for _ in range(rnd.randint(1, 2)):
+            lines.append(
+                "User-agent: " + rnd.choice(["*", "crawler", "gptbot"])
+            )
+        for _ in range(rnd.randint(0, 4)):
+            lines.append(
+                rnd.choice(["Allow", "Disallow"]) + ": "
+                + rnd.choice(segs + [""])
+            )
+        if rnd.random() < 0.5:
+            lines.append("Crawl-delay: 3")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def test_robots_randomized_vs_mirror(spark):
+    rnd = random.Random(77)
+    bodies = [(f"d{i}.com", _random_body(rnd)) for i in range(12)]
+    robots = spark.createDataFrame(bodies, "domain string, robots_txt string")
+    paths = ["/", "/a/x", "/a/b/y", "/b/zzx", "/a/f.pdf", "/c", "/q"]
+    urls = spark.createDataFrame(
+        [
+            (i * 10 + j, f"https://{d}{p}", d)
+            for i, (d, _) in enumerate(bodies)
+            for j, p in enumerate(paths)
+        ],
+        "id long, url string, domain string",
+    )
+    for agent in ("*", "crawler"):
+        rules = parse_robots_rules(robots, agent=agent)
+        got = {
+            r.id: (r.matched_pattern, r.matched_type, r.crawl_allowed)
+            for r in robots_gate(urls, rules).collect()
+        }
+        for i, (d, body) in enumerate(bodies):
+            mirror_rules = _mirror_parse(body, agent)
+            for j, p in enumerate(paths):
+                want = _mirror_match(p, mirror_rules)
+                assert got[i * 10 + j] == want, (
+                    agent, d, p, got[i * 10 + j], want, body
+                )
+
+
+def test_robots_rfc_cases(spark):
+    body = (
+        "User-agent: gptbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+        "Disallow: /tmp/*.pdf$\nDisallow:\nCrawl-delay: 10\n\n"
+        "User-agent: specialbot\nUser-agent: otherbot\nAllow: /private/\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", body)], "domain string, robots_txt string"
+    )
+    star = {
+        (r.rule_type, r.path_pattern)
+        for r in parse_robots_rules(robots, agent="*").collect()
+    }
+    # empty disallow and crawl-delay ignored; only the * group applies
+    assert star == {
+        ("disallow", "/private/"),
+        ("allow", "/private/ok/"),
+        ("disallow", "/tmp/*.pdf$"),
+    }
+    # exact group fully replaces * (RFC: only the most specific applies)
+    special = {
+        (r.rule_type, r.path_pattern)
+        for r in parse_robots_rules(robots, agent="SpecialBot").collect()
+    }
+    assert special == {("allow", "/private/")}
+    gpt = {
+        (r.rule_type, r.path_pattern)
+        for r in parse_robots_rules(robots, agent="gptbot").collect()
+    }
+    assert gpt == {("disallow", "/")}
+
+
+def test_url_path_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x/y?q=1",),
+            ("http://a.com",),
+            ("https://u:p@a.com:8443/z",),
+        ],
+        "u string",
+    )
+    got = [r.p for r in df.select(url_path(F.col("u")).alias("p")).collect()]
+    assert got == ["/x/y?q=1", "/", "/z"]
+
+
+def test_robots_gate_plan_is_single_equi_join(spark):
+    """100-TB shape: the gate is one equi-join on domain + aggregate —
+    no cartesian/nested-loop over the URL frame."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/p/x", "a.com")], "id long, url string, domain string"
+    )
+    out = robots_gate(urls, parse_robots_rules(robots))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # zero Python
+    row = out.collect()[0]
+    assert row.crawl_allowed is False
