@@ -1627,6 +1627,43 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_card_redaction(spark, sf_dir):
+    """Luhn-validated payment-card redaction (operators/scrub.
+    redact_card_numbers): texts synthesized from doc_id embed a
+    16-digit candidate (space-grouped for doc_id%3==0) whose validity
+    NEITHER side knows in advance — the Spark operator decides via the
+    codegen Luhn fold, and the DuckDB oracle INDEPENDENTLY recomputes
+    the checksum with its own list arithmetic, so a single mod-10 slip
+    on either side hash-mismatches. Valid candidates are replaced with
+    <CARD>, invalid digit runs (and the doc-id run in the prefix) must
+    survive untouched."""
+    from anomalydetector_spark.operators.scrub import redact_card_numbers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d16 = F.lpad(
+        (
+            (F.col("doc_id") * F.col("doc_id") + F.lit(7))
+            % F.lit(10_000_000_000_000_000)
+        ).cast("string"),
+        16,
+        "0",
+    )
+    spaced = F.concat_ws(
+        " ",
+        F.substring(d16, 1, 4), F.substring(d16, 5, 4),
+        F.substring(d16, 9, 4), F.substring(d16, 13, 4),
+    )
+    card = F.when(F.col("doc_id") % 3 == 0, spaced).otherwise(d16)
+    text = F.concat(
+        F.lit("invoice "), F.col("doc_id").cast("string"),
+        F.lit(" total card "), card, F.lit(" end"),
+    )
+    out = redact_card_numbers(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id", "n_cards", F.col("text").alias("redacted")
+    )
+
+
 def q_domain_blocklist(spark, sf_dir):
     """UT1-style domain blocklist flags (operators/urls.domain_blocklist_flags):
     messy URLs synthesized from doc_id (the url_canonical_dedup formula —
@@ -3493,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srcnn_features_gate": q_srcnn_features_gate,
         "srcnn_train_windows_gate": q_srcnn_train_windows_gate,
         "robots_gate": q_robots_gate,
+        "card_redaction": q_card_redaction,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
@@ -5346,6 +5384,39 @@ def oracle_sql() -> dict[str, str]:
         # derived-invariant gates for the seeded/approximate paths: the
         # oracle computes the exact (SQL-expressible) halves and asserts
         # the deterministic booleans the Spark query derives
+        "card_redaction": """
+            WITH base AS (
+              SELECT doc_id,
+                     lpad(((doc_id * doc_id + 7) % 10000000000000000)
+                          ::VARCHAR, 16, '0') AS d16
+              FROM documents),
+            built AS (
+              SELECT doc_id, d16,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       substring(d16, 1, 4) || ' ' || substring(d16, 5, 4)
+                       || ' ' || substring(d16, 9, 4) || ' '
+                       || substring(d16, 13, 4)
+                     ELSE d16 END AS card,
+                     list_sum(list_transform(range(1, 17), i ->
+                       CASE WHEN (16 - i + 1) % 2 = 0 THEN
+                         2 * substring(d16, i, 1)::INT
+                         - CASE WHEN substring(d16, i, 1)::INT > 4
+                           THEN 9 ELSE 0 END
+                       ELSE substring(d16, i, 1)::INT END)) % 10 = 0
+                       AS valid
+              FROM base),
+            txt AS (
+              SELECT doc_id, valid,
+                     'invoice ' || doc_id::VARCHAR || ' total card '
+                     || card || ' end' AS text,
+                     card
+              FROM built)
+            SELECT doc_id,
+                   CASE WHEN valid THEN 1 ELSE 0 END::INT AS n_cards,
+                   CASE WHEN valid THEN replace(text, card, '<CARD>')
+                        ELSE text END AS redacted
+            FROM txt
+        """,
         "robots_gate": """
             WITH u AS (
               SELECT doc_id,

@@ -232,3 +232,74 @@ def pii_profile(
             F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
         )
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# payment-card redaction: regex candidates + Luhn checksum validation
+# ---------------------------------------------------------------------------
+
+#: 13-19 digits with optional single space/dash separators, not embedded
+#: in a longer digit run. Deliberately RE2-compatible (word boundaries,
+#: no lookaround) so the DuckDB oracle extracts the SAME candidates.
+CARD_CANDIDATE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+CARD_TOKEN = "<CARD>"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digits-only string column — pure codegen:
+    ``aggregate(sequence(1, n), ...)`` summing each digit doubled when
+    its position FROM THE RIGHT is even (the standard mod-10 scheme,
+    doubled digits > 9 reduced by 9), valid iff the sum ≡ 0 (mod 10).
+    NULL-safe: NULL in → NULL out; empty string → false."""
+    n = F.length(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            # position from the right
+            (n - i + 1) % 2 == 0,
+            # doubled, digit-summed: 2d - 9·(d > 4)
+            F.substring(digits, i, 1).cast("int") * 2
+            - F.when(F.substring(digits, i, 1).cast("int") > 4, 9).otherwise(
+                0
+            ),
+        ).otherwise(F.substring(digits, i, 1).cast("int")),
+    )
+    return F.when(n > 0, total % 10 == 0).otherwise(F.lit(False))
+
+
+def redact_card_numbers(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    count_col: str = "n_cards",
+) -> DataFrame:
+    """Redact payment-card numbers: regex CANDIDATES (13-19 digit runs
+    with optional single separators) are kept only when the separator-
+    stripped digits pass the Luhn checksum — a bare regexp_replace
+    would nuke order numbers and timestamps; the checksum keeps the
+    false-positive rate where a production PII pass needs it.
+
+    Everything is codegen higher-order functions: ``regexp_extract_all``
+    finds candidates in-row, ``filter`` + :func:`luhn_valid` validates,
+    and a left fold of literal ``replace`` calls rewrites each VALID
+    match to ``<CARD>`` (candidates are non-overlapping — the regex
+    consumes whole digit runs — so literal replacement is exact).
+    Adds ``out_col`` (default: in place) and ``count_col``."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE), 0
+    )
+    valid = F.filter(
+        cands,
+        lambda m: luhn_valid(F.regexp_replace(m, r"[ -]", "")),
+    )
+    redacted = F.aggregate(
+        valid,
+        F.col(text_col),
+        lambda acc, m: F.replace(acc, m, F.lit(CARD_TOKEN)),
+    )
+    return df.withColumn(count_col, F.size(valid)).withColumn(
+        out_col or text_col, redacted
+    )

@@ -197,3 +197,57 @@ def test_literal_separator_not_regex(spark):
     )
     assert [r.line for r in doc_lines(df2, sep="|").orderBy("pos").collect()] \
         == ["a", "bb", "ccc"]
+
+
+def test_luhn_card_redaction(spark):
+    """Luhn-gated card redaction: known-valid test numbers (Visa 16,
+    AmEx 15 with dashes) redact; checksum-off-by-one, too-short,
+    too-long, and embedded-in-longer-run candidates survive; the fold
+    replaces ALL valid matches and counts them."""
+    from anomalydetector_spark.operators.scrub import (
+        luhn_valid,
+        redact_card_numbers,
+    )
+
+    rows = [
+        (1, "pay 4539148803436467 now"),                   # valid visa
+        (2, "pay 4539148803436468 now"),                   # bad checksum
+        (3, "amex 3782-822463-10005 ok"),                  # valid amex
+        (4, "two 4539148803436467 and 5555 5555 5555 4444 cards"),
+        (5, "ts 20250101120000123456 x"),                  # 20 digits
+        (6, "short 123456789012 run"),                     # 12 digits
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_cards, r.text)
+           for r in redact_card_numbers(df).collect()}
+    assert got[1] == (1, "pay <CARD> now")
+    assert got[2] == (0, "pay 4539148803436468 now")
+    assert got[3] == (1, "amex <CARD> ok")
+    assert got[4] == (2, "two <CARD> and <CARD> cards")
+    assert got[5][0] == 0 and got[6][0] == 0
+    assert got[7][1] is None
+
+    # luhn_valid against python mirror on random digit strings
+    import random
+    rnd = random.Random(3)
+    cases = ["".join(rnd.choice("0123456789") for _ in range(rnd.randint(1, 19)))
+             for _ in range(60)] + ["", "0", "00", "059"]
+
+    def mirror(d):
+        if not d:
+            return False
+        tot = 0
+        for r, ch in enumerate(reversed(d), 1):
+            x = int(ch)
+            if r % 2 == 0:
+                x = x * 2
+                if x > 9:
+                    x -= 9
+            tot += x
+        return tot % 10 == 0
+
+    vdf = spark.createDataFrame([(c,) for c in cases], "d string")
+    got_v = [r.v for r in vdf.select(
+        luhn_valid(F.col("d")).alias("v")).collect()]
+    assert got_v == [mirror(c) for c in cases]
