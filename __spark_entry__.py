@@ -1664,6 +1664,51 @@ def q_card_redaction(spark, sf_dir):
     )
 
 
+def q_robots_schedule(spark, sf_dir):
+    """Crawl-politeness scheduling (operators/robots.parse_crawl_delays
+    + politeness_schedule): per-domain crawl delays parsed from the
+    same two literal policies as robots_gate (even sites declare
+    Crawl-delay: 7 in the '*' group; odd sites declare none and fall
+    back to the 1s fleet default), then every synthesized URL gets its
+    deterministic fetch offset (rank-within-domain x delay). The
+    oracle re-derives delays from the documented parse and replays the
+    rank arithmetic with its own window function."""
+    from anomalydetector_spark.operators.robots import (
+        parse_crawl_delays,
+        politeness_schedule,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dom = F.concat(
+        F.lit("site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org"),
+    )
+    urls = docs.select(
+        "doc_id",
+        dom.alias("domain"),
+        F.concat(
+            F.lit("https://"), dom, F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"site-{i}.example.org",
+                _ROBOTS_EVEN if i % 2 == 0 else _ROBOTS_ODD,
+            )
+            for i in range(7)
+        ],
+        "domain string, robots_txt string",
+    )
+    delays = parse_crawl_delays(robots, agent="*")
+    out = politeness_schedule(urls, delays, default_delay=1.0)
+    return out.select(
+        "doc_id", "domain", "effective_delay", "fetch_offset_s"
+    )
+
+
 def q_domain_blocklist(spark, sf_dir):
     """UT1-style domain blocklist flags (operators/urls.domain_blocklist_flags):
     messy URLs synthesized from doc_id (the url_canonical_dedup formula —
@@ -3531,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srcnn_train_windows_gate": q_srcnn_train_windows_gate,
         "robots_gate": q_robots_gate,
         "card_redaction": q_card_redaction,
+        "robots_schedule": q_robots_schedule,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
@@ -5416,6 +5462,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN valid THEN replace(text, card, '<CARD>')
                         ELSE text END AS redacted
             FROM txt
+        """,
+        "robots_schedule": """
+            WITH u AS (
+              SELECT doc_id,
+                     'site-' || (doc_id % 7)::VARCHAR || '.example.org'
+                       AS domain,
+                     (doc_id % 7) % 2 = 0 AS even,
+                     'https://site-' || (doc_id % 7)::VARCHAR
+                       || '.example.org/p' || doc_id::VARCHAR AS url
+              FROM documents),
+            d AS (
+              SELECT *,
+                     CASE WHEN even THEN 7.0 ELSE 1.0 END AS eff,
+                     row_number() OVER
+                       (PARTITION BY domain ORDER BY url) AS rn
+              FROM u)
+            SELECT doc_id, domain, eff AS effective_delay,
+                   (rn - 1) * eff AS fetch_offset_s
+            FROM d
         """,
         "robots_gate": """
             WITH u AS (

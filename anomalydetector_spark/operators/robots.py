@@ -42,7 +42,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DIRECTIVE = r"^(?i)(user-agent|allow|disallow)\s*:\s*(.*)$"
+# recognized group directives; ``sitemap`` is handled separately (it is
+# global/cross-group by convention, so it must not perturb grouping)
+_DIRECTIVE = r"^(?i)(user-agent|allow|disallow|crawl-delay)\s*:\s*(.*)$"
+_SITEMAP = r"^(?i)sitemap\s*:\s*(.*)$"
 
 
 def _like_escape(col: Column) -> Column:
@@ -51,6 +54,70 @@ def _like_escape(col: Column) -> Column:
     c = F.regexp_replace(c, "%", r"\\%")
     c = F.regexp_replace(c, "_", r"\\_")
     return F.regexp_replace(c, r"\*", "%")
+
+
+def _lines(robots: DataFrame, domain_col: str, text_col: str) -> DataFrame:
+    return robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "_raw"),
+    ).select(
+        "domain",
+        "idx",
+        # strip comment, then surrounding whitespace/CR
+        F.trim(
+            F.regexp_replace(F.regexp_replace("_raw", "#.*$", ""), "\r", "")
+        ).alias("line"),
+    )
+
+
+def _grouped_directives(
+    robots: DataFrame, domain_col: str, text_col: str
+) -> DataFrame:
+    """Recognized group directives with their group attribution:
+    ``(domain, idx, directive, value, group_id)``. ``crawl-delay``
+    counts as a rule line for grouping (the engines that honor it —
+    Bing/Yandex — treat it per group), so it ends a user-agent run
+    exactly like allow/disallow; unknown directives and sitemap lines
+    are invisible to grouping."""
+    parsed = _lines(robots, domain_col, text_col).select(
+        "domain",
+        "idx",
+        F.lower(F.regexp_extract("line", _DIRECTIVE, 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", _DIRECTIVE, 2)).alias("value"),
+    ).filter(F.col("directive") != "")
+
+    w = Window.partitionBy("domain").orderBy("idx")
+    is_ua = F.col("directive") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    # a UA line NOT preceded by a UA line opens a new group
+    return parsed.withColumn(
+        "group_id",
+        F.sum(F.when(is_ua & ~prev_ua, 1).otherwise(0)).over(w),
+    )
+
+
+def _chosen_groups(parsed: DataFrame, agent: str) -> DataFrame:
+    """Group ids that apply to ``agent`` per domain: exact-agent groups
+    when any exist, else the ``*`` groups (RFC 9309 §2.2.1)."""
+    ua = parsed.filter(F.col("directive") == "user-agent").select(
+        "domain", "group_id", F.lower("value").alias("ua")
+    )
+    grp = ua.groupBy("domain", "group_id").agg(
+        F.max((F.col("ua") == agent.lower()).cast("int")).alias("is_exact"),
+        F.max((F.col("ua") == "*").cast("int")).alias("is_star"),
+    )
+    has_exact = grp.groupBy("domain").agg(
+        F.max("is_exact").alias("_has_exact")
+    )
+    return (
+        grp.join(has_exact, "domain")
+        .filter(
+            F.when(F.col("_has_exact") == 1, F.col("is_exact") == 1).otherwise(
+                F.col("is_star") == 1
+            )
+        )
+        .select("domain", "group_id")
+    )
 
 
 def parse_robots_rules(
@@ -66,54 +133,8 @@ def parse_robots_rules(
     ``pattern_len`` is the octet length of the raw pattern (the RFC's
     longest-match key); ``like_pattern`` is the compiled SQL LIKE form
     (no trailing ``%`` when the pattern was ``$``-anchored)."""
-    agent_lc = agent.lower()
-    lines = robots.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "_raw"),
-    ).select(
-        "domain",
-        "idx",
-        # strip comment, then surrounding whitespace/CR
-        F.trim(
-            F.regexp_replace(F.regexp_replace("_raw", "#.*$", ""), "\r", "")
-        ).alias("line"),
-    )
-    parsed = lines.select(
-        "domain",
-        "idx",
-        F.lower(F.regexp_extract("line", _DIRECTIVE, 1)).alias("directive"),
-        F.trim(F.regexp_extract("line", _DIRECTIVE, 2)).alias("value"),
-    ).filter(F.col("directive") != "")
-
-    w = Window.partitionBy("domain").orderBy("idx")
-    is_ua = F.col("directive") == "user-agent"
-    prev_ua = F.lag(is_ua, 1, False).over(w)
-    # a UA line NOT preceded by a UA line opens a new group
-    parsed = parsed.withColumn(
-        "group_id",
-        F.sum(F.when(is_ua & ~prev_ua, 1).otherwise(0)).over(w),
-    )
-
-    ua = parsed.filter(is_ua).select(
-        "domain", "group_id", F.lower("value").alias("ua")
-    )
-    # group ranking per domain: any exact-agent group beats '*' groups
-    grp = ua.groupBy("domain", "group_id").agg(
-        F.max((F.col("ua") == agent_lc).cast("int")).alias("is_exact"),
-        F.max((F.col("ua") == "*").cast("int")).alias("is_star"),
-    )
-    has_exact = grp.groupBy("domain").agg(
-        F.max("is_exact").alias("_has_exact")
-    )
-    chosen = (
-        grp.join(has_exact, "domain")
-        .filter(
-            F.when(F.col("_has_exact") == 1, F.col("is_exact") == 1).otherwise(
-                F.col("is_star") == 1
-            )
-        )
-        .select("domain", "group_id")
-    )
+    parsed = _grouped_directives(robots, domain_col, text_col)
+    chosen = _chosen_groups(parsed, agent)
 
     rules = parsed.filter(
         F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
@@ -189,4 +210,88 @@ def robots_gate(
         (
             F.col("_best").isNull() | (F.col("_best.a") == 1)
         ).alias("crawl_allowed"),
+    )
+
+
+def parse_crawl_delays(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-domain crawl delay for one agent: ``(domain, crawl_delay)``
+    — the MINIMUM numeric ``crawl-delay`` value across the agent's
+    chosen groups (conservative politeness when a file redundantly
+    states several); non-numeric values are ignored via ``try_cast``.
+    Domains without a usable delay emit no row — join left and
+    coalesce with your fleet default."""
+    parsed = _grouped_directives(robots, domain_col, text_col)
+    chosen = _chosen_groups(parsed, agent)
+    delays = (
+        parsed.filter(F.col("directive") == "crawl-delay")
+        .join(chosen, ["domain", "group_id"])
+        .select(
+            "domain",
+            F.col("value").try_cast("double").alias("_d"),
+        )
+        .filter(F.col("_d").isNotNull() & (F.col("_d") >= 0))
+    )
+    return delays.groupBy("domain").agg(
+        F.min("_d").alias("crawl_delay")
+    )
+
+
+def parse_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``(domain, sitemap_url)`` — sitemap lines are global (valid
+    anywhere in the file, independent of user-agent groups), so this
+    is a straight line filter, distinct'd."""
+    return (
+        _lines(robots, domain_col, text_col)
+        .select(
+            "domain",
+            F.trim(F.regexp_extract("line", _SITEMAP, 1)).alias(
+                "sitemap_url"
+            ),
+        )
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Fetch-offset assignment under per-domain crawl delays: each
+    URL gets ``fetch_offset_s = (rank − 1) · delay`` where rank is the
+    deterministic per-domain position (ordered by ``url_col``) and
+    delay comes from :func:`parse_crawl_delays` (``default_delay``
+    where absent). The frontier-shard planning step: offsets say how
+    long a polite single-connection crawl of each domain takes, and
+    ``max(fetch_offset_s)`` per domain is the domain's wall-clock
+    lower bound (the skew signal for frontier sharding).
+
+    Shape: one broadcast-or-shuffle equi-join on domain + one window
+    partitioned by domain. A pathological hot domain makes a hot
+    window partition — the same documented hot-key behavior as every
+    per-domain stage; the schedule itself is what PROVES the hot
+    domain is wall-clock-bound no matter how executors are sized."""
+    w = Window.partitionBy(domain_col).orderBy(url_col)
+    joined = urls.join(F.broadcast(delays), domain_col, "left")
+    return joined.select(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce(F.col("crawl_delay"), F.lit(default_delay)).alias(
+            "effective_delay"
+        ),
+        (
+            (F.row_number().over(w) - F.lit(1))
+            * F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+        ).alias("fetch_offset_s"),
     )

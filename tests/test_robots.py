@@ -35,10 +35,14 @@ def _mirror_parse(body: str, agent: str):
             in_ua_run = False
             if v:
                 cur_rules.append((d, v))
-        # unknown directives (crawl-delay, sitemap, ...) are ignored
-        # ENTIRELY — they neither join a group nor break a user-agent
-        # run (RFC 9309 grouping is defined only over startgroupline
-        # and rule lines)
+        elif d == "crawl-delay":
+            # recognized group directive (Bing/Yandex semantics): ends
+            # a user-agent run like a rule line, but emits no path rule
+            in_ua_run = False
+        # unknown directives and sitemap lines are ignored ENTIRELY —
+        # they neither join a group nor break a user-agent run (RFC
+        # 9309 grouping is defined only over startgroupline and rule
+        # lines; sitemap is global by convention)
     if cur_uas:
         groups.append((cur_uas, cur_rules))
     exact = [g for g in groups if agent.lower() in g[0]]
@@ -182,3 +186,58 @@ def test_robots_gate_plan_is_single_equi_join(spark):
     assert "EvalPython" not in plan  # zero Python
     row = out.collect()[0]
     assert row.crawl_allowed is False
+
+
+def test_crawl_delay_sitemaps_and_schedule(spark):
+    from anomalydetector_spark.operators.robots import (
+        parse_crawl_delays,
+        parse_sitemaps,
+        politeness_schedule,
+    )
+
+    body_a = (
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x/\n\n"
+        "User-agent: fastbot\nCrawl-delay: 0.1\n\n"
+        "Sitemap: https://a.com/sm1.xml\n"
+        "sitemap: https://a.com/sm2.xml\n"
+    )
+    body_b = (
+        "User-agent: *\nCrawl-delay: notanumber\nCrawl-delay: 7\n"
+        "Crawl-delay: 3\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b), ("c.com", "User-agent: *\nDisallow: /q")],
+        "domain string, robots_txt string",
+    )
+    star = {r.domain: r.crawl_delay
+            for r in parse_crawl_delays(robots, agent="*").collect()}
+    # exact group replaces '*' for fastbot; min across redundant values;
+    # non-numeric ignored; no-delay domain absent
+    assert star == {"a.com": 2.5, "b.com": 3.0}
+    fast = {r.domain: r.crawl_delay
+            for r in parse_crawl_delays(robots, agent="fastbot").collect()}
+    assert fast["a.com"] == 0.1 and fast["b.com"] == 3.0
+    sm = {(r.domain, r.sitemap_url)
+          for r in parse_sitemaps(robots).collect()}
+    assert sm == {("a.com", "https://a.com/sm1.xml"),
+                  ("a.com", "https://a.com/sm2.xml")}
+    # crawl-delay must NOT leak into the path-rule table
+    from anomalydetector_spark.operators.robots import parse_robots_rules
+    rules = {(r.domain, r.rule_type, r.path_pattern)
+             for r in parse_robots_rules(robots, agent="*").collect()}
+    assert rules == {("a.com", "disallow", "/x/"),
+                     ("c.com", "disallow", "/q")}
+
+    urls = spark.createDataFrame(
+        [(i, f"https://a.com/p{i}", "a.com") for i in range(4)]
+        + [(9, "https://z.com/only", "z.com")],
+        "id long, url string, domain string",
+    )
+    sched = {r.id: (r.effective_delay, r.fetch_offset_s)
+             for r in politeness_schedule(
+                 urls, parse_crawl_delays(robots), default_delay=1.0
+             ).collect()}
+    # deterministic per-domain ordering by url: p0..p3 at 2.5s spacing
+    assert [sched[i] for i in range(4)] == [
+        (2.5, 0.0), (2.5, 2.5), (2.5, 5.0), (2.5, 7.5)]
+    assert sched[9] == (1.0, 0.0)  # unknown domain: fleet default
