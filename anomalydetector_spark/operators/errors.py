@@ -27,6 +27,10 @@ TEXT_EXTRACTION_MISMATCH = (
     'Column "{0}" is not byte-identical to the text extracted from "{1}".'
 )
 INCONSISTENT_KEY_TEXT = 'Rows sharing the same "{0}" disagree on text bytes.'
+ROBOTS_DISALLOWED = (
+    'Column "{0}" contains URLs the robots policy disallows for '
+    'agent "{1}".'
+)
 FD_VIOLATION = 'Functional dependency "{0}" -> "{1}" violated: some "{0}" values map to multiple "{1}" values.'
 ROBUST_OUTLIERS = (
     'Column "{0}" has values farther than {1}x the MAD from the '

@@ -241,3 +241,31 @@ def test_crawl_delay_sitemaps_and_schedule(spark):
     assert [sched[i] for i in range(4)] == [
         (2.5, 0.0), (2.5, 2.5), (2.5, 5.0), (2.5, 7.5)]
     assert sched[9] == (1.0, 0.0)  # unknown domain: fleet default
+
+
+def test_check_robots_compliance(spark):
+    from anomalydetector_spark.operators.robots import (
+        check_robots_compliance,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/"),
+         ("b.com", "User-agent: *\nAllow: /")],
+        "domain string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/ok", "a.com"),
+         (2, "https://a.com/private/leak", "a.com"),
+         (3, "https://b.com/anything", "b.com"),
+         (4, "https://c.com/unlisted", "c.com")],
+        "id long, url string, domain string",
+    )
+    res = check_robots_compliance(pages, robots, partition_by="domain")
+    v = {r.partition_key: r for r in res.verdicts.collect()}
+    assert not v["a.com"].passed and v["a.com"].violation_count == 1
+    assert "robots policy disallows" in v["a.com"].error_message
+    assert v["b.com"].passed and v["c.com"].passed
+    rows = res.violations.collect()
+    assert len(rows) == 1 and rows[0].url == "https://a.com/private/leak"
+    assert rows[0].matched_pattern == "/private/"
+    assert rows[0].check_name == "robots_compliance"
