@@ -1709,6 +1709,51 @@ def q_robots_schedule(spark, sf_dir):
     )
 
 
+def q_robots_compliance(spark, sf_dir):
+    """Robots compliance as an engine check (operators/robots.
+    check_robots_compliance): the robots_gate synthesis re-used as a
+    crawled-pages table, per-domain verdicts with counted violations.
+    The oracle derives every count from doc_id arithmetic (which path
+    variants each policy blocks) — rows_scanned, violation_count,
+    passed, and the exact error message all hash-checked."""
+    from anomalydetector_spark.operators.robots import (
+        check_robots_compliance,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dom = F.concat(
+        F.lit("site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org"),
+    )
+    did = F.col("doc_id").cast("string")
+    variant = F.col("doc_id") % 5
+    path = (
+        F.when(variant == 0, F.lit("/index.html"))
+        .when(variant == 1, F.concat(F.lit("/private/x"), did))
+        .when(variant == 2, F.concat(F.lit("/private/ok/x"), did))
+        .when(variant == 3, F.concat(F.lit("/tmp/f"), did, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/tmp/f"), did, F.lit(".x")))
+    )
+    pages = docs.select(
+        "doc_id",
+        dom.alias("domain"),
+        F.concat(F.lit("https://"), dom, path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"site-{i}.example.org",
+                _ROBOTS_EVEN if i % 2 == 0 else _ROBOTS_ODD,
+            )
+            for i in range(7)
+        ],
+        "domain string, robots_txt string",
+    )
+    res = check_robots_compliance(pages, robots, partition_by="domain")
+    return res.verdicts.orderBy("partition_key")
+
+
 def q_domain_blocklist(spark, sf_dir):
     """UT1-style domain blocklist flags (operators/urls.domain_blocklist_flags):
     messy URLs synthesized from doc_id (the url_canonical_dedup formula —
@@ -3577,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "card_redaction": q_card_redaction,
         "robots_schedule": q_robots_schedule,
+        "robots_compliance": q_robots_compliance,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
@@ -5462,6 +5508,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN valid THEN replace(text, card, '<CARD>')
                         ELSE text END AS redacted
             FROM txt
+        """,
+        "robots_compliance": """
+            WITH u AS (
+              SELECT doc_id,
+                     'site-' || (doc_id % 7)::VARCHAR || '.example.org'
+                       AS pk,
+                     (doc_id % 7) % 2 = 0 AS even,
+                     doc_id % 5 AS variant
+              FROM documents),
+            c AS (
+              SELECT pk,
+                     count(*)::BIGINT AS rows_scanned,
+                     count(*) FILTER (
+                       CASE WHEN even THEN variant IN (1, 3)
+                            ELSE variant IN (1, 2, 3) END
+                     )::BIGINT AS violation_count
+              FROM u GROUP BY 1)
+            SELECT 'robots_compliance' AS check_name,
+                   pk AS partition_key,
+                   violation_count = 0 AS passed,
+                   CASE WHEN violation_count > 0 THEN
+                     'Column "url" contains URLs the robots policy '
+                     || 'disallows for agent "*".'
+                   END AS error_message,
+                   violation_count,
+                   rows_scanned
+            FROM c ORDER BY pk
         """,
         "robots_schedule": """
             WITH u AS (

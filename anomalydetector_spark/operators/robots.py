@@ -167,21 +167,29 @@ def robots_gate(
     rules: DataFrame,
     url_col: str = "url",
     domain_col: str = "domain",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Gate a URL frame against a parsed rule table: adds
     ``(path, matched_pattern, matched_type, crawl_allowed)`` — the
     longest matching pattern decides, ``allow`` wins length ties, no
     match = allowed.
 
-    Join shape: ONE equi-join on domain (rules are the bounded side —
-    broadcast below the threshold, shuffled hash join above; either
-    way never a theta join), then a groupBy on the URL row's key
-    taking ``max(struct(pattern_len, allow_bit, pattern))`` — the
-    longest-match/allow-ties rule as a single aggregate, no window
-    over the data-sized frame."""
+    Join shape: ONE equi-join on domain, then a groupBy on the URL
+    row's key taking ``max(struct(pattern_len, allow_bit, pattern))``
+    — the longest-match/allow-ties rule as a single aggregate, no
+    window over the data-sized frame, never a theta join. The rules
+    side carries an explicit broadcast HINT by default: it comes out
+    of a window/join chain Catalyst cannot statically size, so
+    without the hint the 10^12-row URL side would sort-merge at plan
+    time (AQE usually rescues it at runtime — the hint makes the
+    right plan unconditional). Pass ``broadcast_rules=False`` for a
+    pathological rules table that outgrows executor memory."""
     u = urls.withColumn("path", url_path(F.col(url_col)))
+    r = rules.withColumnRenamed("domain", "_rdom")
+    if broadcast_rules:
+        r = F.broadcast(r)
     cand = u.join(
-        rules.withColumnRenamed("domain", "_rdom"),
+        r,
         (F.col(domain_col) == F.col("_rdom"))
         & F.expr("path LIKE like_pattern"),
         "left",

@@ -1531,6 +1531,51 @@ def main() -> None:
         ),
     )
 
+    # round-4 crawl-politeness + card-PII operators
+    from anomalydetector_spark.operators.robots import (
+        check_robots_compliance,
+        parse_robots_rules,
+        politeness_schedule,
+        parse_crawl_delays,
+        robots_gate,
+    )
+    from anomalydetector_spark.operators.scrub import redact_card_numbers
+
+    robots_dim = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/\nCrawl-delay: 2")],
+        "domain string, robots_txt string",
+    )
+    url_frame = pages.select(
+        F.col("url"), F.col("domain"), F.col("text")
+    )
+    gate_plan = plan_of(
+        robots_gate(url_frame, parse_robots_rules(robots_dim))
+    )
+    sched_plan = plan_of(
+        politeness_schedule(url_frame, parse_crawl_delays(robots_dim))
+    )
+    comp_plan = plan_of(
+        check_robots_compliance(url_frame, robots_dim, partition_by="domain").verdicts
+    )
+    card_plan = plan_of(redact_card_numbers(pages.select("url", "text")))
+    ok &= check(
+        "robots gate/schedule/compliance: zero Python, no cartesian — "
+        "rule/delay tables join as broadcast equi-joins",
+        all(
+            "EvalPython" not in p and "CartesianProduct" not in p
+            for p in (gate_plan, sched_plan, comp_plan)
+        )
+        and "Broadcast" in gate_plan
+        and "Broadcast" in sched_plan,
+    )
+    ok &= check(
+        "card redaction: pure in-row codegen (no shuffle, no Python, "
+        "no join)",
+        "EvalPython" not in card_plan
+        and "Exchange" not in card_plan
+        and "Join" not in card_plan,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
