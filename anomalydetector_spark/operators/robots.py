@@ -174,41 +174,56 @@ def robots_gate(
     longest matching pattern decides, ``allow`` wins length ties, no
     match = allowed.
 
-    Join shape: ONE equi-join on domain, then a groupBy on the URL
-    row's key taking ``max(struct(pattern_len, allow_bit, pattern))``
-    — the longest-match/allow-ties rule as a single aggregate, no
-    window over the data-sized frame, never a theta join. The rules
-    side carries an explicit broadcast HINT by default: it comes out
-    of a window/join chain Catalyst cannot statically size, so
-    without the hint the 10^12-row URL side would sort-merge at plan
-    time (AQE usually rescues it at runtime — the hint makes the
-    right plan unconditional). Pass ``broadcast_rules=False`` for a
-    pathological rules table that outgrows executor memory."""
-    u = urls.withColumn("path", url_path(F.col(url_col)))
-    r = rules.withColumnRenamed("domain", "_rdom")
-    if broadcast_rules:
-        r = F.broadcast(r)
-    cand = u.join(
-        r,
-        (F.col(domain_col) == F.col("_rdom"))
-        & F.expr("path LIKE like_pattern"),
-        "left",
-    )
-    best = F.max(
-        F.when(
-            F.col("rule_type").isNotNull(),
+    ZERO-SHUFFLE shape: the rules first collapse to ONE row per domain
+    carrying its rule ARRAY (an aggregation of the bounded side only),
+    then a single broadcast equi-join on domain attaches the array and
+    the longest-match/allow-ties selection runs IN-ROW —
+    ``filter(rules, r -> path LIKE r.pattern)`` + ``array_max`` over
+    (len, allow, pattern) structs. The 10^12-row URL side is never
+    shuffled, never aggregated, never windowed; because the whole gate
+    is a stateless projection + stream-static join it also runs
+    unchanged inside Structured Streaming. The broadcast HINT is on by
+    default (the per-domain array frame comes out of a window/join
+    chain Catalyst cannot statically size); pass
+    ``broadcast_rules=False`` for a rules table that outgrows executor
+    memory — the join then shuffles BOTH sides by domain, still never
+    the cartesian."""
+    per_domain = rules.groupBy("domain").agg(
+        F.collect_list(
             F.struct(
                 F.col("pattern_len").alias("l"),
                 (F.col("rule_type") == "allow").cast("int").alias("a"),
                 F.col("path_pattern").alias("p"),
+                F.col("like_pattern").alias("lp"),
+            )
+        ).alias("_rules")
+    ).withColumnRenamed("domain", "_rdom")
+    if broadcast_rules:
+        per_domain = F.broadcast(per_domain)
+    u = urls.withColumn("path", url_path(F.col(url_col)))
+    joined = u.join(
+        per_domain, F.col(domain_col) == F.col("_rdom"), "left"
+    )
+    path = F.col("path")
+    matched = F.filter(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast(
+                "array<struct<l int, a int, p string, lp string>>"
+            ),
+        ),
+        lambda r: F.like(path, r["lp"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["l"].alias("l"), r["a"].alias("a"), r["p"].alias("p")
             ),
         )
-    ).alias("_best")
-    out_cols = [F.col(c) for c in urls.columns]
-    agg = cand.groupBy(*[F.col(c) for c in urls.columns], F.col("path")).agg(
-        best
     )
-    return agg.select(
+    out_cols = [F.col(c) for c in urls.columns]
+    return joined.withColumn("_best", best).select(
         *out_cols,
         "path",
         F.col("_best.p").alias("matched_pattern"),

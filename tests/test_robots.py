@@ -269,3 +269,46 @@ def test_check_robots_compliance(spark):
     assert len(rows) == 1 and rows[0].url == "https://a.com/private/leak"
     assert rows[0].matched_pattern == "/private/"
     assert rows[0].check_name == "robots_compliance"
+
+
+def test_robots_gate_streams_stateless(spark, tmp_path):
+    """The zero-shuffle gate is a stateless projection + stream-static
+    broadcast join, so it runs unchanged inside Structured Streaming —
+    append mode, no watermark, no state store."""
+    from anomalydetector_spark.operators.robots import (
+        parse_robots_rules,
+        robots_gate,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/")],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    urls = spark.createDataFrame(
+        [(i, "a.com", f"https://a.com/{'p' if i % 2 else 'q'}/x{i}")
+         for i in range(40)],
+        "id long, domain string, url string",
+    )
+    src = str(tmp_path / "urls")
+    urls.write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, domain string, url string"
+    ).parquet(src)
+    q = (
+        robots_gate(stream, rules)
+        .writeStream.format("memory")
+        .queryName("robots_gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.id: r.crawl_allowed
+        for r in spark.sql("select * from robots_gate_stream").collect()
+    }
+    want = {r.id: r.crawl_allowed
+            for r in robots_gate(urls, rules).collect()}
+    assert got == want and len(got) == 40
+    assert all(got[i] == (i % 2 == 0) for i in got)
