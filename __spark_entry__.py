@@ -1754,6 +1754,47 @@ def q_robots_compliance(spark, sf_dir):
     return res.verdicts.orderBy("partition_key")
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-XML frontier seeding (operators/robots.
+    extract_sitemap_urls): per doc a synthetic urlset (entity-encoded
+    query string; lastmod only on even ids; a loc-less entry that must
+    drop) or, for doc_id%5==0, a sitemapindex block. The oracle
+    re-runs the same RE2-compatible block/loc/lastmod extraction and
+    entity decoding in DuckDB."""
+    from anomalydetector_spark.operators.robots import (
+        extract_sitemap_urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    urlset = F.concat(
+        F.lit("<urlset>\n<url><loc>https://s.com/u"), did,
+        F.lit("?a=1&amp;b=2</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<lastmod>2025-0"),
+                     (F.col("doc_id") % 9 + 1).cast("string"),
+                     F.lit("-01</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>\n<url><lastmod>x</lastmod></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s.com/sm"), did,
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 5 == 0, index).otherwise(urlset)
+    sm = docs.select(
+        "doc_id",
+        F.concat(F.lit("site-"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org")).alias("domain"),
+        xml.alias("sitemap_xml"),
+    )
+    out = extract_sitemap_urls(sm)
+    # re-attach doc_id via the loc suffix for a stable key? not needed:
+    # (domain, kind, loc, lastmod) is already unique per doc
+    return out.select("domain", "kind", "loc", "lastmod")
+
+
 def q_domain_blocklist(spark, sf_dir):
     """UT1-style domain blocklist flags (operators/urls.domain_blocklist_flags):
     messy URLs synthesized from doc_id (the url_canonical_dedup formula —
@@ -3623,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_redaction": q_card_redaction,
         "robots_schedule": q_robots_schedule,
         "robots_compliance": q_robots_compliance,
+        "sitemap_urls": q_sitemap_urls,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "session_stats_bucketed": q_session_stats_bucketed,
@@ -5508,6 +5550,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN valid THEN replace(text, card, '<CARD>')
                         ELSE text END AS redacted
             FROM txt
+        """,
+        "sitemap_urls": """
+            WITH d AS (
+              SELECT doc_id,
+                     'site-' || (doc_id % 7)::VARCHAR || '.example.org'
+                       AS domain
+              FROM documents)
+            SELECT domain,
+                   CASE WHEN doc_id % 5 = 0 THEN 'sitemap'
+                        ELSE 'url' END AS kind,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                     'https://s.com/sm' || doc_id::VARCHAR || '.xml'
+                   ELSE
+                     'https://s.com/u' || doc_id::VARCHAR || '?a=1&b=2'
+                   END AS loc,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 0 THEN
+                     '2025-0' || (doc_id % 9 + 1)::VARCHAR || '-01'
+                   END AS lastmod
+            FROM d
         """,
         "robots_compliance": """
             WITH u AS (

@@ -375,3 +375,58 @@ def check_robots_compliance(
         "matched_pattern",
     )
     return CheckResult(verdicts, violations)
+
+
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Frontier seeding from sitemap XML (sitemaps.org protocol):
+    ``(domain, kind 'url'|'sitemap', loc, lastmod)`` — one row per
+    ``<url>`` entry of a urlset or ``<sitemap>`` entry of a
+    sitemapindex. Pure codegen: the document splits on the closing
+    tags, each block yields its ``<loc>`` (required) and optional
+    ``<lastmod>`` via non-greedy regex, and the five predefined XML
+    entities are decoded. Sits downstream of
+    :func:`parse_sitemaps` (robots.txt points at the sitemap URLs;
+    this parses their fetched bodies) and upstream of
+    :func:`politeness_schedule` — the crawl-frontier loop closes
+    entirely inside the engine.
+
+    Not a full XML parser by design (no CDATA, namespaces beyond the
+    default, or nested urlsets — reject exotic feeds upstream); the
+    regexes are RE2-compatible so the DuckDB oracle extracts
+    identically."""
+    blocks = sitemaps.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.split(F.col(xml_col), r"</url>|</sitemap>")
+        ).alias("block"),
+    )
+    kind = F.when(
+        F.col("block").rlike(r"<url[\s>]"), F.lit("url")
+    ).when(F.col("block").rlike(r"<sitemap[\s>]"), F.lit("sitemap"))
+    loc = F.regexp_extract(
+        "block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1
+    )
+    lastmod = F.regexp_extract(
+        "block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+
+    def _decode(c: Column) -> Column:
+        c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+        c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+        c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+        c = F.replace(c, F.lit("&apos;"), F.lit("'"))
+        return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+    return (
+        blocks.select(
+            "domain",
+            kind.alias("kind"),
+            _decode(loc).alias("loc"),
+            F.when(lastmod != "", _decode(lastmod)).alias("lastmod"),
+        )
+        .filter(F.col("kind").isNotNull() & (F.col("loc") != ""))
+    )

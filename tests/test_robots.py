@@ -312,3 +312,36 @@ def test_robots_gate_streams_stateless(spark, tmp_path):
             for r in robots_gate(urls, rules).collect()}
     assert got == want and len(got) == 40
     assert all(got[i] == (i % 2 == 0) for i in got)
+
+
+def test_extract_sitemap_urls(spark):
+    from anomalydetector_spark.operators.robots import extract_sitemap_urls
+
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <url>\n    <loc>https://a.com/x?a=1&amp;b=2</loc>\n"
+        "    <lastmod>2025-06-01</lastmod>\n  </url>\n"
+        "  <url><loc> https://a.com/y </loc></url>\n"
+        "  <url><lastmod>2025-01-01</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>\n"
+        "  <sitemap><loc>https://b.com/sm1.xml</loc>"
+        "<lastmod>2025-02-03</lastmod></sitemap>\n"
+        "  <sitemap><loc>https://b.com/sm2.xml</loc></sitemap>\n"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index)],
+        "domain string, sitemap_xml string",
+    )
+    got = {(r.domain, r.kind, r.loc, r.lastmod)
+           for r in extract_sitemap_urls(df).collect()}
+    assert got == {
+        ("a.com", "url", "https://a.com/x?a=1&b=2", "2025-06-01"),
+        ("a.com", "url", "https://a.com/y", None),
+        ("b.com", "sitemap", "https://b.com/sm1.xml", "2025-02-03"),
+        ("b.com", "sitemap", "https://b.com/sm2.xml", None),
+    }
