@@ -1709,6 +1709,52 @@ def q_robots_schedule(spark, sf_dir):
     )
 
 
+def q_robots_schedule_bucketed(spark, sf_dir):
+    """Hot-domain-safe politeness schedule (operators/robots.
+    politeness_schedule_bucketed): same synthesis and SAME oracle
+    window arithmetic as robots_schedule, but ranks are produced by
+    the two-phase sampled-range-bucket + offset-repair path
+    (sample_mod=1 → the full key set is the sample, so bucketing is
+    deterministic at any SF). Hash-equality against the plain-window
+    oracle IS the set-equality proof the bucketed rewrite needs."""
+    from anomalydetector_spark.operators.robots import (
+        parse_crawl_delays,
+        politeness_schedule_bucketed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dom = F.concat(
+        F.lit("site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org"),
+    )
+    urls = docs.select(
+        "doc_id",
+        dom.alias("domain"),
+        F.concat(
+            F.lit("https://"), dom, F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"site-{i}.example.org",
+                _ROBOTS_EVEN if i % 2 == 0 else _ROBOTS_ODD,
+            )
+            for i in range(7)
+        ],
+        "domain string, robots_txt string",
+    )
+    delays = parse_crawl_delays(robots, agent="*")
+    out = politeness_schedule_bucketed(
+        urls, delays, default_delay=1.0, n_buckets=8, sample_mod=1
+    )
+    return out.select(
+        "doc_id", "domain", "effective_delay", "fetch_offset_s"
+    )
+
+
 def q_robots_compliance(spark, sf_dir):
     """Robots compliance as an engine check (operators/robots.
     check_robots_compliance): the robots_gate synthesis re-used as a
@@ -3605,6 +3651,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sr_scores_gate": q_sr_scores_gate,
+        "sr_drift_gate": q_sr_drift_gate,
+        "srcnn_features_gate": q_srcnn_features_gate,
+        "srcnn_train_windows_gate": q_srcnn_train_windows_gate,
+        "robots_gate": q_robots_gate,
+        "card_redaction": q_card_redaction,
+        "robots_schedule": q_robots_schedule,
+        "robots_compliance": q_robots_compliance,
+        "sitemap_urls": q_sitemap_urls,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
+        "session_stats_bucketed": q_session_stats_bucketed,
+        "pmi_collocations": q_pmi_collocations,
+        "session_funnel": q_session_funnel,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
+        "mad_outliers_events": q_mad_outliers_events,
+        "zorder_events": q_zorder_events,
+        "snapshot_diff": q_snapshot_diff,
+        "lang_divergence": q_lang_divergence,
+        "numeric_drift": q_numeric_drift,
+        "ks_drift": q_ks_drift,
+        "psi_drift": q_psi_drift,
+        "weighted_sample": q_weighted_sample,
+        "token_shards": q_token_shards,
+        "column_entropy": q_column_entropy,
+        "ranking_metrics": q_ranking_metrics,
+        "freshness_verdicts": q_freshness,
+        "json_schema_verdicts": q_json_schema,
+        "json_key_profile": q_json_profile,
+        "equidepth_drift": q_equidepth_drift,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "growth_accounting": q_growth_accounting,
+        "mutual_info": q_mutual_info,
+        "partition_churn": q_partition_churn,
+        "incremental_rows": q_incremental_rows,
+        "bm25": q_bm25,
+        "nb_classify": q_nb_classify,
+        "nb_confusion": q_nb_confusion,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bloom_frontier": q_bloom_frontier,
+        "spearman_corr": q_spearman,
+        "benford_digits": q_benford_digits,
+        "divergence_attribution_events": q_divergence_attribution,
+        "partition_balance_events": q_partition_balance,
+        "partition_sizes_events": q_partition_sizes,
+        "join_fanout_orders": q_join_fanout,
+        "fanout_histogram_lineitem": q_fanout_histogram,
+        "seasonal_volume_events": q_seasonal_volume,
+        "cusum_reference_daily": q_cusum_reference_daily,
+        "window_corr_lineitem": q_window_corr,
+        "pattern_profile_customer": q_pattern_profile,
+        "pattern_check_customer": q_pattern_check,
+        "reconcile_orders": q_reconcile,
+        "reconcile_verdict_orders": q_reconcile_verdict,
+        "spearman_window_lineitem": q_spearman_window,
+        "srcnn_train_windows": q_srcnn_train_windows,
         "multimodal_decode": q_multimodal_decode,
         "semdedup": q_semdedup,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -3655,66 +3758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_verdicts": q_benford,
         "topk_churn_events": q_topk_churn,
         "ewma_daily": q_ewma_daily,
-        "srcnn_train_windows": q_srcnn_train_windows,
-        "sr_scores_gate": q_sr_scores_gate,
-        "sr_drift_gate": q_sr_drift_gate,
-        "srcnn_features_gate": q_srcnn_features_gate,
-        "srcnn_train_windows_gate": q_srcnn_train_windows_gate,
-        "robots_gate": q_robots_gate,
-        "card_redaction": q_card_redaction,
-        "robots_schedule": q_robots_schedule,
-        "robots_compliance": q_robots_compliance,
-        "sitemap_urls": q_sitemap_urls,
-        "sessionize_events": q_sessionize_events,
-        "session_stats_events": q_session_stats_events,
-        "session_stats_bucketed": q_session_stats_bucketed,
-        "pmi_collocations": q_pmi_collocations,
-        "session_funnel": q_session_funnel,
-        "funnel_counts": q_funnel_counts,
-        "cohort_retention": q_cohort_retention,
-        "mad_outliers_events": q_mad_outliers_events,
-        "zorder_events": q_zorder_events,
-        "snapshot_diff": q_snapshot_diff,
-        "lang_divergence": q_lang_divergence,
-        "numeric_drift": q_numeric_drift,
-        "ks_drift": q_ks_drift,
-        "psi_drift": q_psi_drift,
-        "weighted_sample": q_weighted_sample,
-        "token_shards": q_token_shards,
-        "column_entropy": q_column_entropy,
-        "ranking_metrics": q_ranking_metrics,
-        "freshness_verdicts": q_freshness,
-        "json_schema_verdicts": q_json_schema,
-        "json_key_profile": q_json_profile,
-        "equidepth_drift": q_equidepth_drift,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "growth_accounting": q_growth_accounting,
-        "mutual_info": q_mutual_info,
-        "partition_churn": q_partition_churn,
-        "incremental_rows": q_incremental_rows,
-        "bm25": q_bm25,
-        "nb_classify": q_nb_classify,
-        "nb_confusion": q_nb_confusion,
-        "tfidf_keywords": q_tfidf_keywords,
-        "bloom_frontier": q_bloom_frontier,
         "sr_drift_events": q_sr_drift_events,
         "sr_scores_events": q_sr_scores_events,
         "srcnn_features_events": q_srcnn_features_events,
-        "spearman_corr": q_spearman,
-        "benford_digits": q_benford_digits,
-        "divergence_attribution_events": q_divergence_attribution,
-        "partition_balance_events": q_partition_balance,
-        "partition_sizes_events": q_partition_sizes,
-        "join_fanout_orders": q_join_fanout,
-        "fanout_histogram_lineitem": q_fanout_histogram,
-        "seasonal_volume_events": q_seasonal_volume,
-        "cusum_reference_daily": q_cusum_reference_daily,
-        "window_corr_lineitem": q_window_corr,
-        "pattern_profile_customer": q_pattern_profile,
-        "pattern_check_customer": q_pattern_check,
-        "reconcile_orders": q_reconcile,
-        "reconcile_verdict_orders": q_reconcile_verdict,
-        "spearman_window_lineitem": q_spearman_window,
         "stats_pass_events": q_stats_pass_events,
         "stats_cube_events": q_stats_cube_events,
         "min_rows_verdict": q_min_rows_verdict,
@@ -3765,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_neardup": q_decontaminate_neardup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "robots_schedule_bucketed": q_robots_schedule_bucketed,
     }
 
 
@@ -8685,5 +8732,24 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) END AS acf,
                    CAST(st.n AS BIGINT) AS n
             FROM prods p JOIN st USING (event_type)
+        """,
+        "robots_schedule_bucketed": """
+            WITH u AS (
+              SELECT doc_id,
+                     'site-' || (doc_id % 7)::VARCHAR || '.example.org'
+                       AS domain,
+                     (doc_id % 7) % 2 = 0 AS even,
+                     'https://site-' || (doc_id % 7)::VARCHAR
+                       || '.example.org/p' || doc_id::VARCHAR AS url
+              FROM documents),
+            d AS (
+              SELECT *,
+                     CASE WHEN even THEN 7.0 ELSE 1.0 END AS eff,
+                     row_number() OVER
+                       (PARTITION BY domain ORDER BY url) AS rn
+              FROM u)
+            SELECT doc_id, domain, eff AS effective_delay,
+                   (rn - 1) * eff AS fetch_offset_s
+            FROM d
         """,
     }

@@ -292,6 +292,7 @@ def politeness_schedule(
     url_col: str = "url",
     domain_col: str = "domain",
     default_delay: float = 1.0,
+    broadcast_delays: bool = True,
 ) -> DataFrame:
     """Fetch-offset assignment under per-domain crawl delays: each
     URL gets ``fetch_offset_s = (rank − 1) · delay`` where rank is the
@@ -306,9 +307,14 @@ def politeness_schedule(
     partitioned by domain. A pathological hot domain makes a hot
     window partition — the same documented hot-key behavior as every
     per-domain stage; the schedule itself is what PROVES the hot
-    domain is wall-clock-bound no matter how executors are sized."""
+    domain is wall-clock-bound no matter how executors are sized.
+    ``broadcast_delays=False`` drops the broadcast hint (mirroring
+    :func:`robots_gate`'s ``broadcast_rules``) for a per-domain delay
+    table too large for executor memory — Catalyst then picks a
+    shuffle join."""
     w = Window.partitionBy(domain_col).orderBy(url_col)
-    joined = urls.join(F.broadcast(delays), domain_col, "left")
+    dim = F.broadcast(delays) if broadcast_delays else delays
+    joined = urls.join(dim, domain_col, "left")
     return joined.select(
         *[F.col(c) for c in urls.columns],
         F.coalesce(F.col("crawl_delay"), F.lit(default_delay)).alias(
@@ -318,6 +324,114 @@ def politeness_schedule(
             (F.row_number().over(w) - F.lit(1))
             * F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
         ).alias("fetch_offset_s"),
+    )
+
+
+def politeness_schedule_bucketed(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    default_delay: float = 1.0,
+    broadcast_delays: bool = True,
+    n_buckets: int = 32,
+    sample_mod: int = 1000,
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """Hot-domain-safe :func:`politeness_schedule`, exactly equal
+    output (same rank for every distinct url; duplicate urls within a
+    domain take arbitrary tie order in both forms, like any
+    ``row_number``).
+
+    The plain form's per-domain ``row_number`` window serializes a
+    50%-hot domain through one task. The house two-phase repair
+    (cf. ``sessionize_bucketed``, ``asof_join_bucketed``) applied to a
+    rank-by-string problem, where the bucket must follow the SORT
+    order, not a hash:
+
+    1. **Sampled range boundaries, driver-side, once.** A deterministic
+       pseudo-sample (``xxhash64(domain, url) % sample_mod == 0``,
+       capped at ``sample_cap`` rows of the two key columns — a pruned
+       scan, never the payload) is sorted and every
+       len/``n_buckets``-th (domain, url) pair becomes a literal
+       boundary. Literals make the bucket a PURE deterministic value
+       column — safe to recompute on both branches below, with no
+       ``spark_partition_id`` / re-sampled-exchange self-join hazard.
+    2. **Local rank** within ``(domain, __bkt)`` ordered by url, where
+       ``__bkt`` = number of boundaries ≤ (domain, url) (struct
+       comparison, in-row ``filter`` over the boundary array). Within
+       a domain the bucket is monotone in url, so a hot domain's rows
+       split across every bucket its url range spans while order is
+       preserved.
+    3. **Offset repair** from the BOUNDED rollup (one row per present
+       (domain, bucket) pair, ≤ #domains + n_buckets by contiguity):
+       global rank = local rank + running count of the domain's rows
+       in earlier buckets — a window over the tiny rollup, broadcast-
+       joined back on (domain, __bkt).
+
+    One balanced shuffle on (domain, bucket) for the big side (plus
+    the two cheap driver sampling jobs) versus one HOT shuffle for the
+    plain form. A degenerate sample (tiny input, ``sample_mod`` too
+    coarse) yields zero boundaries and the operator collapses to the
+    plain single-bucket behavior — still exact."""
+    key_rows = (
+        urls.filter(
+            F.pmod(
+                F.xxhash64(F.col(domain_col), F.col(url_col)),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
+        .select(F.col(domain_col).alias("d"), F.col(url_col).alias("u"))
+        .limit(sample_cap)
+        .collect()
+    )
+    sample = sorted({(r.d, r.u) for r in key_rows})
+    step = max(1, len(sample) // n_buckets)
+    boundaries = sample[step::step][: n_buckets - 1]
+
+    key = F.struct(
+        F.col(domain_col).alias("d"), F.col(url_col).alias("u")
+    )
+    if boundaries:
+        marks = F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), F.lit(u).alias("u"))
+                for d, u in boundaries
+            ]
+        )
+        bkt = F.size(F.filter(marks, lambda b: key >= b))
+    else:
+        bkt = F.lit(0)
+
+    w_local = Window.partitionBy(domain_col, "__bkt").orderBy(url_col)
+    local = urls.withColumn("__bkt", bkt).withColumn(
+        "__lrank", F.row_number().over(w_local)
+    )
+    roll = local.groupBy(domain_col, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_roll = (
+        Window.partitionBy(domain_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = roll.select(
+        domain_col,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_roll), F.lit(0)).alias("__off"),
+    )
+    dim = F.broadcast(delays) if broadcast_delays else delays
+    joined = local.join(
+        F.broadcast(offsets), [domain_col, "__bkt"]
+    ).join(dim, domain_col, "left")
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+    return joined.select(
+        *[F.col(c) for c in urls.columns],
+        delay.alias("effective_delay"),
+        ((F.col("__lrank") + F.col("__off") - F.lit(1)) * delay).alias(
+            "fetch_offset_s"
+        ),
     )
 
 

@@ -253,6 +253,7 @@ def luhn_valid(digits: Column) -> Column:
     doubled digits > 9 reduced by 9), valid iff the sum ≡ 0 (mod 10).
     NULL-safe: NULL in → NULL out; empty string → false."""
     n = F.length(digits)
+    null_in = digits.isNull()
     total = F.aggregate(
         F.sequence(F.lit(1), n),
         F.lit(0),
@@ -267,7 +268,11 @@ def luhn_valid(digits: Column) -> Column:
             ),
         ).otherwise(F.substring(digits, i, 1).cast("int")),
     )
-    return F.when(n > 0, total % 10 == 0).otherwise(F.lit(False))
+    return (
+        F.when(null_in, F.lit(None).cast("boolean"))
+        .when(n > 0, total % 10 == 0)
+        .otherwise(F.lit(False))
+    )
 
 
 def redact_card_numbers(
@@ -284,21 +289,43 @@ def redact_card_numbers(
 
     Everything is codegen higher-order functions: ``regexp_extract_all``
     finds candidates in-row, ``filter`` + :func:`luhn_valid` validates,
-    and a left fold of literal ``replace`` calls rewrites each VALID
-    match to ``<CARD>`` (candidates are non-overlapping — the regex
-    consumes whole digit runs — so literal replacement is exact).
+    and the text is rebuilt SPAN-ANCHORED: ``split`` on the same
+    pattern yields the inter-match parts, each match is re-emitted as
+    ``<CARD>`` when valid and verbatim otherwise, and parts + matches
+    are re-interleaved with ``zip_with``. Only the matched spans are
+    ever rewritten — a valid card that also happens to occur as a
+    substring of a longer non-candidate digit run (say a 20-digit
+    reference number) survives untouched there, which a literal
+    whole-text replace would corrupt.
     Adds ``out_col`` (default: in place) and ``count_col``."""
-    cands = F.regexp_extract_all(
-        F.col(text_col), F.lit(CARD_CANDIDATE), 0
-    )
+    text = F.col(text_col)
+    cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE), 0)
     valid = F.filter(
         cands,
         lambda m: luhn_valid(F.regexp_replace(m, r"[ -]", "")),
     )
-    redacted = F.aggregate(
-        valid,
-        F.col(text_col),
-        lambda acc, m: F.replace(acc, m, F.lit(CARD_TOKEN)),
+    # split() walks the SAME non-overlapping left-to-right matches
+    # regexp_extract_all found (same Java regex engine, same pattern),
+    # so parts has exactly size(cands)+1 elements (limit -1 keeps a
+    # trailing empty part).
+    parts = F.split(text, CARD_CANDIDATE, -1)
+    repl = F.transform(
+        cands,
+        lambda m: F.when(
+            luhn_valid(F.regexp_replace(m, r"[ -]", "")),
+            F.lit(CARD_TOKEN),
+        ).otherwise(m),
+    )
+    redacted = F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.zip_with(
+                repl,
+                F.slice(parts, 2, F.size(cands)),
+                lambda m, p: F.concat(m, p),
+            ),
+            "",
+        ),
     )
     return df.withColumn(count_col, F.size(valid)).withColumn(
         out_col or text_col, redacted

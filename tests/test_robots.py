@@ -345,3 +345,69 @@ def test_extract_sitemap_urls(spark):
         ("b.com", "sitemap", "https://b.com/sm1.xml", "2025-02-03"),
         ("b.com", "sitemap", "https://b.com/sm2.xml", None),
     }
+
+
+def test_politeness_schedule_bucketed_equals_plain_and_balances(spark):
+    """50%-hot fixture: 1000 urls on hot.example + 1000 across 50 cold
+    domains. The bucketed schedule must (a) equal the plain window's
+    output as a set, (b) split the hot domain across >= 4 buckets with
+    max (domain, bucket) group <= 3x the median group — the plain
+    form's hot window group holds all 1000."""
+    from pyspark.sql import functions as F
+
+    from anomalydetector_spark.operators.robots import (
+        politeness_schedule,
+        politeness_schedule_bucketed,
+    )
+
+    rows = [(i, f"https://hot.example/p{i:05d}", "hot.example")
+            for i in range(1000)]
+    rows += [(1000 + i, f"https://cold{i % 50}.example/p{i:05d}",
+              f"cold{i % 50}.example") for i in range(1000)]
+    urls = spark.createDataFrame(
+        rows, "id long, url string, domain string"
+    )
+    delays = spark.createDataFrame(
+        [("hot.example", 2.0)], "domain string, crawl_delay double"
+    )
+
+    plain = politeness_schedule(urls, delays, default_delay=0.5)
+    buck = politeness_schedule_bucketed(
+        urls, delays, default_delay=0.5, n_buckets=16, sample_mod=1
+    )
+    assert sorted(plain.columns) == sorted(buck.columns)
+    key = lambda r: (r.id, r.url, r.domain, r.effective_delay,
+                     r.fetch_offset_s)
+    assert {key(r) for r in plain.collect()} \
+        == {key(r) for r in buck.collect()}
+
+    # hot-domain offsets exact: a polite 2s crawl of 1000 pages
+    hot_offsets = [r.fetch_offset_s for r in buck
+                   .filter(F.col("domain") == "hot.example").collect()]
+    assert sorted(hot_offsets) == [2.0 * k for k in range(1000)]
+
+    # balance: replicate the operator's deterministic boundary rule
+    # (sample_mod=1 and 2000 < sample_cap make the sample the full
+    # distinct key set) and measure the (domain, bucket) window-group
+    # sizes the bucketed form actually shuffles on
+    keys = sorted({(d, u) for _, u, d in rows})
+    step = max(1, len(keys) // 16)
+    bnds = keys[step::step][:15]
+    from bisect import bisect_right
+    from collections import Counter
+    groups = Counter(
+        (d, bisect_right(bnds, (d, u))) for d, u in keys
+    )
+    # range-bucket totals are what the one big shuffle balances on:
+    # max bucket <= 3x the median bucket (the plain form's hot window
+    # partition holds 1000 = 8x the fair share)
+    per_bucket = Counter()
+    for (_, b), n in groups.items():
+        per_bucket[b] += n
+    bsz = sorted(per_bucket.values())
+    med = bsz[len(bsz) // 2]
+    assert max(bsz) <= 3 * med, (max(bsz), med)
+    hot_buckets = {b for (d, b) in groups if d == "hot.example"}
+    assert len(hot_buckets) >= 4
+    # no single window group anywhere near the plain hot group's 1000
+    assert max(groups.values()) <= 300

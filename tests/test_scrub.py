@@ -217,6 +217,9 @@ def test_luhn_card_redaction(spark):
         (5, "ts 20250101120000123456 x"),                  # 20 digits
         (6, "short 123456789012 run"),                     # 12 digits
         (7, None),
+        # the valid card ALSO occurs as a substring of a 22-digit
+        # non-candidate run: only the standalone span may be rewritten
+        (8, "ref 9945391488034364670011 card 4539148803436467 end"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r.id: (r.n_cards, r.text)
@@ -227,6 +230,9 @@ def test_luhn_card_redaction(spark):
     assert got[4] == (2, "two <CARD> and <CARD> cards")
     assert got[5][0] == 0 and got[6][0] == 0
     assert got[7][1] is None
+    assert got[8] == (
+        1, "ref 9945391488034364670011 card <CARD> end"
+    )
 
     # luhn_valid against python mirror on random digit strings
     import random
@@ -251,3 +257,8 @@ def test_luhn_card_redaction(spark):
     got_v = [r.v for r in vdf.select(
         luhn_valid(F.col("d")).alias("v")).collect()]
     assert got_v == [mirror(c) for c in cases]
+
+    # NULL in -> NULL out (not false)
+    ndf = spark.createDataFrame([(None,)], "d string")
+    assert ndf.select(
+        luhn_valid(F.col("d")).alias("v")).collect()[0].v is None

@@ -1576,6 +1576,28 @@ def main() -> None:
         and "Join" not in card_plan,
     )
 
+    # round-5: hot-domain-safe schedule — the big side's window must
+    # partition on (domain, __bkt), never on domain alone, and the
+    # offset-repair rollup joins back as a broadcast
+    from anomalydetector_spark.operators.robots import (
+        politeness_schedule_bucketed,
+    )
+
+    bsched_plan = plan_of(
+        politeness_schedule_bucketed(
+            url_frame, parse_crawl_delays(robots_dim),
+            n_buckets=8, sample_mod=1,
+        )
+    )
+    ok &= check(
+        "bucketed politeness schedule: big-side window keys on "
+        "(domain, __bkt); repair + delay joins broadcast; zero Python",
+        "EvalPython" not in bsched_plan
+        and "CartesianProduct" not in bsched_plan
+        and "__bkt" in bsched_plan
+        and bsched_plan.count("BroadcastHashJoin") >= 2,
+    )
+
     print()
     print("=== stats pass plan ===")
     print(stats_plan[:4000])
