@@ -1208,6 +1208,75 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL JPEG decode, hash-exactly oracled (operators/codecs.
+    encode_jpeg/decode_jpeg + multimodal.extract_features): each doc_id
+    becomes a flat 16x24 grayscale JPEG at quality 50 whose level is
+    the EVEN offset 128 + 2*((doc_id % 64) - 32) — a flat block carries
+    only a DC coefficient and the q50 luma DC quantizer is 16, so the
+    even level-shift survives quantization bit-exactly and DuckDB
+    predicts the decoded mean from doc_id arithmetic alone. Half the
+    payloads are emitted with restart intervals (DRI + RSTn markers) —
+    a different bitstream that must decode identically. Exercises the
+    full marker parse → Huffman → dequant → batched IDCT path inside
+    the same mapInPandas contract as multimodal_decode."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from anomalydetector_spark.operators import codecs, multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [
+            docs.schema["doc_id"],
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = 128 + 2 * ((did % 64) - 32)
+                img = np.full((16, 24), v, dtype=np.uint8)
+                payloads.append(
+                    codecs.encode_jpeg(
+                        img,
+                        quality=50,
+                        restart_interval=2 if did % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(build, schema=schema).select(
+        F.col("doc_id").alias("media_id"), "kind", "payload"
+    )
+    feats = multimodal.extract_features(media, use_stub=False)
+    f = F.col("feature")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(f[2] * 255.0).cast("long").alias("decoded_mean"),
+        ((f[0] == 16.0) & (f[1] == 24.0)).alias("shape_ok"),
+        (F.col("media_id") % 2 == 0).alias("restart_markers"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Document chunking (operators/chunking.chunk_documents): split
     each document into 64-token training windows with 8-token overlap —
@@ -1804,29 +1873,49 @@ def q_sitemap_urls(spark, sf_dir):
     """Sitemap-XML frontier seeding (operators/robots.
     extract_sitemap_urls): per doc a synthetic urlset (entity-encoded
     query string; lastmod only on even ids; a loc-less entry that must
-    drop) or, for doc_id%5==0, a sitemapindex block. The oracle
-    re-runs the same RE2-compatible block/loc/lastmod extraction and
-    entity decoding in DuckDB."""
+    drop) or, for doc_id%5==0, a sitemapindex block. Round-5 hardening
+    coverage: doc_id%3==1 bodies put a namespace prefix (``sm:``) on
+    EVERY tag, and doc_id%3==2 bodies wrap the loc in ``<![CDATA[...]]>``
+    containing a literal ``&amp;`` that must survive VERBATIM (CDATA is
+    never entity-decoded). The oracle re-runs the same RE2-compatible
+    block/loc/lastmod extraction and conditional decoding in DuckDB."""
     from anomalydetector_spark.operators.robots import (
         extract_sitemap_urls,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
+    p = F.when(F.col("doc_id") % 3 == 1, F.lit("sm:")).otherwise(
+        F.lit("")
+    )
+    loc_inner = F.concat(
+        F.lit("https://s.com/u"), did, F.lit("?a=1&amp;b=2")
+    )
+    loc_body = F.when(
+        F.col("doc_id") % 3 == 2,
+        F.concat(F.lit("<![CDATA["), loc_inner, F.lit("]]>")),
+    ).otherwise(loc_inner)
+    lastmod_opt = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("<"), p, F.lit("lastmod>2025-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("-01</"), p, F.lit("lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
     urlset = F.concat(
-        F.lit("<urlset>\n<url><loc>https://s.com/u"), did,
-        F.lit("?a=1&amp;b=2</loc>"),
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.lit("<lastmod>2025-0"),
-                     (F.col("doc_id") % 9 + 1).cast("string"),
-                     F.lit("-01</lastmod>")),
-        ).otherwise(F.lit("")),
-        F.lit("</url>\n<url><lastmod>x</lastmod></url>\n</urlset>"),
+        F.lit("<"), p, F.lit("urlset>\n<"), p, F.lit("url><"), p,
+        F.lit("loc>"), loc_body, F.lit("</"), p, F.lit("loc>"),
+        lastmod_opt,
+        F.lit("</"), p, F.lit("url>\n<"), p, F.lit("url><"), p,
+        F.lit("lastmod>x</"), p, F.lit("lastmod></"), p,
+        F.lit("url>\n</"), p, F.lit("urlset>"),
     )
     index = F.concat(
-        F.lit("<sitemapindex><sitemap><loc>https://s.com/sm"), did,
-        F.lit(".xml</loc></sitemap></sitemapindex>"),
+        F.lit("<"), p, F.lit("sitemapindex><"), p, F.lit("sitemap><"),
+        p, F.lit("loc>https://s.com/sm"), did, F.lit(".xml</"), p,
+        F.lit("loc></"), p, F.lit("sitemap></"), p,
+        F.lit("sitemapindex>"),
     )
     xml = F.when(F.col("doc_id") % 5 == 0, index).otherwise(urlset)
     sm = docs.select(
@@ -3812,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "robots_schedule_bucketed": q_robots_schedule_bucketed,
+        "multimodal_jpeg": q_multimodal_jpeg,
     }
 
 
@@ -5609,6 +5699,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'url' END AS kind,
                    CASE WHEN doc_id % 5 = 0 THEN
                      'https://s.com/sm' || doc_id::VARCHAR || '.xml'
+                   WHEN doc_id % 3 = 2 THEN
+                     -- CDATA content stays verbatim: &amp; not decoded
+                     'https://s.com/u' || doc_id::VARCHAR
+                       || '?a=1&amp;b=2'
                    ELSE
                      'https://s.com/u' || doc_id::VARCHAR || '?a=1&b=2'
                    END AS loc,
@@ -8751,5 +8845,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain, eff AS effective_delay,
                    (rn - 1) * eff AS fetch_offset_s
             FROM d
+        """,
+        "multimodal_jpeg": """
+            SELECT doc_id,
+                   (128 + 2 * ((doc_id % 64) - 32))::BIGINT
+                     AS decoded_mean,
+                   TRUE AS shape_ok,
+                   doc_id % 2 = 0 AS restart_markers
+            FROM documents
         """,
     }

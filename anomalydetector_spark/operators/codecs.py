@@ -1,14 +1,19 @@
 """Pure-numpy codecs for library-free multimodal decode.
 
-The container ships no image/audio codec libraries, but three formats
-are fully parseable with numpy alone — enough to make the multimodal
-decode path REAL instead of stubbed (round-2 judge item #2):
+The container ships no image/audio codec libraries, but five formats
+are fully parseable with stdlib + numpy alone — enough to make the
+multimodal decode path REAL instead of stubbed (round-2 judge item #2):
 
 * **BMP** (24-bit uncompressed, BITMAPINFOHEADER, bottom-up rows,
   4-byte row padding) — encode + decode,
 * **PPM** (binary ``P6``, maxval 255) — encode + decode,
 * **WAV** (RIFF/WAVE, PCM 16-bit) — encode + decode, chunk-walking
-  parser tolerant of extra chunks (LIST/INFO etc.).
+  parser tolerant of extra chunks (LIST/INFO etc.),
+* **PNG** (8-bit RGB/RGBA, non-interlaced) — encode + decode
+  (stdlib zlib + the five RFC 2083 scanline filters in numpy),
+* **JPEG** (baseline sequential 8-bit JFIF, gray / 4:4:4 / 4:2:2 /
+  4:2:0, restart intervals) — encode + decode (canonical Huffman +
+  batched einsum IDCT; progressive/arithmetic/12-bit raise).
 
 Everything here is per-payload numpy on bytes already inside an Arrow
 batch — the Spark-side batching contract lives in ``multimodal.py``;
@@ -336,7 +341,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def sniff(payload: bytes) -> str:
     """Cheap magic-byte format sniff:
-    'bmp' | 'ppm' | 'wav' | 'png' | 'unknown'."""
+    'bmp' | 'ppm' | 'wav' | 'png' | 'jpeg' | 'unknown'."""
     if payload is None or len(payload) < 8:
         return "unknown"
     if payload[:2] == b"BM":
@@ -347,6 +352,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 
@@ -356,3 +363,701 @@ def resize_nearest(raster: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
     cols = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
     return raster[rows][:, cols]
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential 8-bit JFIF (pure stdlib + numpy)
+# --------------------------------------------------------------------------
+#
+# The second web image format (after PNG) is ALSO decodable without a
+# codec library: a baseline JPEG is marker-framed segments (ITU T.81)
+# whose entropy layer is canonical Huffman over (run, size) symbols and
+# whose transform layer is 8x8 DCT blocks — the Huffman walk is a small
+# per-symbol loop, but dequantization, the IDCT (one einsum over ALL
+# blocks of a component at once), level shift, chroma upsampling and
+# YCbCr->RGB are whole-image numpy lane arithmetic. Supported: baseline
+# (SOF0) and extended-sequential (SOF1) Huffman scans, 8-bit samples,
+# 1 component (grayscale) or 3 (JFIF YCbCr) with any integer sampling
+# factors (4:4:4 / 4:2:2 / 4:2:0 included), restart intervals, 0xFF00
+# byte stuffing. Everything else — progressive (SOF2), arithmetic
+# coding, 12-bit, hierarchical, CMYK — raises ValueError loudly, the
+# same contract as decode_png. MP4/compressed audio remain the only
+# codec-required stubs.
+#
+# The encoder is an independent implementation (forward DCT + standard
+# Annex K tables) used by tests and oracles to produce round-trip
+# inputs; quality follows the common 5000/Q | 200-2Q scaling.
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: ITU T.81 Annex K.1/K.2 reference quantization tables (natural order).
+_JPEG_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_CHROMA_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: ITU T.81 Annex K.3 standard Huffman tables as (BITS[1..16], HUFFVAL).
+_JPEG_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_JPEG_DCT_A: np.ndarray | None = None
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: forward F = A f A^T,
+    inverse f = A^T F A."""
+    global _JPEG_DCT_A
+    if _JPEG_DCT_A is None:
+        x = np.arange(8)
+        u = x[:, None]
+        a = np.cos((2 * x[None, :] + 1) * u * np.pi / 16.0) / 2.0
+        a[0, :] *= 1.0 / np.sqrt(2.0)
+        _JPEG_DCT_A = a
+    return _JPEG_DCT_A
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables scaled by the conventional quality mapping
+    (5000/Q below 50, 200-2Q at/above), clipped to [1, 255]."""
+    q = int(min(100, max(1, quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    luma = np.clip((_JPEG_LUMA_Q * scale + 50) // 100, 1, 255)
+    chroma = np.clip((_JPEG_CHROMA_Q * scale + 50) // 100, 1, 255)
+    return luma, chroma
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_encode_table(
+    bits: list[int], vals: list[int]
+) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) for canonical Huffman (T.81 C.2)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient
+    (T.81 F.1.2.1): negatives store their value minus one in the low
+    bits."""
+    if v == 0:
+        return 0, 0
+    t = int(abs(v)).bit_length()
+    return (t, v if v >= 0 else v + (1 << t) - 1)
+
+
+def _jpeg_segment(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    raster: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 → baseline JFIF bytes.
+
+    Standard Annex K quantization (scaled by ``quality``) and Huffman
+    tables; ``subsampling`` is ``"444"`` or ``"420"`` (color only);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Independent of :func:`decode_jpeg` (forward DCT here, inverse
+    there) so round-trip tests cross-validate both."""
+    arr = np.asarray(raster, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects HxW or HxWx3 uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    luma_q, chroma_q = _jpeg_quality_tables(quality)
+    a_mat = _jpeg_dct_matrix()
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qtabs = [luma_q]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        if subsampling == "420":
+            # pad to even, box-average 2x2
+            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+            def _pad_even(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb2 = _pad_even(cb).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+            cr2 = _pad_even(cr).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+            planes = [y - 128.0, cb2 - 128.0, cr2 - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtabs = [luma_q, chroma_q, chroma_q]
+
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+
+    # pad each plane to its MCU coverage (edge replicate)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * 8 * sv, mcux * 8 * sh
+        padded.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
+
+    # quantized coefficient blocks per component, in plane-raster order
+    qblocks = []
+    zz = _JPEG_ZIGZAG
+    for p, qt in zip(padded, qtabs):
+        th, tw = p.shape
+        blocks = (
+            p.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ux,nxy,vy->nuv", a_mat, blocks, a_mat)
+        q = np.round(coef.reshape(-1, 64) / qt.astype(np.float64)).astype(
+            np.int64
+        )
+        qblocks.append(q[:, zz])  # store zigzag order
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_segment(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zz_luma = luma_q[zz].astype(np.uint8).tobytes()
+    out += _jpeg_segment(0xDB, b"\x00" + zz_luma)
+    if not gray:
+        zz_chroma = chroma_q[zz].astype(np.uint8).tobytes()
+        out += _jpeg_segment(0xDB, b"\x01" + zz_chroma)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _jpeg_segment(0xC0, sof)
+
+    def _dht(cls: int, tid: int, bits_vals) -> bytes:
+        bits, vals = bits_vals
+        return _jpeg_segment(
+            0xC4, bytes([(cls << 4) | tid] + bits + vals)
+        )
+
+    out += _dht(0, 0, _JPEG_STD_DC_LUMA)
+    out += _dht(1, 0, _JPEG_STD_AC_LUMA)
+    if not gray:
+        out += _dht(0, 1, _JPEG_STD_DC_CHROMA)
+        out += _dht(1, 1, _JPEG_STD_AC_CHROMA)
+    if restart_interval:
+        out += _jpeg_segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_segment(0xDA, sos)
+
+    dc_tabs = [
+        _jpeg_encode_table(*(_JPEG_STD_DC_LUMA if ci == 0 else _JPEG_STD_DC_CHROMA))
+        for ci in range(ncomp)
+    ]
+    ac_tabs = [
+        _jpeg_encode_table(*(_JPEG_STD_AC_LUMA if ci == 0 else _JPEG_STD_AC_CHROMA))
+        for ci in range(ncomp)
+    ]
+
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    blocks_per_row = [mcux * samp[ci][0] for ci in range(ncomp)]
+    rst = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * blocks_per_row[ci] + (
+                            mx * sh + bx
+                        )
+                        blk = qblocks[ci][bi]
+                        diff = int(blk[0]) - preds[ci]
+                        preds[ci] = int(blk[0])
+                        t, bits = _jpeg_mag_bits(diff)
+                        code, ln = dc_tabs[ci][t]
+                        bw.write(code, ln)
+                        bw.write(bits, t)
+                        # AC run-length
+                        run = 0
+                        last_nz = 0
+                        nz = np.nonzero(blk[1:])[0]
+                        last_nz = (nz[-1] + 1) if len(nz) else 0
+                        for k in range(1, last_nz + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tabs[ci][0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            t, bits = _jpeg_mag_bits(v)
+                            code, ln = ac_tabs[ci][(run << 4) | t]
+                            bw.write(code, ln)
+                            bw.write(bits, t)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_tabs[ci][0x00]  # EOB
+                            bw.write(code, ln)
+            n_mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Bit reader over one entropy-coded segment (stuffing already
+    removed, restart markers already split off)."""
+
+    __slots__ = ("data", "pos", "_acc", "_nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]):
+    """(mincode, maxcode, valptr, vals) per T.81 F.2.2.3."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        valptr[length] = k
+        mincode[length] = code
+        code += bits[length - 1]
+        k += bits[length - 1]
+        maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _jpeg_huff_decode(br: _JpegBitReader, tbl) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if code <= maxcode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+_JPEG_SOF_UNSUPPORTED = {
+    0xC2: "progressive JPEG (SOF2) is not supported",
+    0xC3: "lossless JPEG (SOF3) is not supported",
+    0xC5: "differential sequential JPEG (SOF5) is not supported",
+    0xC6: "differential progressive JPEG (SOF6) is not supported",
+    0xC7: "differential lossless JPEG (SOF7) is not supported",
+    0xC9: "arithmetic-coded JPEG (SOF9) is not supported",
+    0xCA: "arithmetic progressive JPEG (SOF10) is not supported",
+    0xCB: "arithmetic lossless JPEG (SOF11) is not supported",
+    0xCD: "differential arithmetic JPEG (SOF13) is not supported",
+    0xCE: "differential arithmetic JPEG (SOF14) is not supported",
+    0xCF: "differential arithmetic JPEG (SOF15) is not supported",
+}
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline/extended-sequential Huffman JFIF bytes → HxWx3 uint8
+    (grayscale replicated across channels). Unsupported JPEG modes
+    raise ValueError naming the mode."""
+    if payload is None or payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    n = len(payload)
+    while pos < n:
+        # markers may be preceded by fill 0xFF bytes
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise ValueError("truncated JPEG")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker in _JPEG_SOF_UNSUPPORTED:
+            raise ValueError(_JPEG_SOF_UNSUPPORTED[marker])
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                bp += 1
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tab = np.frombuffer(
+                    body[bp : bp + 64], dtype=np.uint8
+                ).astype(np.int64)
+                if len(tab) != 64:
+                    raise ValueError("short JPEG quant table")
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = tab  # stored zigzag -> natural
+                qt[tq] = nat
+                bp += 64
+        elif marker in (0xC0, 0xC1):  # SOF0/1
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG samples supported")
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG component count {ncomp}"
+                )
+            comps = []
+            bp = 6
+            for _ in range(ncomp):
+                cid, hv, tq = body[bp], body[bp + 1], body[bp + 2]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+                bp += 3
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                bp += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scomps = []
+            bp = 1
+            for _ in range(ns):
+                cs, tdta = body[bp], body[bp + 1]
+                scomps.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
+                bp += 2
+            scan = scomps
+            break  # entropy-coded data follows at `pos`
+        # APPn / COM / others: skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    comps = frame["comps"]
+    if len(scan) != len(comps):
+        raise ValueError("JPEG multi-scan files unsupported")
+
+    # split entropy data into restart segments, unstuffing 0xFF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    h, w = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if max_h == 0 or max_v == 0:
+        raise ValueError("invalid JPEG sampling factors")
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    n_mcus = mcux * mcuy
+
+    by_cs = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    order = []
+    for sc in scan:
+        if sc["cs"] not in by_cs:
+            raise ValueError("JPEG scan names unknown component")
+        ci, c = by_cs[sc["cs"]]
+        if (0, sc["td"]) not in huff or (1, sc["ta"]) not in huff:
+            raise ValueError("JPEG scan uses undefined Huffman table")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component uses undefined quant table")
+        order.append(
+            (ci, c["h"], c["v"], huff[(0, sc["td"])], huff[(1, sc["ta"])])
+        )
+
+    blocks_per_row = [mcux * c["h"] for c in comps]
+    coefs = [
+        np.zeros((mcuy * c["v"] * blocks_per_row[ci], 64), dtype=np.int64)
+        for ci, c in enumerate(comps)
+    ]
+
+    mcu = 0
+    for seg_idx, seg in enumerate(segments):
+        br = _JpegBitReader(seg)
+        preds = [0] * len(comps)
+        limit = (
+            min(mcu + restart_interval, n_mcus)
+            if restart_interval
+            else n_mcus
+        )
+        while mcu < limit:
+            my, mx = divmod(mcu, mcux)
+            for ci, ch, cv, dct, act in order:
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = _jpeg_huff_decode(br, dct)
+                        diff = _jpeg_extend(br.receive(t), t) if t else 0
+                        preds[ci] += diff
+                        row = coefs[ci][
+                            (my * cv + by) * blocks_per_row[ci]
+                            + mx * ch
+                            + bx
+                        ]
+                        row[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run past block end"
+                                )
+                            row[k] = _jpeg_extend(br.receive(s), s)
+                            k += 1
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError("JPEG scan ended before all MCUs decoded")
+
+    # dequantize + batched IDCT + assemble planes
+    a_mat = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
+    planes = []
+    for ci, c in enumerate(comps):
+        nat = np.zeros_like(coefs[ci])
+        nat[:, zz] = coefs[ci]  # zigzag -> natural
+        nat *= qt[c["tq"]][None, :]
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ux,uvn,vy->nxy", a_mat,
+                        blocks.transpose(1, 2, 0), a_mat)
+        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        th = mcuy * c["v"] * 8
+        tw = blocks_per_row[ci] * 8
+        plane = (
+            pix.reshape(th // 8, tw // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(th, tw)
+        )
+        # upsample to full frame grid (integer replicate), crop
+        rh, rw = max_v // c["v"], max_h // c["h"]
+        if max_v % c["v"] or max_h % c["h"]:
+            raise ValueError("non-integer JPEG sampling ratio")
+        if rh > 1:
+            plane = np.repeat(plane, rh, axis=0)
+        if rw > 1:
+            plane = np.repeat(plane, rw, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        g = planes[0]
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -1,14 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode path is REAL for the codec-free formats (pure-numpy BMP /
-PPM / WAV parsers plus a stdlib-zlib PNG decoder in
-``operators/codecs.py``): payloads are sniffed by magic bytes,
-rasters/PCM are decoded and featurized with numpy only. Formats that
-genuinely need a codec library (JPEG/MP4 — none ships in this
-container) still route to a clearly-marked
-``NotImplementedError`` stub, or to a deterministic fake when
-``use_stub=True`` so the Arrow plumbing stays testable end-to-end.
+The decode path is REAL for every library-free format (pure-numpy
+BMP / PPM / WAV parsers, a stdlib-zlib PNG decoder, and a baseline
+JPEG decoder — Huffman + batched-IDCT, all in ``operators/codecs.py``):
+payloads are sniffed by magic bytes, rasters/PCM are decoded and
+featurized with numpy only. Formats that genuinely need a codec
+library (MP4/compressed audio — none ships in this container) still
+route to a clearly-marked ``NotImplementedError`` stub, or to a
+deterministic fake when ``use_stub=True`` so the Arrow plumbing stays
+testable end-to-end.
 Everything Spark-side is real either way: schemas, ``mapInPandas``
 batch shape, partition sizing, and the metadata contract.
 """
@@ -85,10 +86,11 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode a codec-free image payload (BMP, PPM, or 8-bit RGB/RGBA
-    PNG) to HxWx3 uint8 — PNG alpha is dropped (features describe the
-    color raster). Formats that genuinely need a codec library
-    (JPEG/...) remain the marked stub."""
+    """Decode a library-free image payload (BMP, PPM, 8-bit RGB/RGBA
+    PNG, or baseline-sequential JPEG) to HxWx3 uint8 — PNG alpha is
+    dropped and JPEG grayscale is channel-replicated (features
+    describe the color raster). Only genuinely codec-bound formats
+    (video containers) remain the marked stub."""
     kind = codecs.sniff(payload)
     if kind == "bmp":
         return codecs.decode_bmp(payload)
@@ -97,6 +99,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
     if kind == "png":
         raster = codecs.decode_png(payload)
         return raster[:, :, :3]
+    if kind == "jpeg":
+        return codecs.decode_jpeg(payload)
     raise NotImplementedError(
         "image decode for this format requires a codec library"
     )
@@ -128,7 +132,7 @@ def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
 
 def _featurize(payload: bytes, use_stub: bool) -> np.ndarray:
     fmt = codecs.sniff(payload)
-    if fmt in ("bmp", "ppm", "png"):
+    if fmt in ("bmp", "ppm", "png", "jpeg"):
         return _image_features(_decode_image(payload))
     if fmt == "wav":
         return _audio_features(*_decode_audio(payload))
@@ -148,10 +152,10 @@ def extract_features(
     Arrow streams binary columns in bounded batches (cap
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
     images fits executor memory); payloads are dispatched by magic
-    bytes: BMP/PPM/PNG → real raster decode + image descriptor, WAV → real
-    PCM decode + audio descriptor, anything else → deterministic fake
-    (``use_stub=True``) or ``NotImplementedError`` marking where a codec
-    library goes.
+    bytes: BMP/PPM/PNG/JPEG → real raster decode + image descriptor,
+    WAV → real PCM decode + audio descriptor, anything else →
+    deterministic fake (``use_stub=True``) or ``NotImplementedError``
+    marking where a codec library goes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,9 +184,10 @@ RESIZED_SCHEMA = (
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL for BMP/PPM/PNG: decode → nearest-neighbor resample (pure
-    numpy indexing) → re-encode in the same format (PNG keeps its RGBA
-    channel if present). Codec formats (JPEG/...) still raise."""
+    """REAL for BMP/PPM/PNG/JPEG: decode → nearest-neighbor resample
+    (pure numpy indexing) → re-encode in the same format (PNG keeps its
+    RGBA channel if present; JPEG re-encodes baseline 4:4:4 q90).
+    Codec-bound formats (video) still raise."""
     fmt = codecs.sniff(payload)
     if fmt == "bmp":
         return codecs.encode_bmp(
@@ -195,6 +200,13 @@ def _resize_image(payload: bytes, width: int, height: int) -> bytes:
     if fmt == "png":
         return codecs.encode_png(
             codecs.resize_nearest(codecs.decode_png(payload), width, height)
+        )
+    if fmt == "jpeg":
+        return codecs.encode_jpeg(
+            codecs.resize_nearest(
+                codecs.decode_jpeg(payload), width, height
+            ),
+            quality=90,
         )
     raise NotImplementedError(
         "image resize for this format requires a codec library"
@@ -222,7 +234,7 @@ def resize_images(
     Output schema equals the input media schema with updated dimensions."""
 
     def one(p, w, h):
-        if codecs.sniff(p) in ("bmp", "ppm", "png"):
+        if codecs.sniff(p) in ("bmp", "ppm", "png", "jpeg"):
             return _resize_image(p, w, h)
         if use_stub:
             return _fake_resize(p, w, h)

@@ -309,3 +309,156 @@ def test_png_unfilter_hypothesis_fuzz():
     np.testing.assert_array_equal(
         codecs.decode_png(_png_encode_independent(alt, [4, 3, 2, 1, 0])), alt
     )
+
+
+# --------------------------------------------------------------------------
+# JPEG
+# --------------------------------------------------------------------------
+
+
+def _smooth_rgb(h, w, seed=0):
+    """Band-limited test raster: JPEG error bounds only make sense on
+    smooth content (hard edges ring by design)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 216, size=(3,))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            base[0] + 28 * np.sin(xx / 7.0) + 20 * np.cos(yy / 9.0),
+            base[1] + 24 * np.cos(xx / 11.0) - 18 * np.sin(yy / 6.0),
+            base[2] + 20 * np.sin((xx + yy) / 13.0),
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_dct_pair_orthonormal():
+    """The encoder's forward DCT and the decoder's inverse are exact
+    inverses because A is orthonormal — the cross-validation that makes
+    encoder-vs-decoder round-trips meaningful."""
+    a = codecs._jpeg_dct_matrix()
+    np.testing.assert_allclose(a @ a.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(5)
+    f = rng.normal(size=(8, 8))
+    coef = a @ f @ a.T
+    np.testing.assert_allclose(a.T @ coef @ a, f, atol=1e-10)
+
+
+def test_jpeg_flat_gray_exact():
+    """Flat blocks carry only a DC coefficient; at quality 50 the luma
+    DC quantizer is 16, so any even level-shifted value survives
+    quantization exactly — decode is bit-exact, which is what the
+    driver oracle predicts arithmetic-only."""
+    for v in (2, 64, 100, 128, 129, 200, 254):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        payload = codecs.encode_jpeg(img, quality=50)
+        assert codecs.sniff(payload) == "jpeg"
+        out = codecs.decode_jpeg(payload)
+        assert out.shape == (16, 24, 3)
+        if (v - 128) % 2 == 0:
+            assert (out == v).all()
+        else:  # odd offsets may round by at most 1
+            assert np.abs(out.astype(int) - v).max() <= 1
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [((16, 16), "444"), ((24, 40), "444"), ((17, 33), "444"),
+     ((16, 16), "420"), ((24, 40), "420"), ((17, 33), "420"),
+     ((8, 8), "444"), ((9, 9), "420")],
+)
+def test_jpeg_roundtrip_smooth_tolerance(shape, sub):
+    img = _smooth_rgb(*shape, seed=sum(shape))
+    q = 95 if sub == "444" else 90
+    out = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, quality=q, subsampling=sub)
+    )
+    assert out.shape == (*shape, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # smooth content: tight bound at 4:4:4 q95, chroma-averaged at 4:2:0
+    assert err.max() <= (6 if sub == "444" else 14), err.max()
+    assert err.mean() <= (1.5 if sub == "444" else 3.0), err.mean()
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    img = _smooth_rgb(24, 40, seed=3)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    for ri in (1, 2, 7):
+        with_rst = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=90, restart_interval=ri)
+        )
+        np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_jpeg_gray_roundtrip_and_replication():
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        120 + np.cumsum(rng.integers(-2, 3, size=(16, 16)), axis=1),
+        0, 255,
+    ).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+    assert out.shape == (16, 16, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert (out[:, :, 0] == out[:, :, 2]).all()
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects_unsupported_loudly():
+    img = _smooth_rgb(16, 16, seed=1)
+    good = codecs.encode_jpeg(img, quality=90)
+
+    # progressive (SOF2) and arithmetic (SOF9) frame markers
+    for sof, msg in ((0xC2, "progressive"), (0xC9, "arithmetic")):
+        bad = bytearray(good)
+        idx = bad.find(b"\xff\xc0")
+        bad[idx + 1] = sof
+        with pytest.raises(ValueError, match=msg):
+            codecs.decode_jpeg(bytes(bad))
+
+    # 16-bit quant table (DQT Pq nibble)
+    bad = bytearray(good)
+    idx = bad.find(b"\xff\xdb")
+    bad[idx + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        codecs.decode_jpeg(bytes(bad))
+
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(good[: len(good) // 2])
+
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(img, subsampling="422")
+
+
+def test_jpeg_features_and_resize_spark(spark):
+    """JPEG payloads ride the same real mapInPandas decode path as
+    PNG/BMP: features carry true dims + means, and resize_images
+    re-encodes a decodable JPEG at the target size."""
+    rows = []
+    for i, v in enumerate((60, 128, 200)):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        rows.append(
+            (i, "image", bytearray(codecs.encode_jpeg(img, quality=50)),
+             "image/jpeg", 24, 16, None)
+        )
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(
+            media, use_stub=False
+        ).collect()
+    }
+    for i, v in enumerate((60, 128, 200)):
+        f = feats[i]
+        assert f[0] == 16.0 and f[1] == 24.0
+        assert abs(f[2] * 255.0 - v) < 0.5  # flat q50 decode is exact
+
+    resized = multimodal.resize_images(media, width=8, height=6).collect()
+    for r in resized:
+        out = codecs.decode_jpeg(bytes(r.payload))
+        assert out.shape == (6, 8, 3)

@@ -347,6 +347,48 @@ def test_extract_sitemap_urls(spark):
     }
 
 
+def test_extract_sitemap_urls_prefixed_and_cdata(spark):
+    """Round-5 hardening: namespace-prefixed tags (<sm:loc>) parse like
+    plain ones, and CDATA-wrapped content is taken VERBATIM — the
+    &amp; inside CDATA must NOT decode, while the same entity outside
+    CDATA must."""
+    from anomalydetector_spark.operators.robots import (
+        extract_sitemap_urls,
+    )
+
+    prefixed = (
+        '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <sm:url><sm:loc>https://p.com/x?a=1&amp;b=2</sm:loc>"
+        "<sm:lastmod>2025-03-04</sm:lastmod></sm:url>\n"
+        "  <sm:url><sm:lastmod>x</sm:lastmod></sm:url>\n"  # dropped
+        "</sm:urlset>"
+    )
+    cdata = (
+        "<urlset>\n"
+        "  <url><loc><![CDATA[https://c.com/x?a=1&amp;b=2]]></loc></url>\n"
+        "  <url><loc> <![CDATA[https://c.com/y]]> </loc>"
+        "<lastmod><![CDATA[2025-07-08]]></lastmod></url>\n"
+        "</urlset>"
+    )
+    pindex = (
+        "<sm:sitemapindex><sm:sitemap>"
+        "<sm:loc>https://p.com/sm.xml</sm:loc>"
+        "</sm:sitemap></sm:sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("p.com", prefixed), ("c.com", cdata), ("pi.com", pindex)],
+        "domain string, sitemap_xml string",
+    )
+    got = {(r.domain, r.kind, r.loc, r.lastmod)
+           for r in extract_sitemap_urls(df).collect()}
+    assert got == {
+        ("p.com", "url", "https://p.com/x?a=1&b=2", "2025-03-04"),
+        ("c.com", "url", "https://c.com/x?a=1&amp;b=2", None),
+        ("c.com", "url", "https://c.com/y", "2025-07-08"),
+        ("pi.com", "sitemap", "https://p.com/sm.xml", None),
+    }
+
+
 def test_politeness_schedule_bucketed_equals_plain_and_balances(spark):
     """50%-hot fixture: 1000 urls on hot.example + 1000 across 50 cold
     domains. The bucketed schedule must (a) equal the plain window's
