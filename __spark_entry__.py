@@ -1277,6 +1277,69 @@ def q_multimodal_jpeg(spark, sf_dir):
     )
 
 
+def q_multimodal_mp4_meta(spark, sf_dir):
+    """REAL MP4 container-metadata extraction, hash-exactly oracled
+    (operators/codecs.build_mp4_header/parse_mp4_metadata +
+    multimodal.extract_video_metadata): per doc a minimal ISO-BMFF box
+    tree with duration (doc_id%7)*500+1000 ms, dims 320·(doc_id%3+1) ×
+    180·(doc_id%3+1), codec cycling avc1/hvc1/av01 — except doc_id%4==3
+    rows, which carry a WAV payload and must surface as NULL-metadata
+    rows (the quarantine path). The box walk reads container structure
+    only — frame decode remains the marked codec stub — and DuckDB
+    predicts every field from doc_id arithmetic."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from anomalydetector_spark.operators import codecs, multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [docs.schema["doc_id"], StructField("payload", BinaryType())]
+    )
+    codecs_cycle = [b"avc1", b"hvc1", b"av01"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 4 == 3:
+                    payloads.append(
+                        codecs.encode_wav(
+                            np.full(16, did % 100, dtype=np.int16), 8000
+                        )
+                    )
+                else:
+                    k = did % 3 + 1
+                    payloads.append(
+                        codecs.build_mp4_header(
+                            (did % 7) * 500 + 1000,
+                            320 * k,
+                            180 * k,
+                            codecs_cycle[did % 3],
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema=schema).select(
+        F.col("doc_id").alias("media_id"), "payload"
+    )
+    meta = multimodal.extract_video_metadata(media)
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "duration_ms",
+        "width",
+        "height",
+        "codec",
+        "n_tracks",
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Document chunking (operators/chunking.chunk_documents): split
     each document into 64-token training windows with 8-token overlap —
@@ -3902,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "robots_schedule_bucketed": q_robots_schedule_bucketed,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
     }
 
 
@@ -8852,6 +8916,23 @@ def oracle_sql() -> dict[str, str]:
                      AS decoded_mean,
                    TRUE AS shape_ok,
                    doc_id % 2 = 0 AS restart_markers
+            FROM documents
+        """,
+        "multimodal_mp4_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE ((doc_id % 7) * 500 + 1000) END::BIGINT
+                     AS duration_ms,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE 320 * (doc_id % 3 + 1) END::INT AS width,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE 180 * (doc_id % 3 + 1) END::INT AS height,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        WHEN doc_id % 3 = 0 THEN 'avc1'
+                        WHEN doc_id % 3 = 1 THEN 'hvc1'
+                        ELSE 'av01' END AS codec,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE 1 END::INT AS n_tracks
             FROM documents
         """,
     }

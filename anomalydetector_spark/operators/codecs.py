@@ -15,6 +15,10 @@ multimodal decode path REAL instead of stubbed (round-2 judge item #2):
   4:2:0, restart intervals) — encode + decode (canonical Huffman +
   batched einsum IDCT; progressive/arithmetic/12-bit raise).
 
+Plus **MP4/ISO-BMFF container METADATA** (duration, track dimensions,
+handler types, sample-entry fourcc) via a pure struct box walk —
+video frame decode is the one genuinely codec-bound stub left.
+
 Everything here is per-payload numpy on bytes already inside an Arrow
 batch — the Spark-side batching contract lives in ``multimodal.py``;
 these functions never touch Spark. Each decoder validates its magic and
@@ -354,6 +358,8 @@ def sniff(payload: bytes) -> str:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -1061,3 +1067,159 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF — container METADATA only (pure struct box walk)
+# --------------------------------------------------------------------------
+#
+# Video FRAME decode genuinely needs a codec library (H.264/H.265/AV1
+# entropy + prediction) and stays the marked stub — but the CONTAINER
+# is just a length-prefixed box tree (ISO/IEC 14496-12): duration,
+# track dimensions, handler types and the sample-entry fourcc are all
+# plain struct reads. That is exactly the metadata a training-data
+# pipeline filters on (clip length, resolution, codec allowlist)
+# before it ever pays for a decode farm.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the sibling boxes in
+    buf[start:end]; handles 64-bit largesize and size==0 (to-end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("invalid MP4 box size")
+        yield tag, body, pos + size
+        pos += size
+
+
+def build_mp4_header(
+    duration_ms: int,
+    width: int,
+    height: int,
+    codec: bytes = b"avc1",
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal structurally-valid MP4 header (ftyp + moov tree, no
+    mdat): the independent builder the parser round-trip tests and the
+    synthetic media table use. Carries one video trak with the given
+    dimensions and sample-entry fourcc."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    dur_units = int(round(duration_ms * timescale / 1000.0))
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I4I", 0, 0, 0, timescale, dur_units)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I4I", 0x7, 0, 0, 1, 0)  # flags: enabled|in-movie
+        + struct.pack(">I", dur_units)
+        + b"\x00" * 8
+        + struct.pack(">4h", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">I4I", 0, 0, 0, timescale, dur_units)
+        + struct.pack(">HH", 0x55C4, 0),  # lang 'und'
+    )
+    hdlr = box(
+        b"hdlr",
+        struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"video\x00",
+    )
+    sample_entry = box(
+        codec,
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data ref index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + sample_entry)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """ISO BMFF box walk → ``{duration_ms, width, height, codec,
+    n_tracks, handlers}``. Reads ONLY container structure (mvhd / tkhd
+    / hdlr / stsd headers) — never sample data; raises ValueError on a
+    non-MP4 payload or malformed box tree. The honest boundary: frame
+    DECODE still requires a codec library and remains the marked stub
+    in ``multimodal.py``."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4/ISO-BMFF payload")
+    meta = {
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "codec": None,
+        "n_tracks": 0,
+        "handlers": [],
+    }
+
+    def walk(start: int, end: int) -> None:
+        for tag, b0, b1 in _mp4_boxes(payload, start, end):
+            if tag == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, b0 + 12)
+                if ts:
+                    meta["duration_ms"] = int(round(dur * 1000.0 / ts))
+            elif tag == b"trak":
+                meta["n_tracks"] += 1
+                walk(b0, b1)
+            elif tag == b"tkhd":
+                ver = payload[b0]
+                off = b1 - b0 - 8  # width/height are the LAST 8 bytes
+                w_fx, h_fx = struct.unpack_from(">II", payload, b0 + off)
+                w, h = w_fx >> 16, h_fx >> 16
+                if w and h and meta["width"] is None:
+                    meta["width"], meta["height"] = w, h
+            elif tag == b"hdlr":
+                meta["handlers"].append(
+                    payload[b0 + 8 : b0 + 12].decode("latin1")
+                )
+            elif tag == b"stsd":
+                for etag, _, _ in _mp4_boxes(payload, b0 + 8, b1):
+                    if meta["codec"] is None:
+                        meta["codec"] = etag.decode("latin1")
+                    break
+            elif tag in _MP4_CONTAINERS:
+                walk(b0, b1)
+
+    walk(0, len(payload))
+    return meta

@@ -177,6 +177,47 @@ def extract_features(
     )
 
 
+VIDEO_META_SCHEMA = (
+    "media_id long, duration_ms long, width int, height int, "
+    "codec string, n_tracks int"
+)
+
+
+def extract_video_metadata(media: DataFrame) -> DataFrame:
+    """REAL video-container metadata via ``mapInPandas``: MP4/ISO-BMFF
+    payloads are box-walked (``codecs.parse_mp4_metadata`` — duration,
+    track dimensions, sample-entry fourcc, track count) with no sample
+    decode; non-MP4 or malformed payloads yield NULL metadata rows so
+    the downstream resolution/length/codec filters can quarantine them.
+    This is the pipeline's pre-decode gate: clip-length caps, codec
+    allowlists, and resolution floors all run on this frame before any
+    (codec-library) frame decode is paid for."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = codecs.parse_mp4_metadata(
+                        bytes(p) if p is not None else None
+                    )
+                    rows.append(
+                        (int(mid), m["duration_ms"], m["width"],
+                         m["height"], m["codec"], m["n_tracks"])
+                    )
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_ms", "width", "height",
+                         "codec", "n_tracks"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_META_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
     "width int, height int, duration_ms int"
@@ -282,10 +323,11 @@ def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL BMP
     payloads (8x6 raster filled with ``media_id % 251``), audio rows
     REAL PCM-16 WAV payloads (64 samples of constant ``media_id %
-    1000``), video rows an opaque byte string (no library-free video
-    format exists — that decode stays a marked stub). Payload bytes are
-    built in one Arrow batch via mapInPandas; metadata is consistent
-    with kind."""
+    1000``), video rows a REAL minimal MP4 header (ftyp + moov box
+    tree with duration ``(media_id % 5)*1000 + 1000`` ms at 64x48 —
+    container metadata parses; frame decode stays the marked stub).
+    Payload bytes are built in one Arrow batch via mapInPandas;
+    metadata is consistent with kind."""
     from pyspark.sql.types import (
         BinaryType, StructField, StructType
     )
@@ -319,7 +361,9 @@ def synth_media(spark, n: int = 100) -> DataFrame:
                     payloads.append(codecs.encode_wav(pcm, sample_rate=16000))
                 else:
                     payloads.append(
-                        (f"payload-{int(mid)}" * 8).encode("utf-8")
+                        codecs.build_mp4_header(
+                            (int(mid) % 5) * 1000 + 1000, 64, 48
+                        )
                     )
             out = pdf.copy()
             out["payload"] = payloads
@@ -332,7 +376,7 @@ def synth_media(spark, n: int = 100) -> DataFrame:
         "payload",
         F.when(F.col("kind") == "image", "image/bmp")
         .when(F.col("kind") == "audio", "audio/wav")
-        .otherwise("application/octet-stream")
+        .otherwise("video/mp4")
         .alias("mime"),
         F.when(F.col("kind") == "image", 8).otherwise(64).cast("int").alias("width"),
         F.when(F.col("kind") == "image", 6).otherwise(48).cast("int").alias("height"),

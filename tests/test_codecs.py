@@ -462,3 +462,66 @@ def test_jpeg_features_and_resize_spark(spark):
     for r in resized:
         out = codecs.decode_jpeg(bytes(r.payload))
         assert out.shape == (6, 8, 3)
+
+
+# --------------------------------------------------------------------------
+# MP4 container metadata
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "dur,w,h,codec",
+    [(1000, 64, 48, b"avc1"), (12345, 1920, 1080, b"hvc1"),
+     (500, 320, 240, b"av01"), (3600000, 3840, 2160, b"vp09")],
+)
+def test_mp4_metadata_roundtrip(dur, w, h, codec):
+    p = codecs.build_mp4_header(dur, w, h, codec)
+    assert codecs.sniff(p) == "mp4"
+    m = codecs.parse_mp4_metadata(p)
+    assert m == {
+        "duration_ms": dur, "width": w, "height": h,
+        "codec": codec.decode(), "n_tracks": 1, "handlers": ["vide"],
+    }
+
+
+def test_mp4_largesize_and_errors():
+    import struct as st
+
+    good = codecs.build_mp4_header(2000, 64, 48)
+    # rewrite the ftyp box as a 64-bit largesize box: size=1 + largesize
+    (sz,) = st.unpack_from(">I", good, 0)
+    body = good[8:sz]
+    large = (
+        st.pack(">I", 1) + b"ftyp" + st.pack(">Q", len(body) + 16) + body
+        + good[sz:]
+    )
+    m = codecs.parse_mp4_metadata(large)
+    assert (m["duration_ms"], m["width"]) == (2000, 64)
+
+    with pytest.raises(ValueError, match="not an MP4"):
+        codecs.parse_mp4_metadata(b"\x00" * 16)
+    with pytest.raises(ValueError, match="not an MP4"):
+        codecs.parse_mp4_metadata(None)
+    # corrupt a box length inside moov -> invalid box size
+    bad = bytearray(good)
+    moov_at = bad.find(b"moov") - 4
+    st.pack_into(">I", bad, moov_at + 8, 7)  # first child size < 8
+    with pytest.raises(ValueError, match="invalid MP4 box"):
+        codecs.parse_mp4_metadata(bytes(bad))
+
+
+def test_extract_video_metadata_spark(spark):
+    """synth_media video rows now carry real MP4 headers: the
+    mapInPandas box-walk recovers duration/dims/codec; image and audio
+    payloads (not ISO-BMFF) yield NULL metadata rows."""
+    media = multimodal.synth_media(spark, n=30)
+    meta = {r.media_id: r for r in
+            multimodal.extract_video_metadata(media).collect()}
+    assert len(meta) == 30
+    for mid, r in meta.items():
+        if mid % 3 == 2:  # video rows
+            assert r.duration_ms == (mid % 5) * 1000 + 1000
+            assert (r.width, r.height) == (64, 48)
+            assert r.codec == "avc1" and r.n_tracks == 1
+        else:
+            assert r.duration_ms is None and r.codec is None
