@@ -3860,6 +3860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_verdict_orders": q_reconcile_verdict,
         "spearman_window_lineitem": q_spearman_window,
         "srcnn_train_windows": q_srcnn_train_windows,
+        "robots_schedule_bucketed": q_robots_schedule_bucketed,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
         "multimodal_decode": q_multimodal_decode,
         "semdedup": q_semdedup,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -3963,9 +3966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_neardup": q_decontaminate_neardup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "robots_schedule_bucketed": q_robots_schedule_bucketed,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_mp4_meta": q_multimodal_mp4_meta,
     }
 
 
