@@ -200,8 +200,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 # walk pixels left→right with the 3/4 channel lanes vectorized).
 # Supported: bit depth 8, color types 2 (RGB) and 6 (RGBA),
 # non-interlaced. Everything else (palette, 16-bit, Adam7, grayscale)
-# raises ValueError loudly — JPEG/MP4 remain the only codec-required
-# stubs.
+# raises ValueError loudly — JPEG decodes too (next section); video
+# FRAME decode is the one codec-required stub left.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
