@@ -654,7 +654,8 @@ def encode_jpeg(
             .transpose(0, 2, 1, 3)
             .reshape(-1, 8, 8)
         )
-        coef = np.einsum("ux,nxy,vy->nuv", a_mat, blocks, a_mat)
+        # F = A f A^T per block, BLAS-batched
+        coef = np.matmul(a_mat, np.matmul(blocks, a_mat.T))
         q = np.round(coef.reshape(-1, 64) / qt.astype(np.float64)).astype(
             np.int64
         )
@@ -763,58 +764,187 @@ def encode_jpeg(
 
 class _JpegBitReader:
     """Bit reader over one entropy-coded segment (stuffing already
-    removed, restart markers already split off)."""
+    removed, restart markers already split off). Keeps an integer bit
+    accumulator so Huffman symbols decode via ONE 16-bit peek into the
+    table's LUT instead of a per-bit Python loop (canonical JPEG codes
+    are ≤ 16 bits, so a 2^16 lookup covers every code)."""
 
-    __slots__ = ("data", "pos", "_acc", "_nbits")
+    __slots__ = ("data", "n", "pos", "_acc", "_nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
+        self.n = len(data)
         self.pos = 0
         self._acc = 0
         self._nbits = 0
 
-    def read_bit(self) -> int:
-        if self._nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy segment")
-            self._acc = self.data[self.pos]
+    def _fill(self, need: int) -> None:
+        while self._nbits < need and self.pos < self.n:
+            self._acc = (self._acc << 8) | self.data[self.pos]
             self.pos += 1
-            self._nbits = 8
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+            self._nbits += 8
+
+    def peek16(self) -> int:
+        """Next 16 bits left-aligned (zero-padded past segment end —
+        a code needing more bits than remain fails in consume)."""
+        self._fill(16)
+        b = self._nbits
+        if b >= 16:
+            return (self._acc >> (b - 16)) & 0xFFFF
+        return (self._acc << (16 - b)) & 0xFFFF
+
+    def consume(self, nbits: int) -> None:
+        if self._nbits < nbits:
+            raise ValueError("truncated JPEG entropy segment")
+        self._nbits -= nbits
+        self._acc &= (1 << self._nbits) - 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        if self._nbits < n:
+            raise ValueError("truncated JPEG entropy segment")
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
         return v
 
 
+#: LUT cache keyed by the DHT content — the standard Annex K tables
+#: repeat across every image of a corpus, and a 65536-slot build is
+#: too expensive to repeat per payload.
+_JPEG_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
 def _jpeg_decode_table(bits: list[int], vals: list[int]):
-    """(mincode, maxcode, valptr, vals) per T.81 F.2.2.3."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
+    """(symbol, code-length) LUTs over every 16-bit peek value: a code
+    of length L (canonical order per T.81 C.2) owns the 2^(16-L)
+    consecutive peek slots it prefixes. len==0 marks an invalid code.
+    Plain Python lists — element access beats numpy scalar extraction
+    ~3× in the per-symbol hot path — built via numpy slice fills and
+    memoized on the table content."""
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(65536, dtype=np.int64)
+    ln = np.zeros(65536, dtype=np.int64)
     code = 0
     k = 0
     for length in range(1, 17):
-        valptr[length] = k
-        mincode[length] = code
-        code += bits[length - 1]
-        k += bits[length - 1]
-        maxcode[length] = code - 1
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            end = (code + 1) << (16 - length)
+            sym[start:end] = vals[k]
+            ln[start:end] = length
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr, list(vals)
+    tbl = (sym.tolist(), ln.tolist())
+    if len(_JPEG_LUT_CACHE) < 64:  # bound worst-case adversarial churn
+        _JPEG_LUT_CACHE[key] = tbl
+    return tbl
 
 
 def _jpeg_huff_decode(br: _JpegBitReader, tbl) -> int:
-    mincode, maxcode, valptr, vals = tbl
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        if code <= maxcode[length]:
-            return vals[valptr[length] + code - mincode[length]]
-    raise ValueError("invalid JPEG Huffman code")
+    sym, ln = tbl
+    peek = br.peek16()
+    length = ln[peek]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.consume(length)
+    return sym[peek]
+
+
+def _jpeg_decode_block(
+    br: _JpegBitReader, dct, act, row, pred: int
+) -> int:
+    """Decode one 8×8 block (DC diff + AC run-length, zigzag order)
+    into ``row``; returns the updated DC predictor. The bit-buffer
+    state lives in LOCALS for the whole block — attribute access and
+    per-symbol function calls dominate a straightforward reader, and
+    this inlining is worth ~2× on real payloads. Semantics identical
+    to peek16/consume/receive + :func:`_jpeg_extend`."""
+    dsym, dln = dct
+    asym, aln = act
+    data, n = br.data, br.n
+    acc, nbits, pos = br._acc, br._nbits, br.pos
+
+    # ---- DC size symbol + magnitude
+    while nbits < 16 and pos < n:
+        acc = (acc << 8) | data[pos]
+        pos += 1
+        nbits += 8
+    peek = (
+        (acc >> (nbits - 16)) & 0xFFFF
+        if nbits >= 16
+        else (acc << (16 - nbits)) & 0xFFFF
+    )
+    length = dln[peek]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    if nbits < length:
+        raise ValueError("truncated JPEG entropy segment")
+    nbits -= length
+    acc &= (1 << nbits) - 1
+    t = dsym[peek]
+    if t:
+        while nbits < t and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < t:
+            raise ValueError("truncated JPEG entropy segment")
+        nbits -= t
+        v = (acc >> nbits) & ((1 << t) - 1)
+        acc &= (1 << nbits) - 1
+        pred += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+    row[0] = pred
+
+    # ---- AC coefficients
+    k = 1
+    while k < 64:
+        while nbits < 16 and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        peek = (
+            (acc >> (nbits - 16)) & 0xFFFF
+            if nbits >= 16
+            else (acc << (16 - nbits)) & 0xFFFF
+        )
+        length = aln[peek]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        if nbits < length:
+            raise ValueError("truncated JPEG entropy segment")
+        nbits -= length
+        acc &= (1 << nbits) - 1
+        rs = asym[peek]
+        s = rs & 15
+        if s == 0:
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        while nbits < s and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < s:
+            raise ValueError("truncated JPEG entropy segment")
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        acc &= (1 << nbits) - 1
+        row[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+        k += 1
+
+    br._acc, br._nbits, br.pos = acc, nbits, pos
+    return pred
 
 
 def _jpeg_extend(v: int, t: int) -> int:
@@ -932,25 +1062,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG multi-scan files unsupported")
 
     # split entropy data into restart segments, unstuffing 0xFF00
+    # split on restart markers + unstuff 0xFF00, jumping between 0xFF
+    # sites with C-speed find() instead of walking every byte in Python
     segments: list[bytes] = []
     cur = bytearray()
     i = pos
     while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
+        j = payload.find(b"\xff", i)
+        if j < 0:
+            cur += payload[i:]
+            break
+        cur += payload[i:j]
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+            continue
+        break  # EOI or next marker
     segments.append(bytes(cur))
 
     h, w = frame["h"], frame["w"]
@@ -996,31 +1129,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci, ch, cv, dct, act in order:
                 for by in range(cv):
                     for bx in range(ch):
-                        t = _jpeg_huff_decode(br, dct)
-                        diff = _jpeg_extend(br.receive(t), t) if t else 0
-                        preds[ci] += diff
                         row = coefs[ci][
                             (my * cv + by) * blocks_per_row[ci]
                             + mx * ch
                             + bx
                         ]
-                        row[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(br, act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG AC run past block end"
-                                )
-                            row[k] = _jpeg_extend(br.receive(s), s)
-                            k += 1
+                        preds[ci] = _jpeg_decode_block(
+                            br, dct, act, row, preds[ci]
+                        )
             mcu += 1
         if mcu >= n_mcus:
             break
@@ -1036,8 +1152,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         nat[:, zz] = coefs[ci]  # zigzag -> natural
         nat *= qt[c["tq"]][None, :]
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("ux,uvn,vy->nxy", a_mat,
-                        blocks.transpose(1, 2, 0), a_mat)
+        # f = A^T F A per block, BLAS-batched (einsum's naive loop was
+        # ~half the decode wall at 256px)
+        pix = np.matmul(a_mat.T, np.matmul(blocks, a_mat))
         pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
         th = mcuy * c["v"] * 8
         tw = blocks_per_row[ci] * 8
