@@ -345,7 +345,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def sniff(payload: bytes) -> str:
     """Cheap magic-byte format sniff:
-    'bmp' | 'ppm' | 'wav' | 'png' | 'jpeg' | 'unknown'."""
+    'bmp' | 'ppm' | 'wav' | 'png' | 'jpeg' | 'mp4' | 'unknown'."""
     if payload is None or len(payload) < 8:
         return "unknown"
     if payload[:2] == b"BM":
@@ -763,11 +763,12 @@ def encode_jpeg(
 
 
 class _JpegBitReader:
-    """Bit reader over one entropy-coded segment (stuffing already
-    removed, restart markers already split off). Keeps an integer bit
-    accumulator so Huffman symbols decode via ONE 16-bit peek into the
-    table's LUT instead of a per-bit Python loop (canonical JPEG codes
-    are ≤ 16 bits, so a 2^16 lookup covers every code)."""
+    """Bit-buffer STATE over one entropy-coded segment (stuffing
+    already removed, restart markers already split off). All reads
+    happen inside :func:`_jpeg_decode_block`, which pulls this state
+    into locals for the whole block and writes it back — Huffman
+    symbols decode via ONE 16-bit peek into the table's LUT (canonical
+    JPEG codes are ≤ 16 bits, so a 2^16 lookup covers every code)."""
 
     __slots__ = ("data", "n", "pos", "_acc", "_nbits")
 
@@ -777,39 +778,6 @@ class _JpegBitReader:
         self.pos = 0
         self._acc = 0
         self._nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self._nbits < need and self.pos < self.n:
-            self._acc = (self._acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self._nbits += 8
-
-    def peek16(self) -> int:
-        """Next 16 bits left-aligned (zero-padded past segment end —
-        a code needing more bits than remain fails in consume)."""
-        self._fill(16)
-        b = self._nbits
-        if b >= 16:
-            return (self._acc >> (b - 16)) & 0xFFFF
-        return (self._acc << (16 - b)) & 0xFFFF
-
-    def consume(self, nbits: int) -> None:
-        if self._nbits < nbits:
-            raise ValueError("truncated JPEG entropy segment")
-        self._nbits -= nbits
-        self._acc &= (1 << self._nbits) - 1
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        if self._nbits < n:
-            raise ValueError("truncated JPEG entropy segment")
-        self._nbits -= n
-        v = (self._acc >> self._nbits) & ((1 << n) - 1)
-        self._acc &= (1 << self._nbits) - 1
-        return v
-
 
 #: LUT cache keyed by the DHT content — the standard Annex K tables
 #: repeat across every image of a corpus, and a 65536-slot build is
@@ -847,16 +815,6 @@ def _jpeg_decode_table(bits: list[int], vals: list[int]):
     return tbl
 
 
-def _jpeg_huff_decode(br: _JpegBitReader, tbl) -> int:
-    sym, ln = tbl
-    peek = br.peek16()
-    length = ln[peek]
-    if length == 0:
-        raise ValueError("invalid JPEG Huffman code")
-    br.consume(length)
-    return sym[peek]
-
-
 def _jpeg_decode_block(
     br: _JpegBitReader, dct, act, row, pred: int
 ) -> int:
@@ -864,8 +822,7 @@ def _jpeg_decode_block(
     into ``row``; returns the updated DC predictor. The bit-buffer
     state lives in LOCALS for the whole block — attribute access and
     per-symbol function calls dominate a straightforward reader, and
-    this inlining is worth ~2× on real payloads. Semantics identical
-    to peek16/consume/receive + :func:`_jpeg_extend`."""
+    this inlining is worth ~2× on real payloads."""
     dsym, dln = dct
     asym, aln = act
     data, n = br.data, br.n
@@ -947,10 +904,6 @@ def _jpeg_decode_block(
     return pred
 
 
-def _jpeg_extend(v: int, t: int) -> int:
-    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
-
-
 _JPEG_SOF_UNSUPPORTED = {
     0xC2: "progressive JPEG (SOF2) is not supported",
     0xC3: "lossless JPEG (SOF3) is not supported",
@@ -968,10 +921,20 @@ _JPEG_SOF_UNSUPPORTED = {
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline/extended-sequential Huffman JFIF bytes → HxWx3 uint8
-    (grayscale replicated across channels). Unsupported JPEG modes
-    raise ValueError naming the mode."""
+    (grayscale replicated across channels). Raises ValueError on ANY
+    unsupported or malformed input — unsupported modes name the mode,
+    and truncated/corrupt headers are converted from the underlying
+    struct/index errors so callers can rely on the one exception
+    type (the same contract as every decoder in this module)."""
     if payload is None or payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_checked(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}
     frame = None
@@ -1026,9 +989,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             bp = 6
             for _ in range(ncomp):
                 cid, hv, tq = body[bp], body[bp + 1], body[bp + 2]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {ch}x{cv}"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
                 bp += 3
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker == 0xC4:  # DHT
@@ -1077,6 +1043,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if nxt == 0x00:
             cur.append(0xFF)
             i = j + 2
+            continue
+        if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i = j + 1
             continue
         if 0xD0 <= nxt <= 0xD7:
             segments.append(bytes(cur))
@@ -1309,8 +1278,12 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     def walk(start: int, end: int) -> None:
         for tag, b0, b1 in _mp4_boxes(payload, start, end):
             if tag == b"mvhd":
+                if b1 - b0 < 20:
+                    raise ValueError("truncated MP4 mvhd box")
                 ver = payload[b0]
                 if ver == 1:
+                    if b1 - b0 < 28:
+                        raise ValueError("truncated MP4 mvhd box")
                     ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
                 else:
                     ts, dur = struct.unpack_from(">II", payload, b0 + 12)
@@ -1320,17 +1293,26 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                 meta["n_tracks"] += 1
                 walk(b0, b1)
             elif tag == b"tkhd":
-                ver = payload[b0]
-                off = b1 - b0 - 8  # width/height are the LAST 8 bytes
+                # width/height are the LAST 8 bytes; v0 body is 84
+                # bytes, v1 is 96 — anything shorter would make the
+                # offset point back into the box header and silently
+                # read garbage
+                if b1 - b0 < 52:
+                    raise ValueError("truncated MP4 tkhd box")
+                off = b1 - b0 - 8
                 w_fx, h_fx = struct.unpack_from(">II", payload, b0 + off)
                 w, h = w_fx >> 16, h_fx >> 16
                 if w and h and meta["width"] is None:
                     meta["width"], meta["height"] = w, h
             elif tag == b"hdlr":
+                if b1 - b0 < 12:
+                    raise ValueError("truncated MP4 hdlr box")
                 meta["handlers"].append(
                     payload[b0 + 8 : b0 + 12].decode("latin1")
                 )
             elif tag == b"stsd":
+                if b1 - b0 < 8:
+                    raise ValueError("truncated MP4 stsd box")
                 for etag, _, _ in _mp4_boxes(payload, b0 + 8, b1):
                     if meta["codec"] is None:
                         meta["codec"] = etag.decode("latin1")
@@ -1338,5 +1320,11 @@ def parse_mp4_metadata(payload: bytes) -> dict:
             elif tag in _MP4_CONTAINERS:
                 walk(b0, b1)
 
-    walk(0, len(payload))
+    try:
+        walk(0, len(payload))
+    except (struct.error, IndexError) as e:
+        # malformed-but-ftyp payloads must honor the ValueError-only
+        # contract so extract_video_metadata can quarantine them as
+        # NULL-metadata rows instead of killing the task
+        raise ValueError(f"malformed MP4 box tree: {e}") from e
     return meta

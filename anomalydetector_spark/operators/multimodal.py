@@ -131,11 +131,22 @@ def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
 
 
 def _featurize(payload: bytes, use_stub: bool) -> np.ndarray:
+    """``use_stub=True`` is the graceful corpus mode: payloads whose
+    MAGIC matches a real decoder but whose body the decoder rejects
+    (progressive JPEG, palette PNG, truncated anything) fall back to
+    the deterministic fake instead of killing the task — a web corpus
+    always contains such payloads. ``use_stub=False`` is strict: the
+    decoder's ValueError (naming the unsupported mode) propagates."""
     fmt = codecs.sniff(payload)
-    if fmt in ("bmp", "ppm", "png", "jpeg"):
-        return _image_features(_decode_image(payload))
-    if fmt == "wav":
-        return _audio_features(*_decode_audio(payload))
+    try:
+        if fmt in ("bmp", "ppm", "png", "jpeg"):
+            return _image_features(_decode_image(payload))
+        if fmt == "wav":
+            return _audio_features(*_decode_audio(payload))
+    except ValueError:
+        if use_stub:
+            return _fake_decode(payload)
+        raise
     if use_stub:
         return _fake_decode(payload)
     # route through the format-appropriate stub so the error names the gap

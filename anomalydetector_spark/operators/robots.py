@@ -374,13 +374,22 @@ def politeness_schedule_bucketed(
     plain form. A degenerate sample (tiny input, ``sample_mod`` too
     coarse) yields zero boundaries and the operator collapses to the
     plain single-bucket behavior — still exact."""
+    # NULL domains/urls are excluded from the boundary sample (a None
+    # in the sorted() below would TypeError against str); NULL-keyed
+    # rows still flow through the operator itself — their bucket
+    # comparison is NULL → bucket 0, one group per NULL domain, the
+    # same arbitrary-tie behavior as the plain window's NULL group.
     key_rows = (
         urls.filter(
-            F.pmod(
-                F.xxhash64(F.col(domain_col), F.col(url_col)),
-                F.lit(sample_mod),
+            F.col(domain_col).isNotNull()
+            & F.col(url_col).isNotNull()
+            & (
+                F.pmod(
+                    F.xxhash64(F.col(domain_col), F.col(url_col)),
+                    F.lit(sample_mod),
+                )
+                == 0
             )
-            == 0
         )
         .select(F.col(domain_col).alias("d"), F.col(url_col).alias("u"))
         .limit(sample_cap)
@@ -422,16 +431,18 @@ def politeness_schedule_bucketed(
         F.coalesce(F.sum("__cnt").over(w_roll), F.lit(0)).alias("__off"),
     )
     dim = F.broadcast(delays) if broadcast_delays else delays
+    # LEFT join: a NULL-domain row can never equi-join its rollup row
+    # (NULL != NULL) — it still belongs to exactly one local group
+    # (bucket 0), whose offset is definitionally 0
     joined = local.join(
-        F.broadcast(offsets), [domain_col, "__bkt"]
+        F.broadcast(offsets), [domain_col, "__bkt"], "left"
     ).join(dim, domain_col, "left")
     delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+    rank = F.col("__lrank") + F.coalesce(F.col("__off"), F.lit(0))
     return joined.select(
         *[F.col(c) for c in urls.columns],
         delay.alias("effective_delay"),
-        ((F.col("__lrank") + F.col("__off") - F.lit(1)) * delay).alias(
-            "fetch_offset_s"
-        ),
+        ((rank - F.lit(1)) * delay).alias("fetch_offset_s"),
     )
 
 

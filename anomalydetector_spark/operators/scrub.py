@@ -300,15 +300,14 @@ def redact_card_numbers(
     Adds ``out_col`` (default: in place) and ``count_col``."""
     text = F.col(text_col)
     cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE), 0)
-    valid = F.filter(
-        cands,
-        lambda m: luhn_valid(F.regexp_replace(m, r"[ -]", "")),
-    )
     # split() walks the SAME non-overlapping left-to-right matches
     # regexp_extract_all found (same Java regex engine, same pattern),
     # so parts has exactly size(cands)+1 elements (limit -1 keeps a
     # trailing empty part).
     parts = F.split(text, CARD_CANDIDATE, -1)
+    # the Luhn fold runs ONCE per candidate; the count is recovered
+    # from the rewritten array (candidates are digit runs, so none can
+    # literally equal the token)
     repl = F.transform(
         cands,
         lambda m: F.when(
@@ -327,6 +326,9 @@ def redact_card_numbers(
             "",
         ),
     )
-    return df.withColumn(count_col, F.size(valid)).withColumn(
+    n_cards = F.size(
+        F.filter(repl, lambda m: m == F.lit(CARD_TOKEN))
+    )
+    return df.withColumn(count_col, n_cards).withColumn(
         out_col or text_col, redacted
     )

@@ -525,3 +525,101 @@ def test_extract_video_metadata_spark(spark):
             assert r.codec == "avc1" and r.n_tracks == 1
         else:
             assert r.duration_ms is None and r.codec is None
+
+
+def test_jpeg_malformed_headers_raise_valueerror_only():
+    """Review fix: every malformed-header failure mode surfaces as
+    ValueError (the module contract), never struct.error/IndexError/
+    ZeroDivisionError."""
+    import struct as st
+
+    good = codecs.encode_jpeg(_smooth_rgb(16, 16, seed=2), quality=90)
+
+    # truncated segment-length read right after a marker
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8\xff\xe0")
+    # truncated mid-header payloads at every cut point
+    for cut in range(4, min(len(good), 200)):
+        try:
+            codecs.decode_jpeg(good[:cut])
+        except ValueError:
+            pass  # the only acceptable exception type
+    # zero sampling factor in SOF
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 2 + 2 + 6 + 1] = 0x01  # comp0 h=0,v=1
+    with pytest.raises(ValueError, match="sampling"):
+        codecs.decode_jpeg(bytes(bad[: sof + 2 + 2 + 6 + 1 + 1]) + bytes(bad[sof + 2 + 2 + 6 + 2 :]))
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; inject one before each RSTn and the decode must be
+    identical (the old splitter treated FF FF as scan end)."""
+    img = _smooth_rgb(24, 24, seed=9)
+    p = codecs.encode_jpeg(img, quality=90, restart_interval=1)
+    out = bytearray()
+    i = 0
+    while i < len(p):
+        if p[i] == 0xFF and i + 1 < len(p) and 0xD0 <= p[i + 1] <= 0xD7:
+            out += b"\xff"  # fill byte before the restart marker
+        out.append(p[i])
+        i += 1
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(bytes(out)), codecs.decode_jpeg(p)
+    )
+
+
+def test_mp4_malformed_raises_valueerror_and_quarantines(spark):
+    """Review fix: malformed-but-ftyp payloads honor the ValueError
+    contract (empty mvhd, truncated tkhd, mid-box cuts), and
+    extract_video_metadata turns them into NULL-metadata rows instead
+    of dying."""
+    import struct as st
+
+    def box(tag, body):
+        return st.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
+    empty_mvhd = ftyp + box(b"moov", box(b"mvhd", b""))
+    short_tkhd = ftyp + box(b"moov", box(b"trak", box(b"tkhd", b"\x00" * 16)))
+    good = codecs.build_mp4_header(1500, 64, 48)
+    cut = good[: len(good) - 7]  # truncated final box body
+
+    for bad in (empty_mvhd, short_tkhd, cut):
+        with pytest.raises(ValueError):
+            codecs.parse_mp4_metadata(bad)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(empty_mvhd)), (2, bytearray(short_tkhd)),
+         (3, bytearray(good))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in
+            multimodal.extract_video_metadata(media).collect()}
+    assert rows[1].duration_ms is None and rows[2].width is None
+    assert rows[3].duration_ms == 1500
+
+
+def test_featurize_unsupported_jpeg_mode_respects_use_stub(spark):
+    """Review fix: a payload whose MAGIC matches a real decoder but
+    whose body is rejected (progressive JPEG here) must fall back to
+    the deterministic fake under use_stub=True — a web corpus always
+    contains such payloads — and still raise under use_stub=False."""
+    good = bytearray(codecs.encode_jpeg(_smooth_rgb(16, 16, seed=4),
+                                        quality=90))
+    idx = bytes(good).find(b"\xff\xc0")
+    good[idx + 1] = 0xC2  # rewrite as progressive
+    prog = bytes(good)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(prog), "image/jpeg", 16, 16, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media, use_stub=True).collect()[0]
+    import numpy as npic  # noqa: F401 - keep local namespace clean
+    expect = multimodal._fake_decode(prog)
+    assert row.feature == pytest.approx(list(expect))
+
+    with pytest.raises(Exception, match="progressive"):
+        multimodal.extract_features(media, use_stub=False).collect()

@@ -453,3 +453,34 @@ def test_politeness_schedule_bucketed_equals_plain_and_balances(spark):
     assert len(hot_buckets) >= 4
     # no single window group anywhere near the plain hot group's 1000
     assert max(groups.values()) <= 300
+
+
+def test_politeness_schedule_bucketed_null_keys(spark):
+    """Review fix: NULL domains/urls must not TypeError the driver-side
+    boundary sort; NULL-keyed rows land in bucket 0 and rank within
+    their NULL group, matching the plain window's NULL handling."""
+    from pyspark.sql import functions as F
+
+    from anomalydetector_spark.operators.robots import (
+        politeness_schedule,
+        politeness_schedule_bucketed,
+    )
+
+    rows = [(i, f"https://a.example/p{i:03d}", "a.example")
+            for i in range(30)]
+    rows += [(100, "https://x.example/only", None),
+             (101, None, "a.example")]
+    urls = spark.createDataFrame(
+        rows, "id long, url string, domain string"
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2.0)], "domain string, crawl_delay double"
+    )
+    plain = politeness_schedule(urls, delays, default_delay=1.0)
+    buck = politeness_schedule_bucketed(
+        urls, delays, default_delay=1.0, n_buckets=4, sample_mod=1
+    )
+    key = lambda r: (r.id, r.url, r.domain, r.effective_delay,
+                     r.fetch_offset_s)
+    assert {key(r) for r in plain.collect()} \
+        == {key(r) for r in buck.collect()}
