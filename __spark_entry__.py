@@ -1340,6 +1340,58 @@ def q_multimodal_mp4_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode, hash-exactly oracled (operators/codecs.
+    encode_gif/decode_gif + multimodal.extract_features): each doc_id
+    becomes a two-color 12x20 GIF — background doc_id%251, a 4x6
+    foreground patch of (doc_id*7)%251 — with INTERLACED row layout on
+    even ids (a different bitstream that must decode identically). GIF
+    is palette-lossless, so DuckDB predicts the decoded mean exactly
+    from the 24-of-240-pixels patch arithmetic: mean*240 = 216*bg +
+    24*fg, emitted as the integer sum to dodge float formatting."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from anomalydetector_spark.operators import codecs, multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [docs.schema["doc_id"], StructField("payload", BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bg, fg = did % 251, (did * 7) % 251
+                img = np.full((12, 20, 3), bg, dtype=np.uint8)
+                img[4:8, 7:13] = fg
+                payloads.append(
+                    codecs.encode_gif(img, interlace=(did % 2 == 0))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema=schema).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        "payload",
+    )
+    feats = multimodal.extract_features(media, use_stub=False)
+    f = F.col("feature")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(f[2] * 255.0 * 240.0).cast("long").alias("pixel_sum"),
+        ((f[0] == 12.0) & (f[1] == 20.0)).alias("shape_ok"),
+        (F.col("media_id") % 2 == 0).alias("interlaced"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Document chunking (operators/chunking.chunk_documents): split
     each document into 64-token training windows with 8-token overlap —
@@ -3863,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_schedule_bucketed": q_robots_schedule_bucketed,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_mp4_meta": q_multimodal_mp4_meta,
+        "multimodal_gif": q_multimodal_gif,
         "multimodal_decode": q_multimodal_decode,
         "semdedup": q_semdedup,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -8933,6 +8986,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'av01' END AS codec,
                    CASE WHEN doc_id % 4 = 3 THEN NULL
                         ELSE 1 END::INT AS n_tracks
+            FROM documents
+        """,
+        "multimodal_gif": """
+            SELECT doc_id,
+                   (216 * (doc_id % 251)
+                    + 24 * ((doc_id * 7) % 251))::BIGINT AS pixel_sum,
+                   TRUE AS shape_ok,
+                   doc_id % 2 = 0 AS interlaced
             FROM documents
         """,
     }

@@ -13,7 +13,10 @@ multimodal decode path REAL instead of stubbed (round-2 judge item #2):
   (stdlib zlib + the five RFC 2083 scanline filters in numpy),
 * **JPEG** (baseline sequential 8-bit JFIF, gray / 4:4:4 / 4:2:2 /
   4:2:0, restart intervals) — encode + decode (canonical Huffman +
-  batched einsum IDCT; progressive/arithmetic/12-bit raise).
+  batched matmul IDCT; progressive/arithmetic/12-bit raise),
+* **GIF** (87a/89a, global/local palettes, interlace, transparency,
+  animated first-frame) — encode (≤256-color lossless) + decode
+  (variable-width LZW in pure Python/numpy).
 
 Plus **MP4/ISO-BMFF container METADATA** (duration, track dimensions,
 handler types, sample-entry fourcc) via a pure struct box walk —
@@ -345,7 +348,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def sniff(payload: bytes) -> str:
     """Cheap magic-byte format sniff:
-    'bmp' | 'ppm' | 'wav' | 'png' | 'jpeg' | 'mp4' | 'unknown'."""
+    'bmp' | 'ppm' | 'wav' | 'png' | 'jpeg' | 'gif' | 'mp4' |
+    'unknown'."""
     if payload is None or len(payload) < 8:
         return "unknown"
     if payload[:2] == b"BM":
@@ -358,6 +362,8 @@ def sniff(payload: bytes) -> str:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in _GIF_MAGICS:
+        return "gif"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -1328,3 +1334,281 @@ def parse_mp4_metadata(payload: bytes) -> dict:
         # NULL-metadata rows instead of killing the task
         raise ValueError(f"malformed MP4 box tree: {e}") from e
     return meta
+
+
+# --------------------------------------------------------------------------
+# GIF — 87a/89a, palette + LZW (pure stdlib + numpy)
+# --------------------------------------------------------------------------
+#
+# The third web image format is also library-free: a GIF is a logical
+# screen + palette + block stream whose pixel data is variable-width
+# LZW (dictionary codes, LSB-first bit packing, 12-bit cap) — all
+# plain Python/numpy. Decoded here: GIF87a and GIF89a, global and
+# local color tables, interlaced and sequential images, the 89a
+# graphic-control transparency index (transparent pixels take the
+# background color), and animated files (FIRST frame only — the frame
+# compositing model needs no codec, but one frame is what an image
+# descriptor wants; documented). The encoder takes an RGB raster with
+# ≤ 256 distinct colors (exact palette round-trip — GIF is lossless)
+# and optionally writes interlaced rows, giving the decoder's
+# interlace path an independent producer.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF variable-width LZW → index bytes (exactly n_pixels)."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    # dictionary as byte strings; clear/end slots are placeholders
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data ended early")
+    return bytes(out[:n_pixels])
+
+
+def _gif_lzw_encode(min_code: int, indices: bytes) -> bytes:
+    """Index bytes → GIF variable-width LZW (with clear/end codes)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    code_size = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if nxt == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = end + 1
+            code_size = min_code + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row output order of an interlaced GIF (4 passes)."""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in _GIF_INTERLACE_PASSES]
+    ).astype(np.int64)
+
+
+def encode_gif(
+    raster: np.ndarray, interlace: bool = False
+) -> bytes:
+    """HxWx3 uint8 with ≤ 256 distinct colors → GIF89a bytes (single
+    image, global palette, lossless). Raises ValueError above 256
+    colors — GIF is a palette format; quantization is a modelling
+    choice the caller makes, not something to hide in a codec."""
+    arr = np.ascontiguousarray(raster, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_gif expects an HxWx3 uint8 raster")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif needs <= 256 distinct colors, got {len(palette)}"
+        )
+    # palette size must be a power of two >= 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    indices = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        indices = indices[_gif_interlace_order(h)]
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(min_code, indices.tobytes())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → HxWx3 uint8 (first frame, composited onto a
+    background-filled logical screen; transparent pixels take the
+    background color). Raises ValueError on malformed input."""
+    if payload is None or payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_checked(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed GIF: {e}") from e
+
+
+def _decode_gif_checked(payload: bytes) -> np.ndarray:
+    sw, sh, flags, bg_idx, _aspect = struct.unpack_from(
+        "<HHBBB", payload, 6
+    )
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                sz = payload[pos]
+                gflags = payload[pos + 1]
+                if gflags & 1:
+                    transparent = payload[pos + 4]
+                pos += 1 + sz
+            # skip (remaining) sub-block chain
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # ---- image descriptor (first frame decoded, rest ignored)
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            raise ValueError(f"invalid GIF LZW min code size {min_code}")
+        chunks = []
+        while True:
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunks.append(payload[pos : pos + sz])
+            if len(chunks[-1]) != sz:
+                raise ValueError("truncated GIF data sub-block")
+            pos += sz
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, b"".join(chunks), w * h),
+            dtype=np.uint8,
+        ).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in pass order
+            order = _gif_interlace_order(h)
+            deinterlaced = np.zeros_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        if (idx >= len(pal)).any():
+            raise ValueError("GIF pixel index outside color table")
+        # composite onto the background-filled logical screen
+        if global_pal is not None and bg_idx < len(global_pal):
+            bg = global_pal[bg_idx]
+        else:
+            bg = np.zeros(3, dtype=np.uint8)
+        screen = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+        frame = pal[idx]
+        if transparent is not None:
+            mask = idx == transparent
+            frame = frame.copy()
+            frame[mask] = bg
+        h_eff = min(h, sh - top)
+        w_eff = min(w, sw - left)
+        if h_eff <= 0 or w_eff <= 0:
+            raise ValueError("GIF frame outside logical screen")
+        screen[top : top + h_eff, left : left + w_eff] = frame[
+            :h_eff, :w_eff
+        ]
+        return screen
+    raise ValueError("GIF contains no image data")

@@ -87,10 +87,10 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode a library-free image payload (BMP, PPM, 8-bit RGB/RGBA
-    PNG, or baseline-sequential JPEG) to HxWx3 uint8 — PNG alpha is
-    dropped and JPEG grayscale is channel-replicated (features
-    describe the color raster). Only genuinely codec-bound formats
-    (video containers) remain the marked stub."""
+    PNG, baseline-sequential JPEG, or GIF first-frame) to HxWx3 uint8
+    — PNG alpha is dropped and JPEG grayscale is channel-replicated
+    (features describe the color raster). Only genuinely codec-bound
+    formats (video) remain the marked stub."""
     kind = codecs.sniff(payload)
     if kind == "bmp":
         return codecs.decode_bmp(payload)
@@ -101,6 +101,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return raster[:, :, :3]
     if kind == "jpeg":
         return codecs.decode_jpeg(payload)
+    if kind == "gif":
+        return codecs.decode_gif(payload)
     raise NotImplementedError(
         "image decode for this format requires a codec library"
     )
@@ -139,7 +141,7 @@ def _featurize(payload: bytes, use_stub: bool) -> np.ndarray:
     decoder's ValueError (naming the unsupported mode) propagates."""
     fmt = codecs.sniff(payload)
     try:
-        if fmt in ("bmp", "ppm", "png", "jpeg"):
+        if fmt in ("bmp", "ppm", "png", "jpeg", "gif"):
             return _image_features(_decode_image(payload))
         if fmt == "wav":
             return _audio_features(*_decode_audio(payload))
@@ -163,7 +165,7 @@ def extract_features(
     Arrow streams binary columns in bounded batches (cap
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
     images fits executor memory); payloads are dispatched by magic
-    bytes: BMP/PPM/PNG/JPEG → real raster decode + image descriptor,
+    bytes: BMP/PPM/PNG/JPEG/GIF → real raster decode + image descriptor,
     WAV → real PCM decode + audio descriptor, anything else →
     deterministic fake (``use_stub=True``) or ``NotImplementedError``
     marking where a codec library goes.
@@ -236,7 +238,7 @@ RESIZED_SCHEMA = (
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL for BMP/PPM/PNG/JPEG: decode → nearest-neighbor resample
+    """REAL for BMP/PPM/PNG/JPEG/GIF: decode → nearest-neighbor resample
     (pure numpy indexing) → re-encode in the same format (PNG keeps its
     RGBA channel if present; JPEG re-encodes baseline 4:4:4 q90).
     Codec-bound formats (video) still raise."""
@@ -259,6 +261,12 @@ def _resize_image(payload: bytes, width: int, height: int) -> bytes:
                 codecs.decode_jpeg(payload), width, height
             ),
             quality=90,
+        )
+    if fmt == "gif":
+        # nearest-neighbor keeps the palette <= 256 colors, so the
+        # re-encode stays lossless
+        return codecs.encode_gif(
+            codecs.resize_nearest(codecs.decode_gif(payload), width, height)
         )
     raise NotImplementedError(
         "image resize for this format requires a codec library"
@@ -286,7 +294,7 @@ def resize_images(
     Output schema equals the input media schema with updated dimensions."""
 
     def one(p, w, h):
-        if codecs.sniff(p) in ("bmp", "ppm", "png", "jpeg"):
+        if codecs.sniff(p) in ("bmp", "ppm", "png", "jpeg", "gif"):
             return _resize_image(p, w, h)
         if use_stub:
             return _fake_resize(p, w, h)

@@ -623,3 +623,83 @@ def test_featurize_unsupported_jpeg_mode_respects_use_stub(spark):
 
     with pytest.raises(Exception, match="progressive"):
         multimodal.extract_features(media, use_stub=False).collect()
+
+
+# --------------------------------------------------------------------------
+# GIF
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,il", [((1, 1), False), ((7, 5), False),
+                                      ((16, 24), True), ((33, 17), True),
+                                      ((8, 8), False)])
+def test_gif_roundtrip_lossless(shape, il):
+    rng = np.random.default_rng(sum(shape) + il)
+    pal = rng.integers(0, 256, (int(rng.integers(2, 200)), 3),
+                       dtype=np.uint8)
+    img = pal[rng.integers(0, len(pal), shape)]
+    p = codecs.encode_gif(img, interlace=il)
+    assert codecs.sniff(p) == "gif"
+    np.testing.assert_array_equal(codecs.decode_gif(p), img)
+
+
+def test_gif_transparency_animation_and_errors():
+    import struct as st
+
+    img = np.full((6, 8, 3), 200, dtype=np.uint8)
+    img[2:4, 3:5] = 17
+    p = codecs.encode_gif(img)
+
+    # 89a graphic-control extension: make color-index-of-17 transparent;
+    # transparent pixels must take the BACKGROUND color (palette[bg=0])
+    pal_at = 13
+    # palette[0] is min(unique colors) = 17; find index of 17 and 200
+    arr = np.frombuffer(p, dtype=np.uint8, count=2 * 3, offset=pal_at)
+    idx17 = 0 if tuple(arr[:3]) == (17, 17, 17) else 1
+    gce = b"\x21\xf9\x04" + bytes([1, 0, 0, idx17]) + b"\x00"
+    # insert before the image descriptor (0x2c)
+    desc = p.index(b"\x2c", 6)
+    p_t = p[:desc] + gce + p[desc:]
+    out = codecs.decode_gif(p_t)
+    bg = np.frombuffer(p, dtype=np.uint8, count=3, offset=pal_at)
+    assert (out[2:4, 3:5] == bg).all()  # transparent -> background
+    assert (out[0, 0] == 200).all()
+
+    # animation: a second frame after the first must be ignored
+    body_start = p.index(b"\x2c", 6)
+    trailer = p.rindex(b"\x3b")
+    frame = p[body_start:trailer]
+    p_anim = p[:trailer] + frame + b"\x3b"
+    np.testing.assert_array_equal(codecs.decode_gif(p_anim),
+                                  codecs.decode_gif(p))
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"JIF89a??")
+    with pytest.raises(ValueError):
+        codecs.decode_gif(p[: len(p) // 3])
+    # >256 distinct colors must be an explicit modelling error
+    yy, xx = np.mgrid[0:32, 0:32]
+    many = np.stack([yy * 8 % 256, xx * 8 % 256, (yy + xx) % 256],
+                    axis=2).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        codecs.encode_gif(many)
+
+
+def test_gif_features_and_resize_spark(spark):
+    rows = []
+    for i, v in enumerate((30, 128, 250)):
+        img = np.full((12, 20, 3), v, dtype=np.uint8)
+        rows.append((i, "image", bytearray(codecs.encode_gif(
+            img, interlace=(i % 2 == 0))), "image/gif", 20, 12, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in
+             multimodal.extract_features(media, use_stub=False).collect()}
+    for i, v in enumerate((30, 128, 250)):
+        f = feats[i]
+        assert (f[0], f[1]) == (12.0, 20.0)
+        # lossless decode; feature rides float32, so ~1e-5 precision
+        assert abs(f[2] * 255.0 - v) < 1e-3
+    resized = multimodal.resize_images(media, width=10, height=6).collect()
+    for r in resized:
+        out = codecs.decode_gif(bytes(r.payload))
+        assert out.shape == (6, 10, 3)
