@@ -182,6 +182,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos = body_start + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
     audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
@@ -299,11 +301,22 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → HxWx3 or HxWx4 uint8. Only 8-bit RGB/RGBA
-    non-interlaced PNGs are supported — anything else raises."""
+    non-interlaced PNGs are supported — anything else raises
+    ValueError (corrupt-deflate zlib errors included, honoring the
+    module-wide one-exception contract)."""
     import zlib
 
     if payload is None or payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
+    try:
+        return _decode_png_checked(payload)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png_checked(payload: bytes) -> np.ndarray:
+    import zlib
+
     pos = len(_PNG_MAGIC)
     ihdr = None
     idat = []
@@ -1288,7 +1301,8 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                     raise ValueError("truncated MP4 mvhd box")
                 ver = payload[b0]
                 if ver == 1:
-                    if b1 - b0 < 28:
+                    # >IQ at b0+20 reads through b0+32
+                    if b1 - b0 < 32:
                         raise ValueError("truncated MP4 mvhd box")
                     ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
                 else:
@@ -1476,6 +1490,8 @@ def encode_gif(
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_gif expects an HxWx3 uint8 raster")
     h, w, _ = arr.shape
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("GIF dimensions are 16-bit (max 65535)")
     flat = arr.reshape(-1, 3)
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
@@ -1597,7 +1613,7 @@ def _decode_gif_checked(payload: bytes) -> np.ndarray:
             bg = global_pal[bg_idx]
         else:
             bg = np.zeros(3, dtype=np.uint8)
-        screen = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+        screen = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8)
         frame = pal[idx]
         if transparent is not None:
             mask = idx == transparent

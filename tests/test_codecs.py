@@ -703,3 +703,66 @@ def test_gif_features_and_resize_spark(spark):
     for r in resized:
         out = codecs.decode_gif(bytes(r.payload))
         assert out.shape == (6, 10, 3)
+
+
+def test_gif_lzw_dictionary_reset_roundtrip():
+    """A 200x200 noise raster drives the LZW dictionary past 4096
+    entries, forcing the encoder's mid-stream CLEAR + the decoder's
+    dictionary reset — a path small test images never reach."""
+    rng = np.random.default_rng(11)
+    pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8),
+                    axis=0)
+    img = pal[rng.integers(0, len(pal), (200, 200))]
+    for il in (False, True):
+        np.testing.assert_array_equal(
+            codecs.decode_gif(codecs.encode_gif(img, interlace=il)), img
+        )
+
+
+def test_decoder_valueerror_contract_png_wav_gif_dims(spark):
+    """Second-review fixes: corrupt-deflate PNG and short-fmt WAV honor
+    the ValueError contract (and so fall back to the fake under
+    use_stub=True); v1-mvhd truncation can't fabricate a duration from
+    a sibling box; encode_gif rejects >65535 dimensions."""
+    import struct as st
+    import zlib as _zlib
+
+    # PNG with garbage IDAT: zlib.error must surface as ValueError
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF))
+    bad_png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", b"notdeflate") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PNG"):
+        codecs.decode_png(bad_png)
+
+    # WAV with an 8-byte fmt chunk
+    bad_wav = (b"RIFF" + st.pack("<I", 24) + b"WAVE"
+               + b"fmt " + st.pack("<I", 8) + b"\x01\x00\x01\x00zzzz"
+               + b"data" + st.pack("<I", 0))
+    with pytest.raises(ValueError, match="fmt"):
+        codecs.decode_wav(bad_wav)
+
+    # both now quarantine gracefully in corpus mode
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bad_png), "image/png", 2, 2, None),
+         (2, "audio", bytearray(bad_wav), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(media, use_stub=True).collect()
+    assert len(rows) == 2  # no task death
+
+    # v1 mvhd with a 28-byte body followed by a sibling box: the old
+    # guard let >IQ read 4 bytes of the sibling as duration
+    def box(tag, body):
+        return st.pack(">I", len(body) + 8) + tag + body
+    v1_body = b"\x01" + b"\x00" * 27  # version 1, 28 bytes total
+    crafted = (box(b"ftyp", b"isom\x00\x00\x02\x00")
+               + box(b"moov", box(b"mvhd", v1_body)
+                     + box(b"free", b"\x00\x00\x00\x18" * 2)))
+    with pytest.raises(ValueError, match="mvhd"):
+        codecs.parse_mp4_metadata(crafted)
+
+    with pytest.raises(ValueError, match="65535"):
+        codecs.encode_gif(np.zeros((1, 70000, 3), dtype=np.uint8))
