@@ -1392,6 +1392,62 @@ def q_multimodal_gif(spark, sf_dir):
     )
 
 
+def q_media_triage(spark, sf_dir):
+    """Zero-Python corpus container census (multimodal.sniff_expr +
+    media_triage): per doc a REAL payload of the container doc_id%7
+    selects (BMP/PNG/JPEG/GIF/WAV/MP4/junk), then the pure-codegen
+    magic-byte sniff + one map-side-combined aggregation counts
+    payloads and bytes per format — the pre-decode planning query a
+    multimodal pipeline runs before paying for any Arrow batch. The
+    oracle predicts the per-container row counts from doc_id
+    arithmetic alone (byte totals are synthesis-dependent, so the
+    count column is the contract)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from anomalydetector_spark.operators import codecs, multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [docs.schema["doc_id"], StructField("payload", BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        img = np.full((8, 8, 3), 40, dtype=np.uint8)
+        gray = img[:, :, 0]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                k = int(did) % 7
+                if k == 0:
+                    payloads.append(codecs.encode_bmp(img))
+                elif k == 1:
+                    payloads.append(codecs.encode_png(img))
+                elif k == 2:
+                    payloads.append(codecs.encode_jpeg(gray, quality=70))
+                elif k == 3:
+                    payloads.append(codecs.encode_gif(img))
+                elif k == 4:
+                    payloads.append(
+                        codecs.encode_wav(np.zeros(8, np.int16), 8000)
+                    )
+                elif k == 5:
+                    payloads.append(codecs.build_mp4_header(1000, 32, 32))
+                else:
+                    payloads.append(b"not any known container kind")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema=schema)
+    return multimodal.media_triage(media).select(
+        "container", "n_payloads"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Document chunking (operators/chunking.chunk_documents): split
     each document into 64-token training windows with 8-token overlap —
@@ -3916,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_mp4_meta": q_multimodal_mp4_meta,
         "multimodal_gif": q_multimodal_gif,
+        "media_triage": q_media_triage,
         "multimodal_decode": q_multimodal_decode,
         "semdedup": q_semdedup,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -8995,5 +9052,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS shape_ok,
                    doc_id % 2 = 0 AS interlaced
             FROM documents
+        """,
+        "media_triage": """
+            SELECT CASE doc_id % 7
+                     WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                     WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+                     WHEN 4 THEN 'wav' WHEN 5 THEN 'mp4'
+                     ELSE 'unknown' END AS container,
+                   count(*)::BIGINT AS n_payloads
+            FROM documents
+            GROUP BY 1
         """,
     }

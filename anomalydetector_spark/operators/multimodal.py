@@ -401,3 +401,63 @@ def synth_media(spark, n: int = 100) -> DataFrame:
         F.when(F.col("kind") == "image", 6).otherwise(48).cast("int").alias("height"),
         (F.pmod("media_id", F.lit(5)) * 1000 + 1000).cast("int").alias("duration_ms"),
     )
+
+
+def sniff_expr(payload) -> "F.Column":
+    """``codecs.sniff`` as a pure Catalyst expression over a binary
+    column: magic-byte container triage ('bmp' | 'ppm' | 'wav' | 'png'
+    | 'jpeg' | 'gif' | 'mp4' | 'unknown') with ZERO Python — on a
+    payload table already in parquet this is a codegen projection, so
+    the corpus-level "what formats do we hold and how much of each"
+    question costs one scan at any scale, and format-targeted decode
+    jobs can filter BEFORE any Arrow batch is paid for. Branch order
+    matches ``codecs.sniff`` exactly (tested); NULL/short payloads →
+    'unknown'."""
+    p = payload if not isinstance(payload, str) else F.col(payload)
+
+    def pre(n):
+        return F.substring(p, 1, n)
+
+    return (
+        F.when(p.isNull() | (F.length(p) < 8), F.lit("unknown"))
+        .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))
+        .when(pre(2) == F.lit(b"P6"), F.lit("ppm"))
+        .when(
+            (pre(4) == F.lit(b"RIFF"))
+            & (F.substring(p, 9, 4) == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(pre(8) == F.lit(b"\x89PNG\r\n\x1a\n"), F.lit("png"))
+        .when(pre(3) == F.lit(b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(
+            (pre(6) == F.lit(b"GIF87a")) | (pre(6) == F.lit(b"GIF89a")),
+            F.lit("gif"),
+        )
+        .when(
+            (F.length(p) >= 12)
+            & (F.substring(p, 5, 4) == F.lit(b"ftyp")),
+            F.lit("mp4"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def media_triage(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Corpus-level container census: one codegen projection + one
+    map-side-combined aggregation — ``(container, n_payloads,
+    total_bytes)`` per sniffed format. The pre-decode planning query
+    of a multimodal pipeline (how many decode tasks of which kind, how
+    much I/O each) at zero Python cost."""
+    return (
+        media.select(
+            sniff_expr(payload_col).alias("container"),
+            F.coalesce(
+                F.length(F.col(payload_col)).cast("long"), F.lit(0)
+            ).alias("_bytes"),
+        )
+        .groupBy("container")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("_bytes").alias("total_bytes"),
+        )
+    )

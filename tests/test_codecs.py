@@ -766,3 +766,53 @@ def test_decoder_valueerror_contract_png_wav_gif_dims(spark):
 
     with pytest.raises(ValueError, match="65535"):
         codecs.encode_gif(np.zeros((1, 70000, 3), dtype=np.uint8))
+
+
+def test_sniff_expr_agrees_with_python_sniff_and_is_codegen(spark, tmp_path):
+    """The Catalyst sniff must agree with codecs.sniff on every
+    container kind + junk/short/NULL, and on a parquet-read payload
+    column its plan must contain no Python stage (the zero-Python
+    triage claim)."""
+    import struct as st
+
+    img = np.full((8, 8, 3), 40, dtype=np.uint8)
+    payloads = [
+        codecs.encode_bmp(img),
+        codecs.encode_ppm(img),
+        codecs.encode_wav(np.zeros(8, np.int16), 8000),
+        codecs.encode_png(img),
+        codecs.encode_jpeg(img[:, :, 0], quality=70),
+        codecs.encode_gif(img),
+        codecs.build_mp4_header(1000, 32, 32),
+        b"plainly not an image at all",
+        b"short",
+        None,
+    ]
+    rows = [(i, bytearray(p) if p is not None else None)
+            for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pq = str(tmp_path / "payloads")
+    df.write.parquet(pq)
+    back = spark.read.parquet(pq)
+
+    got = {r.media_id: r.c for r in back.select(
+        "media_id", multimodal.sniff_expr("payload").alias("c")).collect()}
+    for i, p in enumerate(payloads):
+        want = codecs.sniff(bytes(p)) if p is not None else "unknown"
+        assert got[i] == want, (i, got[i], want)
+
+    import io
+    from contextlib import redirect_stdout
+
+    triage = multimodal.media_triage(back)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        triage.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()  # map-side combine before shuffle
+    counts = {r.container: (r.n_payloads, r.total_bytes)
+              for r in triage.collect()}
+    assert counts["unknown"][0] == 3
+    for k in ("bmp", "ppm", "wav", "png", "jpeg", "gif", "mp4"):
+        assert counts[k][0] == 1 and counts[k][1] > 0
